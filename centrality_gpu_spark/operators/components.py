@@ -1,0 +1,89 @@
+"""Connected components: hash-min label exchange with pointer jumping.
+
+Generalizes the reference's ``check_connect`` recursive-DFS reachability
+(``graph_ear_decompos.h:16-33,141-149``) — but where the reference
+*aborts* on a disconnected graph, we label every component (the north
+rule requires handling disconnected transcript graphs).
+
+Algorithm: every vertex starts labeled with its own id; each superstep
+a vertex takes the min label over itself and its neighbors (hash-min),
+followed by one label-compression join (label ← label[label], pointer
+jumping), giving O(log diameter) supersteps instead of O(diameter).
+On power-law graphs (small diameter) this converges in a handful of
+shuffles; the compression join is what keeps long chains from
+degrading to O(n) supersteps at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+
+def connected_components(
+    graph: Graph,
+    max_iterations: int = 50,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Return (id, component) — component = min vertex id in the component."""
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    edges = graph.edges.select("src", "dst")
+
+    name = "components"
+    start_iter = 0
+    labels: DataFrame
+    resumed = ckpt.latest_epoch(name)
+    if resumed is not None:
+        start_iter, labels, _meta = resumed
+        start_iter += 1
+    else:
+        labels = graph.vertices().select(
+            F.col("id"), F.col("id").alias("component")
+        )
+        labels = ckpt.truncate(labels)
+
+    for it in range(start_iter, max_iterations):
+        # neighbor exchange: each dst hears the labels of its neighbors
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "component"
+        )
+        new_labels = (
+            msgs.unionByName(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: component <- labels[component] when smaller
+        lookup = new_labels.select(
+            F.col("id").alias("c_id"), F.col("component").alias("c_comp")
+        )
+        new_labels = (
+            new_labels.join(lookup, new_labels.component == lookup.c_id, "left")
+            .select(
+                "id",
+                F.least("component", F.coalesce("c_comp", "component")).alias(
+                    "component"
+                ),
+            )
+        )
+        new_labels = ckpt.truncate(new_labels)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        ckpt.record(op=name, iteration=it, changed=changed)
+        labels = new_labels
+        if ckpt.should_save(it):
+            ckpt.save_epoch(labels, name, it)
+        if changed == 0:
+            break
+    return labels
+
+
+def num_components(graph: Graph) -> int:
+    return connected_components(graph).select("component").distinct().count()

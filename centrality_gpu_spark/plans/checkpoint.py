@@ -1,0 +1,130 @@
+"""Checkpoint / resume with per-partition lineage + per-iteration metrics.
+
+The north rule requires every iterative algorithm to (a) truncate plan
+lineage each superstep (else the Catalyst plan grows unboundedly — the
+classic iterative-Spark failure), and (b) persist rank/frontier vectors
+with enough metadata to resume mid-algorithm after executor loss.
+
+Reference analog: the debug sinks + per-stage timing prints
+(``modified_apsp.cpp:41-75``, ``main.cpp:45-50``) become structured
+per-iteration metrics JSON; the memoized endpoint rows
+(``kernels_active.cu:544-552``) become persisted epoch DataFrames.
+
+Layout on disk::
+
+    {root}/{name}/epoch={k}/part-*.parquet   (the vector)
+    {root}/{name}/epoch={k}/_META.json       (iteration metrics + lineage)
+
+``_META.json`` carries per-partition row counts and a per-partition
+content hash (xxhash64 xor-aggregated), so a resumed run can verify the
+epoch it loads and a monitoring job can diff lineage across epochs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_FILE = "_META.json"
+
+
+def partition_lineage(df: DataFrame) -> list[dict[str, int]]:
+    """Per-partition (row_count, content_hash). One extra job per call —
+    only invoked on epochs actually written to disk."""
+    hashed = df.select(
+        F.spark_partition_id().alias("pid"),
+        F.xxhash64(*df.columns).alias("h"),
+    )
+    rows = (
+        hashed.groupBy("pid")
+        # bit_xor, not sum: xxhash64 sums overflow long under ANSI mode
+        .agg(F.count("*").alias("rows"), F.bit_xor("h").alias("hash"))
+        .collect()
+    )
+    return [
+        {"pid": r["pid"], "rows": r["rows"], "hash": int(r["hash"] or 0)}
+        for r in sorted(rows, key=lambda r: r["pid"])
+    ]
+
+
+@dataclass
+class CheckpointManager:
+    """Manages epoch persistence for one run.
+
+    ``root=None`` → lineage truncation only (localCheckpoint), nothing
+    written to disk. ``every=k`` → durable epoch every k iterations.
+    """
+
+    spark: SparkSession
+    root: str | None = None
+    every: int = 5
+    metrics: list[dict[str, Any]] = field(default_factory=list)
+
+    # -- lineage truncation (every iteration) --------------------------
+
+    def truncate(self, df: DataFrame) -> DataFrame:
+        """Cut Catalyst lineage. localCheckpoint is executor-local —
+        cheap, survives within the app; durable epochs handle restarts."""
+        return df.localCheckpoint(eager=True)
+
+    # -- metrics --------------------------------------------------------
+
+    def record(self, **kv: Any) -> dict[str, Any]:
+        kv.setdefault("wall_ts", time.time())
+        self.metrics.append(kv)
+        return kv
+
+    # -- durable epochs --------------------------------------------------
+
+    def _epoch_dir(self, name: str, epoch: int) -> str:
+        assert self.root is not None
+        return os.path.join(self.root, name, f"epoch={epoch}")
+
+    def should_save(self, epoch: int) -> bool:
+        return self.root is not None and epoch % self.every == 0
+
+    def save_epoch(self, df: DataFrame, name: str, epoch: int,
+                   extra: dict[str, Any] | None = None) -> None:
+        d = self._epoch_dir(name, epoch)
+        df.write.mode("overwrite").parquet(d)
+        meta = {
+            "name": name,
+            "epoch": epoch,
+            "schema": df.schema.jsonValue(),
+            "partitions": partition_lineage(self.spark.read.parquet(d)),
+            "metrics": self.metrics[-1] if self.metrics else {},
+            "extra": extra or {},
+            "written_ts": time.time(),
+        }
+        with open(os.path.join(d, META_FILE), "w") as f:
+            json.dump(meta, f)
+
+    def latest_epoch(self, name: str) -> tuple[int, DataFrame, dict[str, Any]] | None:
+        """Most recent epoch whose _META.json verifies (counts match)."""
+        if self.root is None:
+            return None
+        base = os.path.join(self.root, name)
+        if not os.path.isdir(base):
+            return None
+        epochs = sorted(
+            (int(d.split("=", 1)[1]) for d in os.listdir(base) if d.startswith("epoch=")),
+            reverse=True,
+        )
+        for ep in epochs:
+            d = self._epoch_dir(name, ep)
+            meta_path = os.path.join(d, META_FILE)
+            if not os.path.exists(meta_path):
+                continue
+            with open(meta_path) as f:
+                meta = json.load(f)
+            df = self.spark.read.parquet(d)
+            expected = sum(p["rows"] for p in meta["partitions"])
+            if df.count() == expected:
+                return ep, df, meta
+        return None

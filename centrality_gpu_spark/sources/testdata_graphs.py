@@ -1,0 +1,127 @@
+"""Graph builders over the driver's testdata tables, each paired with a
+DuckDB SQL CTE that derives the *identical* edge set.
+
+The driver's correctness gate runs our Spark ``queries()`` against
+DuckDB ``oracle_sql()`` on the same parquet files, so every graph used
+in an oracle-checked query is defined twice — once as DataFrame ops,
+once as a SQL CTE named ``edges`` — in this one module, to keep them in
+lockstep.
+
+Two graphs:
+
+- **events graph** — bipartite actor→object adjacency (``user_id`` ↔
+  ``event_type``), the testdata analog of the transcripts' conv↔tool
+  edges (FIXTURES.md §6). Weight = invocation count.
+- **copurchase graph** — parts co-occurring in an order (lineitem
+  self-join). Non-bipartite, triangle-rich; exercises triangle counting
+  and gives a larger vertex set for PageRank/CC oracles.
+
+Vertex-id scheme (must be SQL-replicable, hence no zipWithIndex):
+users keep ``user_id``; event types get ``1_000_000 + dense_rank``
+over alphabetical order — deterministic dense relabel (P3 analog,
+``modified_apsp.cpp:336-358``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+
+TOOL_VERTEX_OFFSET = 1_000_000
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------- events
+
+def events_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Bipartite user↔event_type graph from ``events``."""
+    ev = load(spark, sf_dir, "events")
+    # aggregate first: shrinks |events| rows to |user×type| before the join
+    inv = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("w"))
+    tid = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "tvid",
+            F.lit(TOOL_VERTEX_OFFSET)
+            + F.dense_rank().over(Window.orderBy("event_type")),
+        )
+    )
+    base = inv.join(F.broadcast(tid), "event_type").select(
+        F.col("user_id").cast("long").alias("src"),
+        F.col("tvid").cast("long").alias("dst"),
+        F.col("w").cast("double").alias("weight"),
+    )
+    return Graph.from_undirected_edges(base, weight_col="weight")
+
+
+# The same edge set in DuckDB SQL: prefix for oracle queries, final CTE
+# is named `edges` with columns (src, dst, weight), both directions.
+EVENTS_EDGES_CTE = """
+ev AS (
+  SELECT user_id, event_type, COUNT(*) AS w
+  FROM events GROUP BY user_id, event_type
+),
+tid AS (
+  SELECT event_type,
+         1000000 + DENSE_RANK() OVER (ORDER BY event_type) AS tvid
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+base AS (
+  SELECT CAST(ev.user_id AS BIGINT) AS src,
+         CAST(tid.tvid AS BIGINT)   AS dst,
+         CAST(ev.w AS DOUBLE)       AS weight
+  FROM ev JOIN tid USING (event_type)
+),
+edges AS (
+  SELECT src, dst, weight FROM base
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM base
+)
+""".strip()
+
+
+# ------------------------------------------------------------ copurchase
+
+def copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Parts co-occurring in an order: lineitem ⋈ lineitem on orderkey.
+
+    Oriented ``src < dst`` before dedup (the standard triangle-counting
+    orientation, J6) then symmetrized by the Graph constructor. At scale
+    the self-join shuffles on ``l_orderkey`` — the natural key; AQE
+    splits skewed orders.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                      F.col("a.l_partkey") < F.col("b.l_partkey")])
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    return Graph.from_undirected_edges(pairs, weight_col="weight")
+
+
+COPURCHASE_EDGES_CTE = """
+pairs AS (
+  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+                  CAST(b.l_partkey AS BIGINT) AS dst
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) AS weight FROM pairs
+)
+""".strip()
