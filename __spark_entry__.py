@@ -3,8 +3,22 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Graph queries run over two graphs derived from the testdata parquet
+(centrality_gpu_spark/sources/testdata_graphs.py):
+
+- events graph: bipartite user↔event_type (actor→object adjacency —
+  the testdata analog of the transcripts' conv↔tool edges);
+- copurchase graph: parts co-occurring in an order (triangle-rich).
+
+Both are defined twice — DataFrame ops and a DuckDB CTE named
+``edges`` — in the same module, to keep Spark and oracle in lockstep.
+
+Non-SQL-expressible ops (betweenness, closeness, LPA — iterative
+fixpoints DuckDB 1.0's recursive CTEs can't aggregate inside) have no
+oracle entry → driver records the weaker rows-only check; they are
+instead verified against networkx goldens in tests/ (pytest).
 """
 
 from __future__ import annotations
@@ -12,27 +26,162 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.operators.components import connected_components
+from centrality_gpu_spark.operators.labelprop import label_propagation
+from centrality_gpu_spark.operators.pagerank import pagerank, pagerank_oracle_sql
+from centrality_gpu_spark.operators.betweenness import betweenness_broadcast
+from centrality_gpu_spark.operators.closeness import closeness_broadcast
+from centrality_gpu_spark.operators.bfs import multi_source_bfs
+from centrality_gpu_spark.operators.triangles import (
+    TRIANGLE_COUNT_SQL,
+    triangle_count,
+    triangles_per_vertex,
+)
+from centrality_gpu_spark.sources.testdata_graphs import (
+    COPURCHASE_EDGES_CTE,
+    EVENTS_EDGES_CTE,
+    copurchase_graph,
+    events_graph,
+)
+
+PR_ITERS = 5
+PR_ROUND = 8
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the events graph at sf0.001."""
+    g = events_graph(spark, "/root/testdata/sf0.001")
+    return pagerank(g, fixed_iterations=10, mode="csr")
+
+
+# --------------------------------------------------------------- queries
+
+def _q_edges_events(spark: SparkSession, sf: str) -> DataFrame:
+    return events_graph(spark, sf).edges.select("src", "dst", "weight")
+
+
+def _q_edges_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    return copurchase_graph(spark, sf).edges.select("src", "dst", "weight")
+
+
+def _q_degrees_events(spark: SparkSession, sf: str) -> DataFrame:
+    return events_graph(spark, sf).degrees()
+
+
+def _q_degree_hist_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    return copurchase_graph(spark, sf).degree_histogram()
+
+
+def _q_components_events(spark: SparkSession, sf: str) -> DataFrame:
+    return connected_components(events_graph(spark, sf))
+
+
+def _q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
+    pr = pagerank(events_graph(spark, sf), fixed_iterations=PR_ITERS, mode="csr")
+    return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
+
+
+def _q_pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    pr = pagerank(copurchase_graph(spark, sf), fixed_iterations=PR_ITERS, mode="sql")
+    return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
+
+
+def _q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    return triangle_count(copurchase_graph(spark, sf))
+
+
+def _q_triangles_per_vertex_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    return triangles_per_vertex(copurchase_graph(spark, sf))
+
+
+def _q_sssp_events(spark: SparkSession, sf: str) -> DataFrame:
+    g = events_graph(spark, sf)
+    source = g.edges.agg(F.min("src")).collect()[0][0]
+    src_df = spark.createDataFrame([(int(source),)], "source long")
+    res = multi_source_bfs(g, src_df)
+    return res.visited.select("vertex", F.col("dist").cast("long").alias("dist"))
+
+
+def _q_lpa_events(spark: SparkSession, sf: str) -> DataFrame:
+    return label_propagation(events_graph(spark, sf))
+
+
+def _q_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
+    bc = betweenness_broadcast(events_graph(spark, sf))
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_closeness_events(spark: SparkSession, sf: str) -> DataFrame:
+    c = closeness_broadcast(events_graph(spark, sf))
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edges_events": _q_edges_events,
+        "edges_copurchase": _q_edges_copurchase,
+        "degrees_events": _q_degrees_events,
+        "degree_hist_copurchase": _q_degree_hist_copurchase,
+        "components_events": _q_components_events,
+        "pagerank_events": _q_pagerank_events,
+        "pagerank_copurchase": _q_pagerank_copurchase,
+        "triangle_count_copurchase": _q_triangle_count_copurchase,
+        "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
+        "sssp_events": _q_sssp_events,
+        # rows-only (no SQL oracle; verified vs networkx in pytest):
+        "lpa_events": _q_lpa_events,
+        "betweenness_events": _q_betweenness_events,
+        "closeness_events": _q_closeness_events,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edges_events": f"WITH {EVENTS_EDGES_CTE}\n"
+        "SELECT src, dst, weight FROM edges ORDER BY src, dst",
+        "edges_copurchase": f"WITH {COPURCHASE_EDGES_CTE}\n"
+        "SELECT src, dst, weight FROM edges ORDER BY src, dst",
+        "degrees_events": f"WITH {EVENTS_EDGES_CTE}\n"
+        "SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src ORDER BY id",
+        "degree_hist_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)\n"
+        "SELECT degree, COUNT(*) AS cnt FROM deg GROUP BY degree ORDER BY degree",
+        "components_events": f"WITH RECURSIVE {EVENTS_EDGES_CTE},\n"
+        "verts AS (SELECT DISTINCT src AS id FROM edges),\n"
+        "reach(id, l) AS (\n"
+        "  SELECT id, id FROM verts\n"
+        "  UNION\n"
+        "  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id\n"
+        ")\n"
+        "SELECT id, MIN(l) AS component FROM reach GROUP BY id ORDER BY id",
+        "pagerank_events": pagerank_oracle_sql(
+            EVENTS_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
+        ),
+        "pagerank_copurchase": pagerank_oracle_sql(
+            COPURCHASE_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
+        ),
+        "triangle_count_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
+        f"{TRIANGLE_COUNT_SQL}\n"
+        "SELECT COUNT(*) AS n_triangles FROM tri",
+        "triangles_per_vertex_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
+        f"{TRIANGLE_COUNT_SQL},\n"
+        "roles AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri"
+        " UNION ALL SELECT c FROM tri),\n"
+        "cnt AS (SELECT id, COUNT(*) AS n_tri FROM roles GROUP BY id),\n"
+        "verts AS (SELECT DISTINCT src AS id FROM edges)\n"
+        "SELECT v.id, COALESCE(c.n_tri, 0) AS n_tri\n"
+        "FROM verts v LEFT JOIN cnt c ON v.id = c.id ORDER BY v.id",
+        "sssp_events": f"WITH RECURSIVE {EVENTS_EDGES_CTE},\n"
+        "walk(vertex, dist) AS (\n"
+        "  SELECT (SELECT MIN(src) FROM edges), 0\n"
+        "  UNION\n"
+        "  SELECT e.dst, w.dist + 1 FROM walk w JOIN edges e ON e.src = w.vertex\n"
+        "  WHERE w.dist < 24\n"
+        ")\n"
+        "SELECT vertex, CAST(MIN(dist) AS BIGINT) AS dist\n"
+        "FROM walk GROUP BY vertex ORDER BY vertex",
+    }

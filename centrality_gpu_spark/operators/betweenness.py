@@ -1,0 +1,298 @@
+"""Exact Brandes betweenness centrality — the reference's flagship.
+
+Semantics (FIXTURES.md §4): ordered-pair counting — the reference
+accumulates dependencies from every source over both directions
+("To Match with baders results", ``modified_apsp.cpp:209``), equal to
+2 × networkx's unnormalized BC on undirected graphs. Optional ``reach``
+weighting (``kernels_free.cu:391,409,425``) makes per-component results
+compose, exactly as in the reference's BCC decomposition; the default
+reach = 0 everywhere degenerates to textbook Brandes, whose whole-graph
+result equals the reference's decomposed result (that equality is the
+*point* of its decomposition — SURVEY.md §7.7).
+
+Two physical strategies, mirroring the reference's own regime split:
+
+- ``betweenness_broadcast`` — the graph's CSR (numpy int64 arrays) is
+  broadcast to every task and sources are parallelized across tasks,
+  each running a per-level vectorized numpy Brandes and emitting a
+  partial BC vector; one final groupBy(vertex).sum. This is precisely
+  the reference's architecture (CSR copied to the GPU once, one source
+  per SM, atomicAdd into a shared bc vector,
+  ``kernels_free.cu:43-79,423-426``) and is the right plan whenever
+  V+E fit in executor memory — even at 100 TB of *transcripts*, the
+  derived conv/tool graph is typically orders smaller; per-partition
+  work is pure numpy, zero per-row Python.
+
+- ``betweenness_bsp`` — fully distributed frontier-join supersteps
+  (forward: operators/bfs.py; backward: per-level dependency joins,
+  A3/G15 ``kernels_free.cu:377-426``) for graphs too large to
+  broadcast. Sources processed in waves of ``batch_size``
+  (``arrangelevels.cpp:8`` batching).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.operators.bfs import multi_source_bfs
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+
+# --------------------------------------------------------------- numpy core
+
+def _flat_neighbors(indptr: np.ndarray, indices: np.ndarray, verts: np.ndarray):
+    """Vectorized CSR slice gather: all neighbors of ``verts``.
+
+    Returns (vrep, nbr): per-edge source vertex (repeated) and target.
+    """
+    starts = indptr[verts]
+    counts = indptr[verts + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=indices.dtype), np.empty(0, dtype=indices.dtype)
+    # flat positions: for each vert, the range [start, start+count)
+    offs = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    flat = np.arange(total, dtype=np.int64) + offs
+    return np.repeat(verts, counts), indices[flat]
+
+
+def brandes_kernel(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    sources: np.ndarray,
+    n: int,
+    reach: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per-level vectorized Brandes for a batch of sources → partial bc.
+
+    Forward = G13 (min-dist claim A2 + σ accumulation A1); backward =
+    G15 successor-form dependency accumulation, all per-level numpy
+    (np.add.at ≅ the kernels' atomicAdd).
+    """
+    if reach is None:
+        reach = np.zeros(n)
+    bc = np.zeros(n)
+    for s in sources:
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n)
+        dist[s] = 0
+        sigma[s] = 1.0
+        levels = [np.array([s], dtype=indices.dtype)]
+        d = 0
+        while levels[-1].size:
+            vrep, nbr = _flat_neighbors(indptr, indices, levels[-1])
+            undisc = nbr[dist[nbr] == -1]
+            dist[undisc] = d + 1
+            nxt_mask = dist[nbr] == d + 1
+            np.add.at(sigma, nbr[nxt_mask], sigma[vrep[nxt_mask]])
+            levels.append(np.unique(undisc))
+            d += 1
+        levels.pop()  # last level is empty
+        delta = np.zeros(n)
+        for lvl in range(len(levels) - 1, 0, -1):
+            vrep, nbr = _flat_neighbors(indptr, indices, levels[lvl - 1])
+            m = dist[nbr] == lvl
+            v, w = vrep[m], nbr[m]
+            np.add.at(delta, v, sigma[v] / sigma[w] * (reach[w] + 1.0 + delta[w]))
+        delta[s] = 0.0
+        bc += delta * (reach[s] + 1.0)
+    return bc
+
+
+# ------------------------------------------------------------ broadcast mode
+
+def graph_to_csr(graph: Graph):
+    """Collect the (symmetric) edge table into dense-relabel CSR arrays.
+
+    Returns (ids, indptr, indices): ids[i] = original vertex id of dense
+    id i. Only valid in the broadcast regime (graph fits driver memory).
+    """
+    pdf = graph.edges.select("src", "dst").toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    t = np.searchsorted(ids, dst)
+    n = len(ids)
+    order = np.lexsort((t, s))  # counting-sort CSR build (O2 analog)
+    s, t = s[order], t[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    indptr = np.cumsum(indptr)
+    return ids, indptr, t.astype(np.int64)
+
+
+def betweenness_broadcast(
+    graph: Graph,
+    sources: list[int] | None = None,
+    num_tasks: int | None = None,
+    reach: dict[int, float] | None = None,
+) -> DataFrame:
+    """(id, bc) — CSR broadcast to tasks, sources parallelized."""
+    spark = graph.spark
+    ids, indptr, indices = graph_to_csr(graph)
+    n = len(ids)
+    reach_vec = np.zeros(n)
+    if reach:
+        pos = {v: i for i, v in enumerate(ids.tolist())}
+        for v, r in reach.items():
+            reach_vec[pos[v]] = r
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, reach_vec))
+
+    if sources is None:
+        dense_sources = list(range(n))
+    else:
+        dense_sources = np.searchsorted(ids, np.array(sources)).tolist()
+    if num_tasks is None:
+        num_tasks = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            max(1, len(dense_sources)),
+        )
+    src_df = spark.createDataFrame(
+        [(int(s),) for s in dense_sources], "sid long"
+    ).repartition(num_tasks)
+
+    def run_batch(batches):
+        ids_, indptr_, indices_, reach_ = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            srcs = pdf["sid"].to_numpy()
+            bc = brandes_kernel(indptr_, indices_, srcs, len(ids_), reach_)
+            nz = np.nonzero(bc)[0]
+            yield pd.DataFrame({"id": ids_[nz], "bc_part": bc[nz]})
+
+    partials = src_df.mapInPandas(run_batch, "id long, bc_part double")
+    bc = partials.groupBy("id").agg(F.sum("bc_part").alias("bc"))
+    return (
+        graph.vertices()
+        .join(bc, "id", "left")
+        .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+    )
+
+
+# ------------------------------------------------------------------ BSP mode
+
+def _brandes_backward(
+    graph: Graph,
+    levels: list[DataFrame],
+    reach_df: DataFrame | None,
+    ckpt: CheckpointManager,
+) -> DataFrame:
+    """Reverse per-level dependency supersteps (A3/G15) for one wave.
+
+    Returns per-(source, vertex) delta union'd over levels; the caller
+    weights by reach(source)+1 and sums over sources.
+    """
+    edges = graph.edges.select("src", "dst")
+    zero = F.lit(0.0)
+    # delta for the deepest level is 0; walk upward accumulating
+    deltas: list[DataFrame] = [None] * len(levels)
+    deepest = len(levels) - 1
+    deltas[deepest] = levels[deepest].select(
+        "source", "vertex", "sigma", zero.alias("delta")
+    )
+    for lvl in range(deepest, 0, -1):
+        succ = deltas[lvl]
+        if reach_df is not None:
+            succ = succ.join(
+                reach_df.withColumnRenamed("id", "vertex"), "vertex", "left"
+            ).select(
+                "source", "vertex", "sigma",
+                "delta", F.coalesce("reach", zero).alias("reach"),
+            )
+        else:
+            succ = succ.select("source", "vertex", "sigma", "delta", zero.alias("reach"))
+        pred = levels[lvl - 1]
+        pairs = (
+            pred.select("source", F.col("vertex").alias("p"), F.col("sigma").alias("sigma_p"))
+            .join(edges, F.col("p") == edges.src)
+            .select("source", "p", "sigma_p", F.col("dst").alias("vertex"))
+            .join(
+                succ.select(
+                    "source", "vertex",
+                    F.col("sigma").alias("sigma_s"),
+                    F.col("delta").alias("delta_s"),
+                    F.col("reach").alias("reach_s"),
+                ),
+                ["source", "vertex"],
+            )
+        )
+        contrib = pairs.select(
+            "source",
+            F.col("p").alias("vertex"),
+            (
+                F.col("sigma_p") / F.col("sigma_s")
+                * (F.col("reach_s") + F.lit(1.0) + F.col("delta_s"))
+            ).alias("c"),
+        )
+        agg = contrib.groupBy("source", "vertex").agg(F.sum("c").alias("delta"))
+        deltas[lvl - 1] = ckpt.truncate(
+            levels[lvl - 1]
+            .join(agg, ["source", "vertex"], "left")
+            .select("source", "vertex", "sigma", F.coalesce("delta", zero).alias("delta"))
+        )
+    from centrality_gpu_spark.graph import union_all
+
+    return union_all([d.select("source", "vertex", "delta") for d in deltas])
+
+
+def betweenness_bsp(
+    graph: Graph,
+    batch_size: int = 2048,
+    sources: list[int] | None = None,
+    reach: dict[int, float] | None = None,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(id, bc) — fully distributed Brandes in source waves."""
+    spark = graph.spark
+    ckpt = checkpoint or CheckpointManager(spark)
+    if sources is None:
+        all_sources = [r.id for r in graph.vertices().collect()]
+    else:
+        all_sources = list(sources)
+    reach_df = None
+    if reach:
+        reach_df = spark.createDataFrame(
+            [(int(k), float(v)) for k, v in reach.items()], "id long, reach double"
+        )
+
+    partials: list[DataFrame] = []
+    for w0 in range(0, len(all_sources), batch_size):
+        wave = all_sources[w0 : w0 + batch_size]
+        src_df = spark.createDataFrame([(int(s),) for s in wave], "source long")
+        bfs = multi_source_bfs(graph, src_df, checkpoint=ckpt)
+        deltas = _brandes_backward(graph, bfs.levels, reach_df, ckpt)
+        deltas = deltas.where(F.col("vertex") != F.col("source"))
+        if reach_df is not None:
+            deltas = deltas.join(
+                reach_df.withColumnRenamed("id", "source"), "source", "left"
+            ).select(
+                "vertex",
+                (F.col("delta") * (F.coalesce("reach", F.lit(0.0)) + F.lit(1.0))).alias("wd"),
+            )
+        else:
+            deltas = deltas.select("vertex", F.col("delta").alias("wd"))
+        part = deltas.groupBy("vertex").agg(F.sum("wd").alias("bc_part"))
+        partials.append(ckpt.truncate(part))
+        ckpt.record(op="betweenness_bsp", wave=w0 // batch_size, sources=len(wave))
+
+    from centrality_gpu_spark.graph import union_all
+
+    bc = (
+        union_all(partials)
+        .groupBy(F.col("vertex").alias("id"))
+        .agg(F.sum("bc_part").alias("bc"))
+    )
+    return (
+        graph.vertices()
+        .join(bc, "id", "left")
+        .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+    )

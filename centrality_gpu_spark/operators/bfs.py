@@ -1,0 +1,99 @@
+"""Batched multi-source BFS as frontier-join supersteps (G13 semantics).
+
+The reference runs one BFS per GPU thread-block with a persistent
+kernel and an atomic source queue (``kernels_free.cu:154-473``); here a
+*batch* of sources advances together as one frontier DataFrame
+``(source, vertex, dist, sigma)`` — B sources per wave amortize each
+superstep's shuffle, the DataFrame analog of filling SMs
+(``arrangelevels.cpp:56-146`` level batching).
+
+Per superstep (all JVM-side):
+- expand:  frontier ⋈ edges on vertex=src        (J1, the SpMV gather)
+- dedup:   anti-join against the visited set      (U2, ≅ atomicCAS claim A2)
+- combine: groupBy(source, vertex) sum(sigma)     (A1, σ path counting)
+
+σ is float64: the reference's ull σ (``kernels.cuh:57``) only ever
+enters results as the ratio σw/σv in float math
+(``kernels_free.cu:391``), so float64 meets the 1e-6 bar without
+overflow on big graphs.
+
+The per-level frontier DataFrames are retained (reference keeps the
+stack S + level endpoints, ``kernels_free.cu:274-283``) — they are the
+reverse-order schedule for Brandes dependency accumulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+FRONTIER_COLS = ("source", "vertex", "dist", "sigma")
+
+
+@dataclass
+class BFSResult:
+    """visited: (source, vertex, dist, sigma) for every reached pair;
+    levels[d]: the frontier at distance d (same schema)."""
+
+    visited: DataFrame
+    levels: list[DataFrame]
+
+
+def multi_source_bfs(
+    graph: Graph,
+    sources: DataFrame,
+    max_depth: int | None = None,
+    checkpoint: CheckpointManager | None = None,
+) -> BFSResult:
+    """Level-synchronous BFS from every vertex in ``sources`` (col
+    ``source``) simultaneously. Unit edge weights (reference semantics:
+    all sample weights are 1, ``ReadMe:6-13``)."""
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    edges = graph.edges.select("src", "dst")
+
+    frontier = sources.select(
+        F.col("source").cast("long").alias("source"),
+        F.col("source").cast("long").alias("vertex"),
+        F.lit(0).alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    )
+    frontier = ckpt.truncate(frontier)
+    visited = frontier
+    levels = [frontier]
+    depth = 0
+    while max_depth is None or depth < max_depth:
+        depth += 1
+        cand = frontier.join(edges, frontier.vertex == edges.src).select(
+            "source", F.col("dst").alias("vertex"), "sigma"
+        )
+        cand = cand.join(
+            visited.select("source", "vertex"), ["source", "vertex"], "left_anti"
+        )
+        new_frontier = (
+            cand.groupBy("source", "vertex")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("source", "vertex", F.lit(depth).alias("dist"), "sigma")
+        )
+        new_frontier = ckpt.truncate(new_frontier)
+        n_new = new_frontier.count()
+        ckpt.record(op="bfs", depth=depth, frontier=n_new)
+        if n_new == 0:
+            break
+        visited = ckpt.truncate(
+            visited.unionByName(new_frontier.select(*FRONTIER_COLS))
+        )
+        frontier = new_frontier
+        levels.append(new_frontier)
+    return BFSResult(visited, levels)
+
+
+def sssp_distances(graph: Graph, source: int) -> DataFrame:
+    """Single-source unit-weight shortest-path distances: (vertex, dist)."""
+    src_df = graph.spark.createDataFrame([(int(source),)], "source long")
+    res = multi_source_bfs(graph, src_df)
+    return res.visited.select("vertex", "dist")

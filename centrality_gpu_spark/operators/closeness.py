@@ -1,0 +1,125 @@
+"""Closeness centrality from the same batched multi-source BFS as
+betweenness (SURVEY.md §2.10: "closeness via the same multi-source BFS
+machinery" — aggregate Σd per source instead of Brandes deltas).
+
+Output matches ``networkx.closeness_centrality`` (wf_improved=True):
+
+    C(u) = (r-1)/Σd · (r-1)/(n-1)
+
+where r = vertices reachable from u (incl. u). Also exposes raw
+farness Σd — the reference's A8-style per-source aggregate.
+
+Broadcast fast path reuses the BFS forward phase of the Brandes numpy
+kernel over the broadcast CSR.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.operators.betweenness import _flat_neighbors, graph_to_csr
+from centrality_gpu_spark.operators.bfs import multi_source_bfs
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+
+def _closeness_from_farness(farness: DataFrame, n: int) -> DataFrame:
+    """(source, farness, reachable) → (id, closeness)."""
+    r1 = F.col("reachable") - F.lit(1)
+    c = F.when(
+        (F.col("farness") > 0) & (r1 > 0),
+        (r1 / F.col("farness")) * (r1 / F.lit(float(max(n - 1, 1)))),
+    ).otherwise(F.lit(0.0))
+    return farness.select(F.col("source").alias("id"), c.alias("closeness"))
+
+
+def closeness_bsp(
+    graph: Graph,
+    batch_size: int = 2048,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(id, closeness) via distributed frontier-join BFS waves."""
+    spark = graph.spark
+    ckpt = checkpoint or CheckpointManager(spark)
+    n = graph.num_vertices()
+    all_sources = [r.id for r in graph.vertices().collect()]
+    parts: list[DataFrame] = []
+    for w0 in range(0, len(all_sources), batch_size):
+        wave = all_sources[w0 : w0 + batch_size]
+        src_df = spark.createDataFrame([(int(s),) for s in wave], "source long")
+        bfs = multi_source_bfs(graph, src_df, checkpoint=ckpt)
+        far = bfs.visited.groupBy("source").agg(
+            F.sum("dist").alias("farness"), F.count("*").alias("reachable")
+        )
+        parts.append(ckpt.truncate(far))
+    from centrality_gpu_spark.graph import union_all
+
+    return _closeness_from_farness(union_all(parts), n)
+
+
+def closeness_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:
+    """(id, closeness) — broadcast-CSR fast path, BFS-forward only."""
+    spark = graph.spark
+    ids, indptr, indices = graph_to_csr(graph)
+    n = len(ids)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices))
+    if num_tasks is None:
+        num_tasks = min(int(spark.conf.get("spark.sql.shuffle.partitions")), max(1, n))
+    src_df = spark.createDataFrame([(int(i),) for i in range(n)], "sid long").repartition(
+        num_tasks
+    )
+
+    def run_batch(batches):
+        ids_, indptr_, indices_ = bcast.value
+        n_ = len(ids_)
+        for pdf in batches:
+            out_id, out_far, out_reach = [], [], []
+            for s in pdf["sid"].to_numpy():
+                dist = np.full(n_, -1, dtype=np.int64)
+                dist[s] = 0
+                frontier = np.array([s], dtype=indices_.dtype)
+                d = 0
+                while frontier.size:
+                    _, nbr = _flat_neighbors(indptr_, indices_, frontier)
+                    undisc = np.unique(nbr[dist[nbr] == -1])
+                    dist[undisc] = d + 1
+                    frontier = undisc
+                    d += 1
+                reached = dist >= 0
+                out_id.append(ids_[s])
+                out_far.append(int(dist[reached].sum()))
+                out_reach.append(int(reached.sum()))
+            yield pd.DataFrame(
+                {"source": out_id, "farness": out_far, "reachable": out_reach}
+            )
+
+    far = src_df.mapInPandas(run_batch, "source long, farness long, reachable long")
+    return _closeness_from_farness(far, n)
+
+
+def farness(graph: Graph, batch_size: int = 2048) -> DataFrame:
+    """(id, farness, reachable) — the raw per-source Σdist aggregate."""
+    spark = graph.spark
+    all_sources = [r.id for r in graph.vertices().collect()]
+    ckpt = CheckpointManager(spark)
+    parts = []
+    for w0 in range(0, len(all_sources), batch_size):
+        wave = all_sources[w0 : w0 + batch_size]
+        src_df = spark.createDataFrame([(int(s),) for s in wave], "source long")
+        bfs = multi_source_bfs(graph, src_df, checkpoint=ckpt)
+        parts.append(
+            ckpt.truncate(
+                bfs.visited.groupBy("source").agg(
+                    F.sum("dist").alias("farness"), F.count("*").alias("reachable")
+                )
+            )
+        )
+    from centrality_gpu_spark.graph import union_all
+
+    return union_all(parts).select(
+        F.col("source").alias("id"), "farness", "reachable"
+    )

@@ -1,0 +1,68 @@
+"""Label propagation (community detection) — deterministic variant.
+
+Synchronous LPA: every vertex adopts the most frequent label among its
+neighbors *plus its own current label* (the self-vote damps the 2-cycle
+oscillation synchronous LPA exhibits on bipartite structures); ties
+break to the smallest label. Deterministic by construction — required
+for exact-match testing (SURVEY.md §5, FIXTURES.md §5; networkx's LPA
+is randomized so the oracle is a small numpy re-implementation in
+tests).
+
+Superstep = one join + one count aggregation + one ``max_by`` pick:
+the vote count shuffles O(Σ deg distinct labels) rows; ``max_by`` over
+a (count, -label) struct is the deterministic argmax, all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+
+def label_propagation(
+    graph: Graph,
+    max_iterations: int = 20,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Return (id, label) after convergence or ``max_iterations``."""
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    edges = graph.edges.select("src", "dst")
+
+    name = "labelprop"
+    start_iter = 0
+    resumed = ckpt.latest_epoch(name)
+    if resumed is not None:
+        start_iter, labels, _ = resumed
+        start_iter += 1
+    else:
+        labels = graph.vertices().select("id", F.col("id").alias("label"))
+        labels = ckpt.truncate(labels)
+
+    for it in range(start_iter, max_iterations):
+        neighbor_votes = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        votes = neighbor_votes.unionByName(labels.select("id", "label"))
+        counts = votes.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        new_labels = counts.groupBy("id").agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+            ).alias("label")
+        )
+        new_labels = ckpt.truncate(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        ckpt.record(op=name, iteration=it, changed=changed)
+        labels = new_labels
+        if ckpt.should_save(it):
+            ckpt.save_epoch(labels, name, it)
+        if changed == 0:
+            break
+    return labels

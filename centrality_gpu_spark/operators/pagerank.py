@@ -1,0 +1,153 @@
+"""PageRank over the symmetrized edge table.
+
+r'(v) = (1-α)/N + α · Σ_{(u,v)∈E} r(u)/deg(u)
+
+Two physical modes sharing one logical plan:
+
+- ``mode="csr"`` (default): the blocked-CSR SpMV primitive
+  (operators/superstep.py) — per-iteration shuffle is O(V), edges stay
+  cached in their buckets; hub skew salted. The scale path.
+- ``mode="sql"``: plain DataFrame join+agg (Catalyst/Tungsten end to
+  end). Used to cross-check the CSR kernel and for small graphs where
+  JVM whole-stage codegen beats the Arrow round-trip.
+
+Convergence: ‖Δ‖∞ < tol (the north rule's 1e-6 bar), or exactly
+``fixed_iterations`` when the run must be bit-reproducible against the
+DuckDB oracle (which unrolls the same recurrence as nested CTEs —
+``pagerank_oracle_sql``).
+
+Every vertex of the symmetrized graph has degree ≥ 1, so there are no
+dangling vertices; the affine term handles rank conservation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.operators.superstep import BlockedEdges, block_edges, spmv, spmv_sql
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+
+def pagerank(
+    graph: Graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    fixed_iterations: int | None = None,
+    mode: str = "csr",
+    checkpoint: CheckpointManager | None = None,
+    blocked: BlockedEdges | None = None,
+) -> DataFrame:
+    """Return (id:long, rank:double)."""
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    # loop-invariant inputs: materialize once, not per iteration
+    verts = ckpt.truncate(graph.vertices())
+    n = verts.count()
+    graph._n = n
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    deg = ckpt.truncate(graph.degrees())
+
+    own_blocked = False
+    if mode == "csr" and blocked is None:
+        blocked = block_edges(graph)
+        own_blocked = True
+
+    name = "pagerank"
+    start_iter = 0
+    resumed = ckpt.latest_epoch(name)
+    if resumed is not None:
+        start_iter, ranks, _meta = resumed
+        start_iter += 1
+    else:
+        ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+        ranks = ckpt.truncate(ranks)
+
+    base = (1.0 - alpha) / n
+    n_iter = fixed_iterations if fixed_iterations is not None else max_iterations
+
+    import time
+
+    for it in range(start_iter, n_iter):
+        t0 = time.time()
+        # val(u) = r(u)/deg(u); weight is ignored for PageRank (all 1)
+        vals = ranks.join(deg, "id").select(
+            "id", (F.col("rank") / F.col("degree")).alias("val")
+        )
+        if mode == "csr":
+            msgs = spmv(blocked, vals, weighted=False)
+        else:
+            msgs = spmv_sql(graph, vals, weighted=False)
+        new_ranks = (
+            verts.join(msgs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(alpha) * F.coalesce("msg", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        new_ranks = ckpt.truncate(new_ranks)
+
+        if fixed_iterations is None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        else:
+            delta = None
+        ckpt.record(op=name, iteration=it, delta=delta, secs=time.time() - t0)
+        ranks = new_ranks
+        if ckpt.should_save(it):
+            ckpt.save_epoch(ranks, name, it)
+        if delta is not None and delta < tol:
+            break
+
+    if own_blocked:
+        blocked.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, alpha: float = 0.85, iterations: int = 5, round_digits: int = 8
+) -> str:
+    """DuckDB SQL computing the *identical* fixed-iteration recurrence by
+    unrolling (recursive CTEs can't aggregate per step in DuckDB 1.0).
+
+    ``edges_cte`` must define a CTE named ``edges(src,dst,weight)``
+    holding both directions. Output: (id, rank) rounded — the Spark side
+    rounds identically so the driver's value-hash comparison is stable.
+    """
+    parts = [
+        edges_cte,
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)",
+        "verts AS (SELECT id FROM deg)",
+        "nv AS (SELECT COUNT(*) AS n FROM verts)",
+        "pr0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS id, SUM(p.rank / d.degree) AS msg
+  FROM edges e
+  JOIN pr{k} p ON e.src = p.id
+  JOIN deg d ON e.src = d.id
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""pr{k + 1} AS (
+  SELECT v.id,
+         (1.0 - {alpha})/(SELECT n FROM nv) + {alpha} * COALESCE(c.msg, 0.0) AS rank
+  FROM verts v LEFT JOIN c{k} c ON v.id = c.id
+)"""
+        )
+    final = (
+        f"SELECT id, ROUND(rank, {round_digits}) AS rank "
+        f"FROM pr{iterations} ORDER BY id"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

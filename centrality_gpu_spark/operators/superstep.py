@@ -1,0 +1,184 @@
+"""The SpMV superstep primitive: partition-local CSR gather-scatter.
+
+This is the engine's physical core (SURVEY.md §2.10 G13, §7 step 2) —
+the Spark re-expression of the reference's CSR kernels: counting-sort
+CSR build (``graph_ear_decompos.h:36-101``), edge-parallel gather
+(``kernels_free.cu:288-336``) and atomic scatter-add
+(``kernels_free.cu:301-304``).
+
+Physical design, and why it scales:
+
+- Edges are hash-partitioned ONCE into ``n_blocks`` buckets by ``src``
+  and cached (``block_edges``). ``n_blocks`` equals
+  ``spark.sql.shuffle.partitions`` so the cogroup below reuses the
+  cached partitioning (exchange elimination) instead of reshuffling
+  the edge table every superstep — the per-iteration shuffle volume is
+  O(V) (the value vector + partial sums), never O(E).
+- Each superstep cogroups the edge blocks with the co-partitioned
+  value vector and runs a vectorized numpy kernel per block
+  (``applyInPandas`` over cogrouped data — Arrow batches, no per-row
+  Python): gather ``val[src]``, multiply per-edge, partial-aggregate
+  by ``dst`` with ``np.bincount``. The partial aggregate is the
+  map-side combine — the analog of the reference's intra-block atomics
+  before the cross-block atomicAdd — so the final shuffle carries at
+  most |distinct dst per block| rows.
+- **Hub skew (power-law)**: a vertex with degree ≫ average would put
+  all its edges in one bucket. Vertices above ``hub_threshold`` get
+  their edges *salted* across buckets by ``hash(src,dst)`` and their
+  value rows replicated to every bucket (hubs are few by definition,
+  so replication is ≤ |hubs|·n_blocks rows ≈ broadcast-sized). This is
+  explicit salting on top of AQE skew-join handling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+
+
+@dataclass
+class BlockedEdges:
+    """Edges hash-bucketed by src (salted for hubs), cached.
+
+    ``edges`` has columns (block:int, src, dst, weight, src_degree).
+    ``hubs`` is a small DF (id) of salted high-degree vertices.
+    """
+
+    edges: DataFrame
+    hubs: DataFrame
+    n_blocks: int
+
+    def unpersist(self) -> None:
+        self.edges.unpersist()
+
+
+def block_edges(
+    graph: Graph,
+    n_blocks: int | None = None,
+    hub_threshold: int | None = None,
+) -> BlockedEdges:
+    """Bucket + cache the edge table for repeated supersteps."""
+    spark = graph.spark
+    if n_blocks is None:
+        n_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if hub_threshold is None:
+        # a vertex is a hub if its edges alone would fill ~1/4 of a block
+        hub_threshold = 10_000
+
+    deg = graph.degrees().select(
+        F.col("id").alias("src"), F.col("degree").alias("src_degree")
+    )
+    e = graph.edges.join(deg, "src")
+    is_hub = F.col("src_degree") > hub_threshold
+    block = F.when(
+        is_hub, F.pmod(F.xxhash64("src", "dst"), F.lit(n_blocks))
+    ).otherwise(F.pmod(F.xxhash64("src"), F.lit(n_blocks))).cast("int")
+    blocked = (
+        e.select(block.alias("block"), "src", "dst", "weight", "src_degree")
+        .repartition(n_blocks, "block")
+        .persist()
+    )
+    hubs = (
+        blocked.where(F.col("src_degree") > hub_threshold)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .persist()
+    )
+    blocked.count()  # materialize cache
+    return BlockedEdges(blocked, hubs, n_blocks)
+
+
+def _route_values(blocked: BlockedEdges, values: DataFrame) -> DataFrame:
+    """Co-partition the value vector with the edge buckets.
+
+    Normal vertices go to their single bucket; hub vertices are
+    replicated to all buckets (their edges are salted everywhere).
+    """
+    nb = blocked.n_blocks
+    normal = values.join(blocked.hubs, "id", "left_anti").select(
+        F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int").alias("block"),
+        "id",
+        "val",
+    )
+    all_blocks = blocked.edges.sparkSession.range(nb).select(
+        F.col("id").cast("int").alias("block")
+    )
+    hub_vals = (
+        values.join(blocked.hubs, "id").crossJoin(F.broadcast(all_blocks))
+        .select("block", "id", "val")
+    )
+    return normal.unionByName(hub_vals)
+
+
+def _spmv_kernel(key, edge_pdf: pd.DataFrame, val_pdf: pd.DataFrame,
+                 weighted: bool = True) -> pd.DataFrame:
+    """Per-block CSR gather-scatter in numpy (runs inside Arrow batches).
+
+    gather: msg[e] = val[src[e]] * weight[e]   (weight ≡ 1 if unweighted)
+    partial scatter-add by dst (map-side combine): np.bincount.
+    """
+    import numpy as np
+
+    if len(edge_pdf) == 0 or len(val_pdf) == 0:
+        return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                             "partial": pd.Series([], dtype="float64")})
+    src = edge_pdf["src"].to_numpy()
+    dst = edge_pdf["dst"].to_numpy()
+    w = edge_pdf["weight"].to_numpy() if weighted else 1.0
+    vid = val_pdf["id"].to_numpy()
+    vval = val_pdf["val"].to_numpy(dtype="float64")
+
+    # CSR-style gather: position of each edge's src in the value vector.
+    order = np.argsort(vid, kind="stable")
+    vid_sorted, vval_sorted = vid[order], vval[order]
+    pos = np.searchsorted(vid_sorted, src)
+    # guard: srcs without a value row contribute 0 (e.g. inactive frontier)
+    valid = (pos < len(vid_sorted)) & (vid_sorted[np.minimum(pos, len(vid_sorted) - 1)] == src)
+    msg = np.where(valid, vval_sorted[np.minimum(pos, len(vid_sorted) - 1)], 0.0) * w
+
+    # partial aggregate by dst — the map-side combine
+    dst_u, inv = np.unique(dst, return_inverse=True)
+    partial = np.bincount(inv, weights=msg, minlength=len(dst_u))
+    out = pd.DataFrame({"id": dst_u, "partial": partial})
+    return out[out["partial"] != 0.0]
+
+
+def spmv(blocked: BlockedEdges, values: DataFrame, weighted: bool = True) -> DataFrame:
+    """y = Aᵀ·x over the blocked edge table.
+
+    ``values``: DF (id:long, val:double). Returns (id:long, msg:double)
+    where msg(v) = Σ_{(u,v)∈E} val(u)·weight(u,v) (weight ≡ 1 when
+    ``weighted=False``, e.g. PageRank). Vertices receiving nothing are
+    absent (caller joins/coalesces as needed).
+    """
+    routed = _route_values(blocked, values)
+
+    def kernel(key, edge_pdf, val_pdf):
+        return _spmv_kernel(key, edge_pdf, val_pdf, weighted=weighted)
+
+    partials = (
+        blocked.edges.groupBy("block")
+        .cogroup(routed.groupBy("block"))
+        .applyInPandas(kernel, "id long, partial double")
+    )
+    return partials.groupBy("id").agg(F.sum("partial").alias("msg"))
+
+
+def spmv_sql(graph: Graph, values: DataFrame, weighted: bool = True) -> DataFrame:
+    """Reference SQL-mode SpMV (pure DataFrame join+agg) for testing the
+    CSR path against — Catalyst/Tungsten, no Python. Same contract."""
+    e = graph.edges
+    w = F.col("weight") if weighted else F.lit(1.0)
+    return (
+        e.join(values, e.src == values.id)
+        .select("dst", (F.col("val") * w).alias("m"))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("m").alias("msg"))
+    )

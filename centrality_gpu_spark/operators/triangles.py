@@ -1,0 +1,93 @@
+"""Triangle counting via degree-ordered orientation + wedge join.
+
+The reference's membership-test primitive (J6: find slot of edge (v,u)
+in CSR, ``bcc_bfs.cpp:391-415``) is the semi-join at the heart of
+triangle counting; the algorithm itself is one the reference lacks but
+the north rule requires.
+
+Scale design: edges are oriented from the (degree, id)-smaller endpoint
+to the larger ("compact-forward" order). This bounds the wedge
+intermediate at O(m^{3/2}) regardless of hub degree — orienting by raw
+id would explode wedges at power-law hubs (a degree-10⁶ hub would emit
+10¹² wedges; degree-ordering caps its out-degree at ~√m). The closing
+edge check is an equi-join against the oriented edge set, broadcast
+when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+
+
+def oriented_edges(graph: Graph) -> DataFrame:
+    """Each undirected edge once, directed by (degree, id) order."""
+    deg = graph.degrees()
+    e = (
+        graph.edges.select("src", "dst")
+        .join(deg.select(F.col("id").alias("src"), F.col("degree").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("dd")), "dst")
+    )
+    keep = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    return e.where(keep).select("src", "dst")
+
+
+def triangles(graph: Graph) -> DataFrame:
+    """All triangles as (a, b, c) in orientation order (each exactly once)."""
+    oe = oriented_edges(graph)
+    e1 = oe.alias("e1")
+    e2 = oe.alias("e2")
+    e3 = oe.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+    )
+    return wedges.join(
+        e3, (F.col("a") == F.col("e3.src")) & (F.col("c") == F.col("e3.dst"))
+    ).select("a", "b", "c")
+
+
+def triangle_count(graph: Graph) -> DataFrame:
+    """Single row (n_triangles:long)."""
+    return triangles(graph).agg(F.count("*").alias("n_triangles"))
+
+
+def triangles_per_vertex(graph: Graph) -> DataFrame:
+    """(id, n_tri) — triangles incident to each vertex; vertices in no
+    triangle are included with 0 (matches ``nx.triangles``)."""
+    t = triangles(graph)
+    roles = (
+        t.select(F.col("a").alias("id"))
+        .unionAll(t.select(F.col("b").alias("id")))
+        .unionAll(t.select(F.col("c").alias("id")))
+    )
+    cnt = roles.groupBy("id").agg(F.count("*").alias("n_tri"))
+    return (
+        graph.vertices()
+        .join(cnt, "id", "left")
+        .select("id", F.coalesce("n_tri", F.lit(0)).alias("n_tri"))
+    )
+
+
+# DuckDB oracle fragment: same orientation + wedge-close, over a CTE
+# named `edges(src,dst,weight)` with both directions present.
+TRIANGLE_COUNT_SQL = """
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src),
+oe AS (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN deg ds ON e.src = ds.id
+  JOIN deg dd ON e.dst = dd.id
+  WHERE (ds.degree < dd.degree)
+     OR (ds.degree = dd.degree AND e.src < e.dst)
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oe e1
+  JOIN oe e2 ON e1.dst = e2.src
+  JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+""".strip()

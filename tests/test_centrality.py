@@ -1,0 +1,108 @@
+"""BFS, betweenness (both physical modes), and closeness vs networkx.
+
+Golden semantics (FIXTURES.md §4): reference BC = ordered-pair counting
+= 2× nx unnormalized; closeness = nx (wf_improved).
+"""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.operators.betweenness import (
+    betweenness_broadcast,
+    betweenness_bsp,
+    brandes_kernel,
+    graph_to_csr,
+)
+from centrality_gpu_spark.operators.bfs import multi_source_bfs, sssp_distances
+from centrality_gpu_spark.operators.closeness import closeness_broadcast, closeness_bsp
+from centrality_gpu_spark.sources.edgelist import read_edge_list_local
+
+from tests.conftest import SAMPLE_DIR, sample_nx
+
+
+def golden_bc(nxg):
+    return {k: 2.0 * v for k, v in
+            nx.betweenness_centrality(nxg, normalized=False).items()}
+
+
+def test_bfs_distances_and_sigma(spark, sample_name):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    nxg = sample_nx(sample_name)
+    srcs = sorted(nxg.nodes())[:3]
+    res = multi_source_bfs(
+        g, spark.createDataFrame([(int(s),) for s in srcs], "source long")
+    )
+    rows = res.visited.collect()
+    got_d = {(r.source, r.vertex): r.dist for r in rows}
+    got_s = {(r.source, r.vertex): r.sigma for r in rows}
+    for s in srcs:
+        dist = nx.single_source_shortest_path_length(nxg, s)
+        # sigma: number of shortest paths
+        sigma = {v: 0 for v in nxg.nodes()}
+        sigma[s] = 1
+        for v in sorted(dist, key=dist.get):
+            for u in nxg.neighbors(v):
+                if dist.get(u, -1) == dist[v] + 1:
+                    sigma[u] += sigma[v]
+        for v, d in dist.items():
+            assert got_d[(s, v)] == d
+            assert got_s[(s, v)] == pytest.approx(sigma[v])
+
+
+def test_brandes_kernel_numpy(spark, sample_name):
+    """The numpy kernel alone (no Spark) vs the golden values."""
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    ids, indptr, indices = graph_to_csr(g)
+    bc = brandes_kernel(indptr, indices, np.arange(len(ids)), len(ids))
+    exp = golden_bc(sample_nx(sample_name))
+    for i, v in enumerate(ids.tolist()):
+        assert bc[i] == pytest.approx(exp[v], abs=1e-6)
+
+
+@pytest.mark.parametrize("impl", [betweenness_broadcast, betweenness_bsp])
+def test_betweenness_samples(spark, sample_name, impl):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    got = {r.id: r.bc for r in impl(g).collect()}
+    exp = golden_bc(sample_nx(sample_name))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-6), k
+
+
+def test_betweenness_bsp_small_batches(spark):
+    """Waves of 4 sources must sum to the same result as one wave."""
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test2.txt")
+    got = {r.id: r.bc for r in betweenness_bsp(g, batch_size=4).collect()}
+    exp = golden_bc(sample_nx("test2"))
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-6), k
+
+
+def test_betweenness_disconnected(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_undirected_edges(df)
+    nxg = nx.Graph(edges)
+    got = {r.id: r.bc for r in betweenness_broadcast(g).collect()}
+    exp = golden_bc(nxg)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-6)
+
+
+@pytest.mark.parametrize("impl", [closeness_broadcast, closeness_bsp])
+def test_closeness_samples(spark, sample_name, impl):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    nxg = sample_nx(sample_name)
+    got = {r.id: r.closeness for r in impl(g).collect()}
+    exp = nx.closeness_centrality(nxg)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-6), k
+
+
+def test_sssp(spark):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test4.txt")
+    nxg = sample_nx("test4")
+    got = {r.vertex: r.dist for r in sssp_distances(g, 0).collect()}
+    assert got == nx.single_source_shortest_path_length(nxg, 0)

@@ -1,0 +1,83 @@
+"""PageRank: CSR mode vs SQL mode vs a numpy reference (networkx's
+pagerank needs scipy, which isn't in the container — the 15-line power
+iteration below is the oracle)."""
+
+import numpy as np
+import pytest
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.operators.pagerank import pagerank
+from centrality_gpu_spark.operators.superstep import block_edges
+from centrality_gpu_spark.sources.edgelist import read_edge_list_local
+from centrality_gpu_spark.sources.testdata_graphs import events_graph
+
+from tests.conftest import SAMPLE_DIR, SF_SMALL, read_sample_edges
+
+
+def np_pagerank(edges, alpha=0.85, tol=1e-6, iters=200, fixed=None):
+    """Power iteration on the symmetrized graph; ids may be sparse."""
+    ids = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    sym = {(idx[u], idx[v]) for u, v in edges if u != v}
+    sym |= {(b, a) for a, b in sym}
+    src = np.array([a for a, _ in sym])
+    dst = np.array([b for _, b in sym])
+    deg = np.bincount(src, minlength=n).astype(float)
+    r = np.full(n, 1.0 / n)
+    for it in range(iters if fixed is None else fixed):
+        contrib = r[src] / deg[src]
+        msg = np.bincount(dst, weights=contrib, minlength=n)
+        r_new = (1 - alpha) / n + alpha * msg
+        if fixed is None and np.max(np.abs(r_new - r)) < tol:
+            r = r_new
+            break
+        r = r_new
+    return {v: r[idx[v]] for v in ids}
+
+
+@pytest.mark.parametrize("mode", ["sql", "csr"])
+def test_pagerank_samples_fixed(spark, sample_name, mode):
+    """Fixed-iteration recurrence vs numpy — exact same formula, no
+    convergence actions (fast)."""
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    got = {r.id: r["rank"] for r in pagerank(g, mode=mode, fixed_iterations=20).collect()}
+    exp = np_pagerank(read_sample_edges(sample_name), fixed=20)
+    assert set(got) == set(exp)
+    assert np.allclose(
+        [got[k] for k in sorted(got)], [exp[k] for k in sorted(exp)],
+        atol=1e-12, rtol=1e-12,
+    )
+
+
+def test_pagerank_convergence(spark):
+    """‖Δ‖∞ < 1e-6 convergence mode vs numpy converged to the same bar."""
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test1.txt")
+    got = {r.id: r["rank"] for r in pagerank(g, mode="sql", tol=1e-6).collect()}
+    exp = np_pagerank(read_sample_edges("test1"), tol=1e-6)
+    assert np.allclose(
+        [got[k] for k in sorted(got)], [exp[k] for k in sorted(exp)],
+        atol=1e-5, rtol=1e-5,
+    )
+
+
+def test_pagerank_modes_agree_events(spark):
+    g = events_graph(spark, SF_SMALL).persist()
+    a = {r.id: r["rank"] for r in pagerank(g, mode="sql", fixed_iterations=5).collect()}
+    b = {r.id: r["rank"] for r in pagerank(g, mode="csr", fixed_iterations=5).collect()}
+    assert set(a) == set(b)
+    assert np.allclose([a[k] for k in sorted(a)], [b[k] for k in sorted(b)], atol=1e-12)
+    g.unpersist()
+
+
+def test_pagerank_csr_with_forced_salting(spark):
+    """hub_threshold=2 forces nearly every vertex down the salted path —
+    result must be identical to the unsalted SQL mode."""
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test4.txt")
+    blocked = block_edges(g, hub_threshold=2)
+    assert blocked.hubs.count() > 0
+    a = {r.id: r["rank"] for r in
+         pagerank(g, mode="csr", fixed_iterations=4, blocked=blocked).collect()}
+    b = {r.id: r["rank"] for r in pagerank(g, mode="sql", fixed_iterations=4).collect()}
+    assert np.allclose([a[k] for k in sorted(a)], [b[k] for k in sorted(b)], atol=1e-12)
+    blocked.unpersist()
