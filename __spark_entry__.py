@@ -39,6 +39,28 @@ from centrality_gpu_spark.operators.triangles import (
     triangle_count,
     triangles_per_vertex,
 )
+from centrality_gpu_spark.operators.dedup import (
+    EXACT_DUP_SQL,
+    exact_duplicates,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    ngram_jaccard_sql,
+    simhash_near_duplicates,
+)
+from centrality_gpu_spark.operators.similarity import (
+    cosine_topk_gemm,
+    cosine_topk_oracle_sql,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from centrality_gpu_spark.operators.text import (
+    language_id,
+    language_id_sql,
+    quality_score,
+    quality_score_sql,
+    token_stats,
+    token_stats_sql,
+)
 from centrality_gpu_spark.sources.testdata_graphs import (
     COPURCHASE_EDGES_CTE,
     EVENTS_EDGES_CTE,
@@ -118,8 +140,72 @@ def _q_closeness_events(spark: SparkSession, sf: str) -> DataFrame:
     return c.select("id", F.round("closeness", 6).alias("closeness"))
 
 
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic subset keeps the all-pairs oracle tractable
+    return spark.read.parquet(f"{sf}/embeddings.parquet").where(F.col("vec_id") < 200)
+
+
+def _q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return token_stats(_docs(spark, sf))
+
+
+def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_score(_docs(spark, sf))
+
+
+def _q_langid(spark: SparkSession, sf: str) -> DataFrame:
+    return language_id(_docs(spark, sf))
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_duplicates(_docs(spark, sf)).select("fp", "n_docs")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5)
+
+
+def _q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_dedup(_docs(spark, sf), threshold=0.5)
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_near_duplicates(_docs(spark, sf), max_hamming=8)
+
+
+def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return cosine_topk_gemm(_embs(spark, sf), k=5)
+
+
+def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh_topk(_embs(spark, sf), k=5)
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_near_duplicates(
+        spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.9
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- training-data pipeline ops (documents/embeddings) ---
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "language_id": _q_langid,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        # rows-only (hash functions not replicable in DuckDB; verified
+        # against exact variants in pytest):
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_near_dups": _q_embedding_near_dups,
         "edges_events": _q_edges_events,
         "edges_copurchase": _q_edges_copurchase,
         "degrees_events": _q_degrees_events,
@@ -141,6 +227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_stats": token_stats_sql(),
+        "quality_score": quality_score_sql(),
+        "language_id": language_id_sql(),
+        "dedup_exact": f"WITH {EXACT_DUP_SQL}\n"
+        "SELECT fp, COUNT(*) AS n_docs FROM fp GROUP BY fp "
+        "HAVING COUNT(*) > 1 ORDER BY fp",
+        "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
+        "ann_topk": cosine_topk_oracle_sql(k=5, where="vec_id < 200"),
         "edges_events": f"WITH {EVENTS_EDGES_CTE}\n"
         "SELECT src, dst, weight FROM edges ORDER BY src, dst",
         "edges_copurchase": f"WITH {COPURCHASE_EDGES_CTE}\n"

@@ -1,0 +1,131 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric (BASELINE.json): PageRank wall-time (fixed 10
+iterations, CSR superstep mode) on the copurchase graph, plus derived
+edges-processed/sec per SpMV superstep. Other queries time the rest of
+the operator inventory at the same scale.
+
+Scaling evidence (N vs 4N cores) is produced separately by
+tools/bench_scaling.py → BENCH.md (same job, local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from centrality_gpu_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    from pyspark.sql import functions as F
+
+    from centrality_gpu_spark.operators.betweenness import betweenness_broadcast
+    from centrality_gpu_spark.operators.bfs import multi_source_bfs
+    from centrality_gpu_spark.operators.components import connected_components
+    from centrality_gpu_spark.operators.labelprop import label_propagation
+    from centrality_gpu_spark.operators.pagerank import pagerank
+    from centrality_gpu_spark.operators.superstep import block_edges
+    from centrality_gpu_spark.operators.triangles import triangle_count
+    from centrality_gpu_spark.sources.testdata_graphs import copurchase_graph, events_graph
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out, dt
+
+    # canonical bench graph: copurchase at the given sf
+    g = copurchase_graph(spark, sf_dir).persist()
+    m_directed = g.edges.count()  # materialize + size
+    extras["graph_directed_edges"] = m_directed
+    extras["graph_vertices"] = g.num_vertices()
+
+    # q1: PageRank, 10 fixed iterations, CSR superstep mode (headline):
+    # edges bucketed to disk once, per-block CSR cached worker-side
+    import tempfile
+
+    pr_iters = 10
+    blocked = block_edges(g, scratch_dir=tempfile.mkdtemp(prefix="bench_blk_"))
+    _, pr_secs = timed(
+        "q1_pagerank_csr_10it",
+        lambda: pagerank(g, fixed_iterations=pr_iters, mode="csr", blocked=blocked)
+        .agg(F.sum("rank")).collect(),
+    )
+    extras["pagerank_edges_per_sec"] = round(m_directed * pr_iters / pr_secs, 1)
+
+    # q2: PageRank SQL mode (Catalyst/Tungsten reference point)
+    timed(
+        "q2_pagerank_sql_10it",
+        lambda: pagerank(g, fixed_iterations=pr_iters, mode="sql")
+        .agg(F.sum("rank")).collect(),
+    )
+
+    # q3: connected components to fixpoint
+    timed("q3_components", lambda: connected_components(g).agg(F.countDistinct("component")).collect())
+
+    # q4: triangle count
+    tri, _ = timed("q4_triangle_count", lambda: triangle_count(g).collect())
+    extras["n_triangles"] = tri[0]["n_triangles"]
+
+    # q5: batched multi-source BFS, 256-source wave (G13 superstep)
+    srcs = [r.id for r in g.vertices().limit(256).collect()]
+    src_df = spark.createDataFrame([(int(s),) for s in srcs], "source long")
+    bfs_res, bfs_secs = timed(
+        "q5_bfs_256src", lambda: multi_source_bfs(g, src_df).visited.count()
+    )
+    extras["bfs_pair_visits"] = bfs_res
+    extras["bfs_traversals_per_sec"] = round(len(srcs) * m_directed / bfs_secs, 1)
+
+    # q6: label propagation, capped iterations
+    timed("q6_labelprop_5it", lambda: label_propagation(g, max_iterations=5).count())
+
+    # q7: exact betweenness, 64 sampled sources (broadcast-CSR kernel)
+    timed(
+        "q7_betweenness_64src",
+        lambda: betweenness_broadcast(g, sources=srcs[:64]).agg(F.sum("bc")).collect(),
+    )
+
+    # q8: events-graph PageRank end-to-end (scan → edges → rank)
+    timed(
+        "q8_events_pagerank",
+        lambda: pagerank(events_graph(spark, sf_dir), fixed_iterations=10, mode="sql")
+        .count(),
+    )
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_pagerank_csr_10it_walltime",
+                "value": queries["q1_pagerank_csr_10it"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "total_sec": total,
+                "cpus": cpus,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -191,7 +191,7 @@ def _brandes_backward(
     Returns per-(source, vertex) delta union'd over levels; the caller
     weights by reach(source)+1 and sums over sources.
     """
-    edges = graph.edges.select("src", "dst")
+    edges = graph.edges_by_src()
     zero = F.lit(0.0)
     # delta for the deepest level is 0; walk upward accumulating
     deltas: list[DataFrame] = [None] * len(levels)

@@ -54,7 +54,7 @@ def multi_source_bfs(
     ``source``) simultaneously. Unit edge weights (reference semantics:
     all sample weights are 1, ``ReadMe:6-13``)."""
     ckpt = checkpoint or CheckpointManager(graph.spark)
-    edges = graph.edges.select("src", "dst")
+    edges = graph.edges_by_src()  # src-partitioned: only frontier shuffles per step
 
     frontier = sources.select(
         F.col("source").cast("long").alias("source"),

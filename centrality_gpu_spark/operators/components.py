@@ -30,7 +30,7 @@ def connected_components(
 ) -> DataFrame:
     """Return (id, component) — component = min vertex id in the component."""
     ckpt = checkpoint or CheckpointManager(graph.spark)
-    edges = graph.edges.select("src", "dst")
+    edges = graph.edges_by_src()  # src-partitioned: only labels shuffle per iter
 
     name = "components"
     start_iter = 0

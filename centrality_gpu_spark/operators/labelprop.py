@@ -29,7 +29,7 @@ def label_propagation(
 ) -> DataFrame:
     """Return (id, label) after convergence or ``max_iterations``."""
     ckpt = checkpoint or CheckpointManager(graph.spark)
-    edges = graph.edges.select("src", "dst")
+    edges = graph.edges_by_src()  # src-partitioned: only labels shuffle per iter
 
     name = "labelprop"
     start_iter = 0

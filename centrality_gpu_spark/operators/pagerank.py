@@ -52,7 +52,9 @@ def pagerank(
 
     own_blocked = False
     if mode == "csr" and blocked is None:
-        blocked = block_edges(graph)
+        import tempfile
+
+        blocked = block_edges(graph, scratch_dir=tempfile.mkdtemp(prefix="cgs_blk_"))
         own_blocked = True
 
     name = "pagerank"

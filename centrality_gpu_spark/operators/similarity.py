@@ -1,0 +1,235 @@
+"""Similarity search over the ``embeddings`` table
+(vec_id:long, embedding:array<float>, label:int).
+
+- ``cosine_topk_sql``: brute-force top-k, pure DataFrame higher-order
+  functions (zip_with/aggregate dot products) — the oracle-checkable
+  baseline (DuckDB: list_cosine_similarity).
+- ``cosine_topk_gemm``: brute-force top-k, broadcast query matrix +
+  per-partition numpy GEMM inside mapInPandas — the throughput
+  baseline (vectorized BLAS beats per-row array ops ~100×).
+- ``lsh_topk``: random-hyperplane LSH buckets → exact re-rank within
+  bucket — the scale path (candidates ∝ bucket size, not corpus).
+  Recall < 1 by design; measured in tests.
+- ``embedding_near_duplicates``: cosine ≥ threshold pairs via the same
+  LSH bucketing — embedding near-dup dedup.
+
+At 100 TB the corpus side streams partition-by-partition against a
+broadcast query set (or IVF cells); nothing here collects the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_col(vec):
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_unit_vectors(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, unit: array<double>) — L2-normalized, JVM-side."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    n = _norm_col(v)
+    unit = F.transform(v, lambda x: x / n)
+    return embeddings.select("vec_id", unit.alias("unit"))
+
+
+def cosine_topk_sql(
+    embeddings: DataFrame, queries: DataFrame | None = None, k: int = 5
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rk) — brute force, built-ins only.
+
+    ``queries`` defaults to the corpus itself (self-join, excluding the
+    identity pair). Deterministic tie-break: (cos desc, neighbor asc).
+    """
+    corpus = with_unit_vectors(embeddings)
+    qs = with_unit_vectors(queries) if queries is not None else corpus
+    q = qs.select(F.col("vec_id").alias("query_id"), F.col("unit").alias("qu"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("unit").alias("cu"))
+    dot = F.aggregate(
+        F.zip_with("qu", "cu", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dot.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+def cosine_topk_gemm(
+    embeddings: DataFrame, queries: DataFrame | None = None, k: int = 5
+) -> DataFrame:
+    """Same contract as cosine_topk_sql; numpy GEMM per corpus partition
+    against a broadcast query matrix, partial top-k per partition
+    (np.argpartition), final top-k via window. Shuffle = P·Q·k rows."""
+    spark = embeddings.sparkSession
+    qdf = queries if queries is not None else embeddings
+    qpd = with_unit_vectors(qdf).toPandas()
+    qids = qpd["vec_id"].to_numpy()
+    qmat = np.stack(qpd["unit"].to_numpy())
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    corpus = with_unit_vectors(embeddings)
+
+    def gemm(batches):
+        qids_, qmat_ = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["vec_id"].to_numpy()
+            cmat = np.stack(pdf["unit"].to_numpy())
+            sims = qmat_ @ cmat.T  # (Q, C)
+            kk = min(k + 1, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(len(qids_)), kk)
+            ci = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids_[qi],
+                    "neighbor_id": cids[ci],
+                    "cos": sims[qi, ci],
+                }
+            )
+
+    partial = corpus.mapInPandas(gemm, "query_id long, neighbor_id long, cos double")
+    partial = partial.where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+def cosine_topk_oracle_sql(k: int = 5, where: str = "TRUE") -> str:
+    """DuckDB twin of the brute-force top-k (same normalization, dot
+    product in double, same (cos desc, neighbor asc) tie-break)."""
+    return f"""
+WITH src AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS embedding
+  FROM embeddings WHERE {where}
+),
+unit AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN embedding])) FOR x IN embedding] AS u
+  FROM src
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum([q.u[i] * c.u[i] FOR i IN range(1, len(q.u) + 1)]) AS cos
+  FROM unit q JOIN unit c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rk
+FROM ranked WHERE rk <= {k} ORDER BY query_id, rk
+""".strip()
+
+
+# ------------------------------------------------------------------- LSH
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = 12, seed: int = 7, n_tables: int = 4
+) -> DataFrame:
+    """(vec_id, table, bucket) — sign-pattern bucket per hash table."""
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    bp = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches):
+        planes_ = bp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out_v, out_t, out_b = [], [], []
+            for t, pl in enumerate(planes_):
+                signs = (mat @ pl.T) > 0  # (N, n_planes)
+                bits = signs @ (1 << np.arange(signs.shape[1]))
+                out_v.append(pdf["vec_id"].to_numpy())
+                out_t.append(np.full(len(pdf), t))
+                out_b.append(bits)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v),
+                    "table": np.concatenate(out_t),
+                    "bucket": np.concatenate(out_b),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        bucketize, "vec_id long, table int, bucket long"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: candidates share an LSH bucket in ≥1 table, exact
+    cosine re-rank. (query_id, neighbor_id, cos, rk)."""
+    b = lsh_buckets(embeddings, n_planes, seed, n_tables).persist()
+    pa = b.select("table", "bucket", F.col("vec_id").alias("query_id"))
+    pb = b.select("table", "bucket", F.col("vec_id").alias("neighbor_id"))
+    cand = (
+        pa.join(pb, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    unit = with_unit_vectors(embeddings)
+    dot = F.aggregate(
+        F.zip_with("qu", "cu", lambda a, b_: a * b_), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        cand.join(unit.select(F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")), "query_id")
+        .join(unit.select(F.col("vec_id").alias("neighbor_id"), F.col("unit").alias("cu")), "neighbor_id")
+        .select("query_id", "neighbor_id", dot.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 7,
+) -> DataFrame:
+    """(vec_a, vec_b, cos) — LSH candidates with exact cosine ≥ threshold."""
+    top = lsh_topk(embeddings, k=50, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    return (
+        top.where((F.col("cos") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "cos",
+        )
+    )

@@ -1,0 +1,146 @@
+"""Transcripts → edge table: the engine's primary edge builder
+(SURVEY.md §7 step 1; north rule: vertices = conversations/tools, edges
+from reply adjacency and tool invocation under stable turn ordering).
+
+Edge types:
+
+- ``tool``: conv → tool bipartite, weight = invocation count (the
+  reference's S1 scan analog over Iceberg/parquet instead of text).
+- ``coinvocation``: conv – conv projection through shared tools
+  (weight = number of shared tools). This is what reproduces the
+  reference sample graphs exactly from the embedded fixtures.
+  **Skew note**: a hub tool invoked by k conversations emits C(k,2)
+  pairs; ``max_tool_degree`` caps projection fan-out (standard
+  co-occurrence-projection practice) — at 10¹²-turn scale an uncapped
+  hub would be quadratic. The cap is an explicit, documented semantic.
+- ``reply``: consecutive turns within a conversation via
+  ``lead() over (partition by conv_id order by turn_idx)`` — the
+  stable-ordering invariant lives here; exposed as (conv, turn chain)
+  count stats rather than graph edges (roles are only 3 vertices).
+
+Vertex ids: string ids (conv_id / tool name) relabeled to dense longs
+(P3, ``modified_apsp.cpp:336-358``). ``id_mode="dense"`` uses a global
+row_number over sorted ids — exact + deterministic, single-partition
+window, fine up to ~10⁸ vertices; ``id_mode="hash"`` uses xxhash64 —
+fully parallel for beyond that (collision probability ~n²/2⁶⁴).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+
+
+@dataclass
+class TranscriptGraph:
+    graph: Graph
+    vertex_map: DataFrame  # (id:long, name:string, kind:string)
+
+
+def vertex_ids(transcripts: DataFrame, id_mode: str = "dense") -> DataFrame:
+    """Distinct conv ∪ tool names → (id, name, kind)."""
+    convs = transcripts.select(F.col("conv_id").alias("name")).distinct().withColumn(
+        "kind", F.lit("conv")
+    )
+    tools = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select(F.col("tool").alias("name"))
+        .distinct()
+        .withColumn("kind", F.lit("tool"))
+    )
+    names = convs.unionByName(tools)
+    if id_mode == "hash":
+        return names.select(
+            F.xxhash64("name").alias("id"), "name", "kind"
+        )
+    w = Window.orderBy("name")
+    return names.select(
+        (F.row_number().over(w) - 1).cast("long").alias("id"), "name", "kind"
+    )
+
+
+def tool_invocations(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, tool, n_invocations) — pushed-down scan of 2 columns."""
+    return (
+        transcripts.where(F.col("tool").isNotNull())
+        .groupBy("conv_id", "tool")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def transcript_graph(
+    transcripts: DataFrame,
+    edge_types: tuple[str, ...] = ("tool", "coinvocation"),
+    max_tool_degree: int | None = 1000,
+    id_mode: str = "dense",
+) -> TranscriptGraph:
+    """Build the canonical Graph from a transcripts table."""
+    vmap = vertex_ids(transcripts, id_mode=id_mode).persist()
+    inv = tool_invocations(transcripts).persist()
+
+    name_edges: list[DataFrame] = []
+    if "tool" in edge_types:
+        name_edges.append(
+            inv.select(
+                F.col("conv_id").alias("a"),
+                F.col("tool").alias("b"),
+                F.col("n").cast("double").alias("weight"),
+            )
+        )
+    if "coinvocation" in edge_types:
+        proj_inv = inv
+        if max_tool_degree is not None:
+            tool_deg = inv.groupBy("tool").agg(F.count("*").alias("td"))
+            proj_inv = inv.join(
+                tool_deg.where(F.col("td") <= max_tool_degree), "tool"
+            )
+        l = proj_inv.select("tool", F.col("conv_id").alias("a"))
+        r = proj_inv.select("tool", F.col("conv_id").alias("b"))
+        pairs = (
+            l.join(r, "tool")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("shared"))
+        )
+        name_edges.append(
+            pairs.select("a", "b", F.col("shared").cast("double").alias("weight"))
+        )
+
+    from centrality_gpu_spark.graph import union_all
+
+    ne = union_all(name_edges)
+    va = vmap.select(F.col("name").alias("a"), F.col("id").alias("src"))
+    vb = vmap.select(F.col("name").alias("b"), F.col("id").alias("dst"))
+    edges = ne.join(va, "a").join(vb, "b").select("src", "dst", "weight")
+    g = Graph.from_undirected_edges(edges, weight_col="weight")
+    inv.unpersist()
+    return TranscriptGraph(g, vmap)
+
+
+def reply_chain_check(transcripts: DataFrame) -> DataFrame:
+    """The stable-turn-ordering invariant (input_hint): per-turn text
+    must equal ``{conv_id}:{turn_idx}:{role}<suffix>``, and turn_idx
+    must be dense (lead = idx+1) under (conv_id, turn_idx) ordering.
+
+    Returns one row per violation — empty DataFrame ⇔ invariant holds.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    checked = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lead("turn_idx").over(w).alias("next_idx"),
+        F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string"), "role").alias(
+            "prefix"
+        ),
+    )
+    bad_text = ~F.col("text").startswith(F.col("prefix"))
+    bad_chain = F.col("next_idx").isNotNull() & (
+        F.col("next_idx") != F.col("turn_idx") + 1
+    )
+    return checked.where(bad_text | bad_chain)

@@ -1,0 +1,67 @@
+"""SpMV primitive: disk-cached CSR mode vs cogroup mode vs SQL mode."""
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.operators.superstep import block_edges, spmv, spmv_sql
+from centrality_gpu_spark.sources.edgelist import read_edge_list_local
+
+from tests.conftest import SAMPLE_DIR
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    gr = read_edge_list_local(spark, f"{SAMPLE_DIR}/test4.txt").persist()
+    gr.edges.count()
+    yield gr
+    gr.unpersist()
+
+
+@pytest.fixture(scope="module")
+def values(spark, g):
+    return g.vertices().select("id", (F.col("id") * 0.5 + 1.0).alias("val")).persist()
+
+
+def as_map(df):
+    return {r.id: r.msg for r in df.collect()}
+
+
+@pytest.mark.parametrize("weighted", [True, False])
+def test_spmv_modes_agree(spark, g, values, weighted):
+    expected = as_map(spmv_sql(g, values, weighted=weighted))
+    cogrouped = block_edges(g)
+    got_cg = as_map(spmv(cogrouped, values, weighted=weighted))
+    cached = block_edges(g, scratch_dir=tempfile.mkdtemp(prefix="t_blk_"))
+    got_ck = as_map(spmv(cached, values, weighted=weighted))
+    assert set(expected) == set(got_cg) == set(got_ck)
+    for k in expected:
+        assert got_cg[k] == pytest.approx(expected[k], abs=1e-12)
+        assert got_ck[k] == pytest.approx(expected[k], abs=1e-12)
+    cogrouped.unpersist()
+    cached.unpersist()
+
+
+def test_spmv_cached_with_salting(spark, g, values):
+    """Forced salting (hub_threshold=2) through the disk-cached path."""
+    expected = as_map(spmv_sql(g, values, weighted=False))
+    blocked = block_edges(
+        g, hub_threshold=2, scratch_dir=tempfile.mkdtemp(prefix="t_blk_")
+    )
+    assert blocked.hubs.count() > 0
+    got = as_map(spmv(blocked, values, weighted=False))
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+    blocked.unpersist()
+
+
+def test_spmv_repeated_calls_consistent(spark, g, values):
+    """Second superstep over the same blocks (worker cache warm) must
+    return identical results."""
+    blocked = block_edges(g, scratch_dir=tempfile.mkdtemp(prefix="t_blk_"))
+    a = as_map(spmv(blocked, values, weighted=False))
+    b = as_map(spmv(blocked, values, weighted=False))
+    assert a == b
+    blocked.unpersist()

@@ -1,0 +1,122 @@
+"""Text analysis + dedup operators on the real documents table and on
+synthetic near-duplicates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_candidates,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+    with_shingles,
+)
+from centrality_gpu_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+from tests.conftest import SF_MED
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    df = spark.read.parquet(f"{SF_MED}/documents.parquet").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),                       # exact dup
+        (3, base.replace("lazy", "sleepy"), "en", "s", 0),     # near dup
+        (4, "völlig anderes thema und der text ist deutsch mit den wörtern", "de", "s", 0),
+        (5, "zzz qqq xxx", "und", "s", 0),                     # junk
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "hello, world! x", "en", "s", 0), (2, "", "en", "s", 0)], DOC_SCHEMA
+    )
+    got = {r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens) for r in token_stats(df).collect()}
+    # ws: "hello,", "world!", "x" ; bpe: hello , world ! x
+    assert got[1] == (3, 5)
+    assert got[2] == (0, 0)
+
+
+def test_quality_and_langid(near_dups):
+    q = {r.doc_id: r.quality for r in quality_score(near_dups).collect()}
+    assert q[1] > q[5]  # english prose beats junk
+    l = {r.doc_id: r.lang_pred for r in language_id(near_dups).collect()}
+    assert l[1] == "en" and l[4] == "de" and l[5] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Some  Text here", "en", "s", 0), (2, "some text HERE", "en", "s", 0),
+         (3, "different", "en", "s", 0)],
+        DOC_SCHEMA,
+    )
+    fp = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_exact_duplicates(near_dups):
+    groups = exact_duplicates(near_dups).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+
+
+def test_ngram_jaccard_exact(near_dups):
+    """Spark inverted-index jaccard vs a direct python computation."""
+    sh = {r.doc_id: set(r.shingles) for r in with_shingles(near_dups).collect()}
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(near_dups, threshold=0.0).collect()}
+    for (a, b), j in got.items():
+        exp = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        assert j == pytest.approx(exp, abs=1e-6)
+    assert got[(1, 2)] == 1.0
+    assert 0.3 < got[(1, 3)] < 1.0
+
+
+def test_minhash_finds_near_dups(near_dups):
+    cand = {(r.doc_a, r.doc_b) for r in minhash_candidates(near_dups).collect()}
+    assert (1, 2) in cand
+    assert (1, 3) in cand  # near-dup caught by banding
+    verified = {(r.doc_a, r.doc_b): r.jaccard
+                for r in minhash_dedup(near_dups, threshold=0.5).collect()}
+    assert verified[(1, 2)] == 1.0
+
+
+def test_minhash_recall_documents(documents):
+    """On the real sf0.01 docs: every exact-jaccard pair ≥0.8 must be
+    found by MinHash banding (high-sim pairs ⇒ band collision w.h.p.)."""
+    truth = {(r.doc_a, r.doc_b) for r in
+             ngram_jaccard_pairs(documents, threshold=0.8).collect()}
+    cand = {(r.doc_a, r.doc_b) for r in minhash_candidates(documents).collect()}
+    missed = truth - cand
+    assert len(missed) <= max(1, int(0.05 * len(truth))), (len(missed), len(truth))
+
+
+def test_simhash_properties(near_dups):
+    sh = {r.doc_id: r.simhash for r in simhash(near_dups).collect()}
+    assert sh[1] == sh[2]
+    ham13 = bin((sh[1] ^ sh[3]) & ((1 << 64) - 1)).count("1")
+    ham15 = bin((sh[1] ^ sh[5]) & ((1 << 64) - 1)).count("1")
+    assert ham13 < ham15
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_near_duplicates(near_dups, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0

@@ -1,0 +1,125 @@
+"""Transcript generation + edge builder: determinism, invariants, and
+the golden-fixture carry-over (embedded sample graph → identical BC)."""
+
+import networkx as nx
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.datagen import generate_transcripts
+from centrality_gpu_spark.operators.betweenness import betweenness_broadcast
+from centrality_gpu_spark.sources.transcripts import (
+    reply_chain_check,
+    transcript_graph,
+    vertex_ids,
+)
+
+from tests.conftest import sample_nx
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = generate_transcripts(spark, n_conversations=60, n_tools=8).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_generation_deterministic(spark, transcripts):
+    again = generate_transcripts(spark, n_conversations=60, n_tools=8)
+    assert transcripts.exceptAll(again).count() == 0
+    assert again.exceptAll(transcripts).count() == 0
+    # different partitioning must not change content
+    repart = generate_transcripts(
+        spark.range(0).sparkSession, n_conversations=60, n_tools=8
+    )
+
+
+def test_reply_chain_invariant(transcripts):
+    assert reply_chain_check(transcripts).count() == 0
+
+
+def test_reply_chain_catches_violations(spark):
+    bad = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "c1:0:user ok", None, None),
+            ("c1", 2, "user", "c1:2:user gap", None, None),   # chain gap
+            ("c2", 0, "user", "WRONG text", None, None),       # text invariant
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    assert reply_chain_check(bad).count() == 2
+
+
+def test_vertex_ids_dense_and_hash(transcripts):
+    dense = vertex_ids(transcripts, id_mode="dense")
+    n = dense.count()
+    ids = [r.id for r in dense.select("id").collect()]
+    assert sorted(ids) == list(range(n))
+    hashed = vertex_ids(transcripts, id_mode="hash")
+    assert hashed.select("id").distinct().count() == n
+
+
+def test_bipartite_tool_graph(transcripts):
+    tg = transcript_graph(transcripts, edge_types=("tool",))
+    # bipartite: every edge connects a conv vertex and a tool vertex
+    vm = tg.vertex_map
+    e = (
+        tg.graph.edges.join(vm.select(F.col("id").alias("src"), F.col("kind").alias("ks")), "src")
+        .join(vm.select(F.col("id").alias("dst"), F.col("kind").alias("kd")), "dst")
+    )
+    assert e.where(F.col("ks") == F.col("kd")).count() == 0
+
+
+def test_golden_carryover_betweenness(spark, transcripts):
+    """transcripts → co-invocation projection → BC must equal the
+    reference golden values for the embedded test1 graph."""
+    sub = transcripts.where(F.col("conv_id").startswith("gtest1_"))
+    tg = transcript_graph(sub, edge_types=("coinvocation",))
+    nxg = sample_nx("test1")
+    exp = {k: 2.0 * v for k, v in
+           nx.betweenness_centrality(nxg, normalized=False).items()}
+    name_of = {r.id: r.name for r in tg.vertex_map.collect()}
+    got = {
+        int(name_of[r.id].rsplit("_v", 1)[1]): r.bc
+        for r in betweenness_broadcast(tg.graph).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-6), k
+
+
+def test_coinvocation_weights(spark):
+    """Two convs sharing 2 tools → one edge with weight 2."""
+    rows = []
+    for conv, tools in [("a", ["t1", "t2"]), ("b", ["t1", "t2"]), ("c", ["t2"])]:
+        for i, t in enumerate(tools):
+            rows.append((conv, i, "tool", f"{conv}:{i}:tool", t, None))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    tg = transcript_graph(df, edge_types=("coinvocation",))
+    vm = {r.name: r.id for r in tg.vertex_map.collect()}
+    w = {(r.src, r.dst): r.weight for r in tg.graph.edges.collect()}
+    assert w[(vm["a"], vm["b"])] == 2.0
+    assert w[(vm["a"], vm["c"])] == 1.0
+    assert w[(vm["b"], vm["c"])] == 1.0
+
+
+def test_max_tool_degree_cap(spark):
+    """A hub tool above the cap is excluded from the projection."""
+    rows = []
+    for conv in ["a", "b", "c", "d"]:
+        rows.append((conv, 0, "tool", f"{conv}:0:tool", "hub", None))
+    rows.append(("a", 1, "tool", "a:1:tool", "rare", None))
+    rows.append(("b", 1, "tool", "b:1:tool", "rare", None))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    tg = transcript_graph(df, edge_types=("coinvocation",), max_tool_degree=3)
+    vm = {r.name: r.id for r in tg.vertex_map.collect()}
+    pairs = {(r.src, r.dst) for r in tg.graph.edges.collect()}
+    assert (vm["a"], vm["b"]) in pairs          # via 'rare'
+    assert (vm["c"], vm["d"]) not in pairs      # 'hub' capped out
