@@ -119,8 +119,13 @@ class Graph:
         """
         if self._src_part is None:
             n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            deg = self.degrees().select(
+                F.col("id").alias("src"),
+                (F.lit(1.0) / F.col("degree")).alias("src_inv_deg"),
+            )
             self._src_part = (
-                self.edges.select("src", "dst", "weight")
+                self.edges.join(deg, "src")
+                .select("src", "dst", "weight", "src_inv_deg")
                 .repartition(n, "src")
                 .persist()
             )

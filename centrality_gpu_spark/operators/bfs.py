@@ -53,8 +53,16 @@ def multi_source_bfs(
     """Level-synchronous BFS from every vertex in ``sources`` (col
     ``source``) simultaneously. Unit edge weights (reference semantics:
     all sample weights are 1, ``ReadMe:6-13``)."""
-    ckpt = checkpoint or CheckpointManager(graph.spark)
+    spark = graph.spark
+    ckpt = checkpoint or CheckpointManager(spark)
     edges = graph.edges_by_src()  # src-partitioned: only frontier shuffles per step
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def keyed(df: DataFrame) -> DataFrame:
+        # co-partition on the anti-join key so the (growing) visited
+        # side is never re-exchanged: the candidate aggregate comes out
+        # of its groupBy already hash-partitioned on the same key
+        return df.repartition(npart, "source", "vertex")
 
     frontier = sources.select(
         F.col("source").cast("long").alias("source"),
@@ -62,21 +70,25 @@ def multi_source_bfs(
         F.lit(0).alias("dist"),
         F.lit(1.0).alias("sigma"),
     )
-    frontier = ckpt.truncate(frontier)
+    frontier = ckpt.truncate(keyed(frontier))
     visited = frontier
+    visited.persist()
     levels = [frontier]
+    retired: list[DataFrame] = []
     depth = 0
     while max_depth is None or depth < max_depth:
         depth += 1
         cand = frontier.join(edges, frontier.vertex == edges.src).select(
             "source", F.col("dst").alias("vertex"), "sigma"
         )
-        cand = cand.join(
-            visited.select("source", "vertex"), ["source", "vertex"], "left_anti"
-        )
+        # aggregate BEFORE the visited anti-join: contributions to a
+        # newly discovered vertex all come from frontier vertices, and
+        # rows for already-visited vertices are dropped whole — so
+        # dedup first shrinks the anti-join input from Σdeg(frontier)
+        # to |distinct candidates| with identical results (A1+A2, then U2)
+        agg = cand.groupBy("source", "vertex").agg(F.sum("sigma").alias("sigma"))
         new_frontier = (
-            cand.groupBy("source", "vertex")
-            .agg(F.sum("sigma").alias("sigma"))
+            agg.join(visited.select("source", "vertex"), ["source", "vertex"], "left_anti")
             .select("source", "vertex", F.lit(depth).alias("dist"), "sigma")
         )
         new_frontier = ckpt.truncate(new_frontier)
@@ -84,11 +96,17 @@ def multi_source_bfs(
         ckpt.record(op="bfs", depth=depth, frontier=n_new)
         if n_new == 0:
             break
-        visited = ckpt.truncate(
-            visited.unionByName(new_frontier.select(*FRONTIER_COLS))
-        )
+        new_visited = keyed(visited.unionByName(new_frontier.select(*FRONTIER_COLS)))
+        if depth % 4 == 0:
+            new_visited = ckpt.truncate(new_visited)  # bound plan lineage
+        new_visited.persist()
+        new_visited.count()
+        retired.append(visited)
+        visited = new_visited
         frontier = new_frontier
         levels.append(new_frontier)
+    for df in retired:
+        df.unpersist()
     return BFSResult(visited, levels)
 
 

@@ -48,7 +48,6 @@ def pagerank(
     graph._n = n
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    deg = ckpt.truncate(graph.degrees())
 
     own_blocked = False
     if mode == "csr" and blocked is None:
@@ -74,22 +73,18 @@ def pagerank(
 
     for it in range(start_iter, n_iter):
         t0 = time.time()
-        # val(u) = r(u)/deg(u); weight is ignored for PageRank (all 1)
-        vals = ranks.join(deg, "id").select(
-            "id", (F.col("rank") / F.col("degree")).alias("val")
-        )
+        # contribution r(u)/deg(u): the 1/deg factor is pre-folded into
+        # the edge structures (src_inv_deg), so the hot loop ships only
+        # (id, rank) — no per-iteration degree join. Every vertex of the
+        # symmetrized graph has ≥1 in-edge, so msgs covers all vertices
+        # and no vertex left-join is needed either.
+        vals = ranks.select("id", F.col("rank").alias("val"))
         if mode == "csr":
-            msgs = spmv(blocked, vals, weighted=False)
+            msgs = spmv(blocked, vals, weighted=False, divide_by_src_degree=True)
         else:
-            msgs = spmv_sql(graph, vals, weighted=False)
-        new_ranks = (
-            verts.join(msgs, "id", "left")
-            .select(
-                "id",
-                (F.lit(base) + F.lit(alpha) * F.coalesce("msg", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
+            msgs = spmv_sql(graph, vals, weighted=False, divide_by_src_degree=True)
+        new_ranks = msgs.select(
+            "id", (F.lit(base) + F.lit(alpha) * F.col("msg")).alias("rank")
         )
         new_ranks = ckpt.truncate(new_ranks)
 

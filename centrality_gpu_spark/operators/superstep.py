@@ -114,7 +114,10 @@ def block_edges(
     if scratch_dir is not None:
         path = os.path.join(scratch_dir, "edges_blocked")
         (
-            blocked.select("block", "src", "dst", "weight")
+            blocked.select(
+                "block", "src", "dst", "weight",
+                (F.lit(1.0) / F.col("src_degree")).alias("src_inv_deg"),
+            )
             .write.mode("overwrite")
             .partitionBy("block")
             .parquet(path)
@@ -143,7 +146,7 @@ def _load_csr_block(path: str, block: int) -> dict:
     if not os.path.isdir(bdir):
         blk = {"empty": True}
     else:
-        t = pq.read_table(bdir, columns=["src", "dst", "weight"])
+        t = pq.read_table(bdir, columns=["src", "dst", "weight", "src_inv_deg"])
         src = t.column("src").to_numpy()
         dst = t.column("dst").to_numpy()
         w = t.column("weight").to_numpy()
@@ -157,6 +160,7 @@ def _load_csr_block(path: str, block: int) -> dict:
             "dst_u": dst_u,
             "dst_inv": dst_inv,
             "w": w.astype(np.float64),
+            "inv_deg": t.column("src_inv_deg").to_numpy().astype(np.float64),
         }
     _CSR_CACHE[key] = blk
     if len(_CSR_CACHE) > _CSR_CACHE_MAX:
@@ -187,7 +191,8 @@ def _route_values(blocked: BlockedEdges, values: DataFrame) -> DataFrame:
 
 
 def _spmv_kernel(key, edge_pdf: pd.DataFrame, val_pdf: pd.DataFrame,
-                 weighted: bool = True) -> pd.DataFrame:
+                 weighted: bool = True,
+                 divide_by_src_degree: bool = False) -> pd.DataFrame:
     """Per-block CSR gather-scatter in numpy (runs inside Arrow batches).
 
     gather: msg[e] = val[src[e]] * weight[e]   (weight ≡ 1 if unweighted)
@@ -201,6 +206,8 @@ def _spmv_kernel(key, edge_pdf: pd.DataFrame, val_pdf: pd.DataFrame,
     src = edge_pdf["src"].to_numpy()
     dst = edge_pdf["dst"].to_numpy()
     w = edge_pdf["weight"].to_numpy() if weighted else 1.0
+    if divide_by_src_degree:
+        w = w / edge_pdf["src_degree"].to_numpy()
     vid = val_pdf["id"].to_numpy()
     vval = val_pdf["val"].to_numpy(dtype="float64")
 
@@ -219,7 +226,12 @@ def _spmv_kernel(key, edge_pdf: pd.DataFrame, val_pdf: pd.DataFrame,
     return out[out["partial"] != 0.0]
 
 
-def spmv(blocked: BlockedEdges, values: DataFrame, weighted: bool = True) -> DataFrame:
+def spmv(
+    blocked: BlockedEdges,
+    values: DataFrame,
+    weighted: bool = True,
+    divide_by_src_degree: bool = False,
+) -> DataFrame:
     """y = Aᵀ·x over the blocked edge table.
 
     ``values``: DF (id:long, val:double). Returns (id:long, msg:double)
@@ -255,6 +267,8 @@ def spmv(blocked: BlockedEdges, values: DataFrame, weighted: bool = True) -> Dat
             msg = lookup[blk["src_inv"]]
             if weighted:
                 msg = msg * blk["w"]
+            if divide_by_src_degree:
+                msg = msg * blk["inv_deg"]
             partial = np.bincount(
                 blk["dst_inv"], weights=msg, minlength=len(blk["dst_u"])
             )
@@ -267,7 +281,10 @@ def spmv(blocked: BlockedEdges, values: DataFrame, weighted: bool = True) -> Dat
     else:
 
         def kernel(key, edge_pdf, val_pdf):
-            return _spmv_kernel(key, edge_pdf, val_pdf, weighted=weighted)
+            return _spmv_kernel(
+                key, edge_pdf, val_pdf,
+                weighted=weighted, divide_by_src_degree=divide_by_src_degree,
+            )
 
         partials = (
             blocked.edges.groupBy("block")
@@ -277,7 +294,12 @@ def spmv(blocked: BlockedEdges, values: DataFrame, weighted: bool = True) -> Dat
     return partials.groupBy("id").agg(F.sum("partial").alias("msg"))
 
 
-def spmv_sql(graph: Graph, values: DataFrame, weighted: bool = True) -> DataFrame:
+def spmv_sql(
+    graph: Graph,
+    values: DataFrame,
+    weighted: bool = True,
+    divide_by_src_degree: bool = False,
+) -> DataFrame:
     """Reference SQL-mode SpMV (pure DataFrame join+agg) for testing the
     CSR path against — Catalyst/Tungsten, no Python. Same contract.
     Uses the src-partitioned persisted edge copy so repeated calls
@@ -285,6 +307,8 @@ def spmv_sql(graph: Graph, values: DataFrame, weighted: bool = True) -> DataFram
     aggregate does map-side partial sums before the exchange."""
     e = graph.edges_by_src()
     w = F.col("weight") if weighted else F.lit(1.0)
+    if divide_by_src_degree:
+        w = w * F.col("src_inv_deg")
     return (
         e.join(values, e.src == values.id)
         .select("dst", (F.col("val") * w).alias("m"))
