@@ -135,6 +135,35 @@ def _q_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
     return bc.select("id", F.round("bc", 6).alias("bc"))
 
 
+def _q_betweenness_decomposed_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.bcc import betweenness_decomposed
+
+    bc = betweenness_decomposed(events_graph(spark, sf))
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_bcc_histogram_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.bcc import bcc_size_histogram
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    return bcc_size_histogram(custorder_graph(spark, sf))
+
+
+def _q_articulation_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.bcc import articulation_points
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    return articulation_points(custorder_graph(spark, sf))
+
+
+def _q_pendant_peel_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.pendant import pendant_peel
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    _remaining, peeled = pendant_peel(custorder_graph(spark, sf))
+    return peeled.select("id", "round", "parent")
+
+
 def _q_closeness_events(spark: SparkSession, sf: str) -> DataFrame:
     c = closeness_broadcast(events_graph(spark, sf))
     return c.select("id", F.round("closeness", 6).alias("closeness"))
@@ -216,9 +245,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
         "sssp_events": _q_sssp_events,
+        # structural decompositions on the customer-order star forest
+        # (closed-form oracles: every edge is a BCC, every multi-order
+        # customer an articulation point, every order a pendant)
+        "bcc_histogram_custorder": _q_bcc_histogram_custorder,
+        "articulation_custorder": _q_articulation_custorder,
+        "pendant_peel_custorder": _q_pendant_peel_custorder,
         # rows-only (no SQL oracle; verified vs networkx in pytest):
         "lpa_events": _q_lpa_events,
         "betweenness_events": _q_betweenness_events,
+        "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "closeness_events": _q_closeness_events,
     }
 
@@ -269,6 +305,22 @@ def oracle_sql() -> dict[str, str]:
         "verts AS (SELECT DISTINCT src AS id FROM edges)\n"
         "SELECT v.id, COALESCE(c.n_tri, 0) AS n_tri\n"
         "FROM verts v LEFT JOIN cnt c ON v.id = c.id ORDER BY v.id",
+        "bcc_histogram_custorder": "SELECT CAST(2 AS BIGINT) AS size, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders",
+        "articulation_custorder": "SELECT CAST(o_custkey AS BIGINT) AS id "
+        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY id",
+        "pendant_peel_custorder": """
+WITH oc AS (
+  SELECT CAST(o_custkey AS BIGINT) AS c,
+         CAST(o_orderkey + 10000000 AS BIGINT) AS o
+  FROM orders
+),
+cdeg AS (SELECT c, COUNT(*) AS n, MIN(o) AS mo FROM oc GROUP BY c)
+SELECT o AS id, CAST(0 AS INTEGER) AS round, c AS parent FROM oc
+UNION ALL
+SELECT c AS id, CAST(0 AS INTEGER) AS round, mo AS parent FROM cdeg WHERE n = 1
+ORDER BY id
+""".strip(),
         "sssp_events": f"WITH RECURSIVE {EVENTS_EDGES_CTE},\n"
         "walk(vertex, dist) AS (\n"
         "  SELECT (SELECT MIN(src) FROM edges), 0\n"

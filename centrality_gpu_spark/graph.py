@@ -93,6 +93,16 @@ class Graph:
         """Degree histogram (A6, ``graph_ear_decompos.h:112-129``)."""
         return self.degrees().groupBy("degree").agg(F.count("*").alias("cnt"))
 
+    def max_degree_vertex(self) -> tuple[int, int]:
+        """(vertex, degree) of the max-degree vertex — the reference's
+        BFS-root pick (A7, ``graph_ear_decompos.h:88-100``); ties break
+        to the smallest id for determinism."""
+        row = self.degrees().agg(
+            F.max_by("id", F.struct(F.col("degree"), (-F.col("id")).alias("n"))).alias("v"),
+            F.max("degree").alias("d"),
+        ).collect()[0]
+        return int(row["v"]), int(row["d"])
+
     # -- caching -------------------------------------------------------
 
     def persist(self, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> "Graph":

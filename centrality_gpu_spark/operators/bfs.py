@@ -115,3 +115,23 @@ def sssp_distances(graph: Graph, source: int) -> DataFrame:
     src_df = graph.spark.createDataFrame([(int(source),)], "source long")
     res = multi_source_bfs(graph, src_df)
     return res.visited.select("vertex", "dist")
+
+
+def diameter_estimate(graph: Graph, n_samples: int = 512, seed: int = 42) -> float:
+    """Median BFS eccentricity over sampled sources (G14/O4,
+    ``kernels_free.cu:447-470``): the reference samples 512 depths,
+    bitonic-sorts, and takes the median to gate its edge-parallel mode.
+    Here: one batched BFS wave + ``percentile_approx`` — the same
+    small-diameter signal for strategy switching."""
+    from pyspark.sql import functions as F
+
+    samples = (
+        graph.vertices()
+        .orderBy(F.xxhash64(F.col("id") + F.lit(seed)))
+        .limit(n_samples)
+        .select(F.col("id").alias("source"))
+    )
+    res = multi_source_bfs(graph, samples)
+    ecc = res.visited.groupBy("source").agg(F.max("dist").alias("ecc"))
+    row = ecc.agg(F.percentile_approx("ecc", 0.5).alias("med")).collect()[0]
+    return float(row["med"]) if row["med"] is not None else 0.0

@@ -60,6 +60,7 @@ class BlockedEdges:
     hubs: DataFrame
     n_blocks: int
     path: str | None = None
+    n_hubs: int = 0
 
     def unpersist(self) -> None:
         self.edges.unpersist()
@@ -110,19 +111,61 @@ def block_edges(
         .persist()
     )
     blocked.count()  # materialize cache
+    n_hubs = hubs.count()
     path = None
     if scratch_dir is not None:
         path = os.path.join(scratch_dir, "edges_blocked")
-        (
-            blocked.select(
-                "block", "src", "dst", "weight",
-                (F.lit(1.0) / F.col("src_degree")).alias("src_inv_deg"),
-            )
-            .write.mode("overwrite")
-            .partitionBy("block")
-            .parquet(path)
-        )
-    return BlockedEdges(blocked, hubs, n_blocks, path)
+        _write_coded_blocks(blocked, path)
+    return BlockedEdges(blocked, hubs, n_blocks, path, n_hubs)
+
+
+def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
+    """Materialize each block with PRE-COMPUTED dense codes, so a cold
+    cache load is a pure columnar read (no per-worker np.unique sort —
+    the counting-sort CSR build, O2, runs exactly once per block here).
+
+    Layout: ``{path}/block_N/{src_code,dst_code,w,inv_deg,src_ids,
+    dst_ids}.npy``. Stored as raw .npy so the read side can
+    ``np.load(mmap_mode='r')``: the arrays live in the OS page cache,
+    SHARED across every Python worker on the machine — a cache miss in
+    one worker process costs an mmap open, not a rebuild, and the data
+    is faulted in from disk once per machine, not once per process.
+    (On a cluster: node-local scratch per executor, or a shared FS.)
+
+    Written from inside the blocking task; the returned summary row
+    materializes the job.
+    """
+
+    def write_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        block = int(key[0])
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        src_u, src_inv = np.unique(src, return_inverse=True)
+        dst_u, dst_inv = np.unique(dst, return_inverse=True)
+        bdir = os.path.join(path, f"block_{block}")
+        os.makedirs(bdir, exist_ok=True)
+        np.save(os.path.join(bdir, "src_code.npy"), src_inv.astype(np.int32))
+        np.save(os.path.join(bdir, "dst_code.npy"), dst_inv.astype(np.int32))
+        np.save(os.path.join(bdir, "w.npy"),
+                pdf["weight"].to_numpy().astype(np.float64))
+        np.save(os.path.join(bdir, "inv_deg.npy"),
+                (1.0 / pdf["src_degree"].to_numpy()).astype(np.float64))
+        np.save(os.path.join(bdir, "src_ids.npy"), src_u.astype(np.int64))
+        np.save(os.path.join(bdir, "dst_ids.npy"), dst_u.astype(np.int64))
+        return pd.DataFrame({"block": [block], "n_edges": [len(pdf)]})
+
+    import json
+
+    written = (
+        blocked_df.groupBy("block")
+        .applyInPandas(write_block, "block int, n_edges long")
+        .collect()
+    )
+    # manifest distinguishes "block has no edges" from "store is gone":
+    # without it, losing the scratch dir would silently produce empty
+    # supersteps instead of an error
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(sorted(int(r["block"]) for r in written), f)
 
 
 # ---------------------------------------------------------------------------
@@ -140,27 +183,39 @@ def _load_csr_block(path: str, block: int) -> dict:
     if hit is not None:
         _CSR_CACHE.move_to_end(key)
         return hit
-    import pyarrow.parquet as pq
+    mkey = (path, "_manifest")
+    manifest = _CSR_CACHE.get(mkey)
+    if manifest is None:
+        import json
 
-    bdir = os.path.join(path, f"block={block}")
-    if not os.path.isdir(bdir):
+        mpath = os.path.join(path, "_MANIFEST.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"blocked-edge store missing or incomplete at {path} "
+                "(_MANIFEST.json not found) — rebuild with block_edges()"
+            )
+        with open(mpath) as f:
+            manifest = set(json.load(f))
+        _CSR_CACHE[mkey] = manifest
+    bdir = os.path.join(path, f"block_{block}")
+    if block not in manifest:
         blk = {"empty": True}
+    elif not os.path.isdir(bdir):
+        raise FileNotFoundError(
+            f"block {block} listed in manifest but missing at {bdir} — "
+            "blocked-edge store lost; rebuild with block_edges()"
+        )
     else:
-        t = pq.read_table(bdir, columns=["src", "dst", "weight", "src_inv_deg"])
-        src = t.column("src").to_numpy()
-        dst = t.column("dst").to_numpy()
-        w = t.column("weight").to_numpy()
-        # dense local codes for src and dst: the per-block CSR relabel
-        src_u, src_inv = np.unique(src, return_inverse=True)
-        dst_u, dst_inv = np.unique(dst, return_inverse=True)
+        ld = lambda name: np.load(os.path.join(bdir, name), mmap_mode="r")
+        src_inv = ld("src_code.npy")
         blk = {
-            "empty": len(src) == 0,
-            "src_u": src_u,      # sorted unique srcs in this block
-            "src_inv": src_inv,  # per-edge code into src_u
-            "dst_u": dst_u,
-            "dst_inv": dst_inv,
-            "w": w.astype(np.float64),
-            "inv_deg": t.column("src_inv_deg").to_numpy().astype(np.float64),
+            "empty": len(src_inv) == 0,
+            "src_u": ld("src_ids.npy"),   # sorted unique srcs
+            "src_inv": src_inv,
+            "dst_u": ld("dst_ids.npy"),   # row i ↔ dst code i
+            "dst_inv": ld("dst_code.npy"),
+            "w": ld("w.npy"),
+            "inv_deg": ld("inv_deg.npy"),
         }
     _CSR_CACHE[key] = blk
     if len(_CSR_CACHE) > _CSR_CACHE_MAX:
@@ -173,8 +228,16 @@ def _route_values(blocked: BlockedEdges, values: DataFrame) -> DataFrame:
 
     Normal vertices go to their single bucket; hub vertices are
     replicated to all buckets (their edges are salted everywhere).
+    With no hubs (non-power-law graphs) the routing is a single narrow
+    projection — no joins in the per-superstep hot path.
     """
     nb = blocked.n_blocks
+    if blocked.n_hubs == 0:
+        return values.select(
+            F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int").alias("block"),
+            "id",
+            "val",
+        )
     normal = values.join(blocked.hubs, "id", "left_anti").select(
         F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int").alias("block"),
         "id",

@@ -111,6 +111,39 @@ def copurchase_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return Graph.from_undirected_edges(pairs, weight_col="weight")
 
 
+# ---------------------------------------------------------- cust-order
+
+ORDER_VERTEX_OFFSET = 10_000_000
+
+
+def custorder_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Bipartite customer↔order star forest — every order has exactly
+    one customer, so this graph is all pendants/bridges: the natural
+    fixture for pendant peeling, articulation points, and BCC
+    decomposition (every edge its own BCC; every multi-order customer
+    an articulation point)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("o_orderkey") + F.lit(ORDER_VERTEX_OFFSET)).cast("long").alias("dst"),
+    ).withColumn("weight", F.lit(1.0))
+    return Graph.from_undirected_edges(o, weight_col="weight")
+
+
+CUSTORDER_EDGES_CTE = """
+base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey + 10000000 AS BIGINT) AS dst,
+         CAST(1.0 AS DOUBLE) AS weight
+  FROM orders
+),
+edges AS (
+  SELECT src, dst, weight FROM base
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM base
+)
+""".strip()
+
+
 COPURCHASE_EDGES_CTE = """
 pairs AS (
   SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,

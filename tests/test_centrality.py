@@ -106,3 +106,13 @@ def test_sssp(spark):
     nxg = sample_nx("test4")
     got = {r.vertex: r.dist for r in sssp_distances(g, 0).collect()}
     assert got == nx.single_source_shortest_path_length(nxg, 0)
+
+
+def test_diameter_estimate(spark):
+    from centrality_gpu_spark.operators.bfs import diameter_estimate
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test4.txt")
+    nxg = sample_nx("test4")
+    med = diameter_estimate(g, n_samples=21)
+    eccs = sorted(nx.eccentricity(nxg).values())
+    assert eccs[0] <= med <= eccs[-1]

@@ -50,3 +50,12 @@ def test_degree_histogram(spark):
     for _, d in nxg.degree():
         expected[d] = expected.get(d, 0) + 1
     assert hist == expected
+
+
+def test_max_degree_vertex(spark):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test1.txt")
+    nxg = sample_nx("test1")
+    v, d = g.max_degree_vertex()
+    max_d = max(dd for _, dd in nxg.degree())
+    assert d == max_d
+    assert v == min(n for n, dd in nxg.degree() if dd == max_d)
