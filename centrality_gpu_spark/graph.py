@@ -103,6 +103,16 @@ class Graph:
         ).collect()[0]
         return int(row["v"]), int(row["d"])
 
+    def min_degree_vertex(self) -> tuple[int, int]:
+        """(vertex, degree) of the min-degree vertex — the reference's
+        ear-graph BFS start pick (O6, ``make_ear_graph.cpp:198-201``);
+        ties break to the smallest id."""
+        row = self.degrees().agg(
+            F.min_by("id", F.struct(F.col("degree"), F.col("id"))).alias("v"),
+            F.min("degree").alias("d"),
+        ).collect()[0]
+        return int(row["v"]), int(row["d"])
+
     # -- caching -------------------------------------------------------
 
     def persist(self, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> "Graph":

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from centrality_gpu_spark.graph import Graph
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
-from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterative_conf
 
 
 # --------------------------------------------------------------- numpy core
@@ -244,6 +244,7 @@ def _brandes_backward(
     return union_all([d.select("source", "vertex", "delta") for d in deltas])
 
 
+@with_iterative_conf
 def betweenness_bsp(
     graph: Graph,
     batch_size: int = 2048,

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from centrality_gpu_spark.graph import Graph
-from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterative_conf
 
 FRONTIER_COLS = ("source", "vertex", "dist", "sigma")
 
@@ -44,6 +44,7 @@ class BFSResult:
     levels: list[DataFrame]
 
 
+@with_iterative_conf
 def multi_source_bfs(
     graph: Graph,
     sources: DataFrame,
@@ -115,6 +116,54 @@ def sssp_distances(graph: Graph, source: int) -> DataFrame:
     src_df = graph.spark.createDataFrame([(int(source),)], "source long")
     res = multi_source_bfs(graph, src_df)
     return res.visited.select("vertex", "dist")
+
+
+@with_iterative_conf
+def weighted_sssp(
+    graph: Graph,
+    source: int,
+    max_iterations: int = 200,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Weighted single-source shortest paths: (vertex, dist).
+
+    The reference's weighted path is a per-source binary-heap Dijkstra
+    (☠ G19, ``apsp_graph.cpp:94-172``) — inherently sequential. The
+    Spark-native equivalent is Bellman-Ford-style min-plus relaxation:
+    each superstep relaxes all edges out of vertices improved last
+    round (delta-stepping without buckets); converges in O(shortest-
+    path-hop-diameter) supersteps. Non-negative weights assumed.
+    """
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    edges = graph.edges_by_src()
+    dist = graph.spark.createDataFrame(
+        [(int(source), 0.0)], "vertex long, dist double"
+    )
+    dist = ckpt.truncate(dist)
+    frontier = dist  # vertices improved in the last round
+    for it in range(max_iterations):
+        cand = (
+            frontier.join(edges, frontier.vertex == edges.src)
+            .select(F.col("dst").alias("vertex"),
+                    (F.col("dist") + F.col("weight")).alias("nd"))
+            .groupBy("vertex")
+            .agg(F.min("nd").alias("nd"))
+        )
+        joined = cand.join(dist, "vertex", "left")
+        improved = joined.where(
+            F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+        ).select("vertex", F.col("nd").alias("dist"))
+        improved = ckpt.truncate(improved)
+        n_impr = improved.count()
+        ckpt.record(op="weighted_sssp", iteration=it, improved=n_impr)
+        if n_impr == 0:
+            break
+        dist = ckpt.truncate(
+            dist.join(improved.select("vertex"), "vertex", "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+    return dist
 
 
 def diameter_estimate(graph: Graph, n_samples: int = 512, seed: int = 42) -> float:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from centrality_gpu_spark.graph import Graph
 from centrality_gpu_spark.operators.betweenness import _flat_neighbors, graph_to_csr
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
-from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterative_conf
 
 
 def _closeness_from_farness(farness: DataFrame, n: int) -> DataFrame:
@@ -37,6 +37,7 @@ def _closeness_from_farness(farness: DataFrame, n: int) -> DataFrame:
     return farness.select(F.col("source").alias("id"), c.alias("closeness"))
 
 
+@with_iterative_conf
 def closeness_bsp(
     graph: Graph,
     batch_size: int = 2048,
@@ -101,6 +102,7 @@ def closeness_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame
     return _closeness_from_farness(far, n)
 
 
+@with_iterative_conf
 def farness(graph: Graph, batch_size: int = 2048) -> DataFrame:
     """(id, farness, reachable) — the raw per-source Σdist aggregate."""
     spark = graph.spark

@@ -19,9 +19,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from centrality_gpu_spark.graph import Graph
-from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterative_conf
 
 
+@with_iterative_conf
 def label_propagation(
     graph: Graph,
     max_iterations: int = 20,

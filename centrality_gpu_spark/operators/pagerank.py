@@ -71,6 +71,23 @@ def pagerank(
 
     import time
 
+    from centrality_gpu_spark.plans.checkpoint import iterative_conf
+
+    with iterative_conf(graph.spark):
+        ranks = _pagerank_loop(
+            graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
+            blocked, fixed_iterations, tol, ckpt, name,
+        )
+
+    if own_blocked:
+        blocked.unpersist()
+    return ranks
+
+
+def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
+                   blocked, fixed_iterations, tol, ckpt, name):
+    import time
+
     for it in range(start_iter, n_iter):
         t0 = time.time()
         # contribution r(u)/deg(u): the 1/deg factor is pre-folded into
@@ -104,8 +121,6 @@ def pagerank(
         if delta is not None and delta < tol:
             break
 
-    if own_blocked:
-        blocked.unpersist()
     return ranks
 
 

@@ -56,14 +56,20 @@ class BlockedEdges:
     (supersteps ship only the value vector, never the edges).
     """
 
-    edges: DataFrame
+    edges: DataFrame | None
     hubs: DataFrame
     n_blocks: int
     path: str | None = None
     n_hubs: int = 0
 
+    @property
+    def spark(self):
+        return self.hubs.sparkSession
+
     def unpersist(self) -> None:
-        self.edges.unpersist()
+        if self.edges is not None:
+            self.edges.unpersist()
+        self.hubs.unpersist()
 
 
 def block_edges(
@@ -71,18 +77,26 @@ def block_edges(
     n_blocks: int | None = None,
     hub_threshold: int | None = None,
     scratch_dir: str | None = None,
+    reuse_existing: bool = False,
 ) -> BlockedEdges:
     """Bucket + cache the edge table for repeated supersteps.
 
-    ``scratch_dir``: if given, additionally materialize the buckets as
-    ``{scratch_dir}/block=N/*.parquet``. Python workers then build each
-    block's CSR structures ONCE (on first touch), keep them in a
-    process-local LRU (workers are long-lived, ``spark.python.worker
-    .reuse``), and subsequent supersteps move only (id, val) rows over
-    Arrow — the DataFrame analog of the reference keeping CSR resident
-    on the GPU across sources (``kernels_free.cu:43-79``). On a
-    cluster the dir must be shared storage (HDFS/S3/NFS); re-reads
-    after cache misses are columnar parquet scans of one block.
+    ``scratch_dir``: if given, the buckets are materialized ONCE as a
+    coded ``.npy`` block store (``_write_coded_blocks``); supersteps
+    then run on the disk store (mmap'd, OS-page-cache-shared across
+    workers) and never touch a JVM copy of the edges — the DataFrame
+    analog of the reference keeping CSR resident on the GPU across
+    sources (``kernels_free.cu:43-79``). On a cluster the dir must be
+    shared storage (HDFS/S3/NFS) or per-node scratch.
+
+    ``reuse_existing``: skip the (expensive) store write when a
+    manifest already exists at the path — valid only when the graph
+    and ``n_blocks`` are unchanged (the caller's responsibility; use a
+    content-derived path).
+
+    ``n_blocks`` is independent of core count: more blocks than cores
+    just means finer tasks, and a store built once can serve runs at
+    any parallelism.
     """
     spark = graph.spark
     if n_blocks is None:
@@ -90,6 +104,14 @@ def block_edges(
     if hub_threshold is None:
         # a vertex is a hub if its edges alone would fill ~1/4 of a block
         hub_threshold = 10_000
+
+    hubs = (
+        graph.degrees()
+        .where(F.col("degree") > hub_threshold)
+        .select("id")
+        .persist()
+    )
+    n_hubs = hubs.count()
 
     deg = graph.degrees().select(
         F.col("id").alias("src"), F.col("degree").alias("src_degree")
@@ -99,24 +121,19 @@ def block_edges(
     block = F.when(
         is_hub, F.pmod(F.xxhash64("src", "dst"), F.lit(n_blocks))
     ).otherwise(F.pmod(F.xxhash64("src"), F.lit(n_blocks))).cast("int")
-    blocked = (
-        e.select(block.alias("block"), "src", "dst", "weight", "src_degree")
-        .repartition(n_blocks, "block")
-        .persist()
-    )
-    hubs = (
-        blocked.where(F.col("src_degree") > hub_threshold)
-        .select(F.col("src").alias("id"))
-        .distinct()
-        .persist()
-    )
-    blocked.count()  # materialize cache
-    n_hubs = hubs.count()
-    path = None
+    blocked_plan = e.select(
+        block.alias("block"), "src", "dst", "weight", "src_degree"
+    ).repartition(n_blocks, "block")
+
     if scratch_dir is not None:
         path = os.path.join(scratch_dir, "edges_blocked")
-        _write_coded_blocks(blocked, path)
-    return BlockedEdges(blocked, hubs, n_blocks, path, n_hubs)
+        if not (reuse_existing and os.path.exists(os.path.join(path, "_MANIFEST.json"))):
+            _write_coded_blocks(blocked_plan, path)  # single pass, no persist
+        return BlockedEdges(None, hubs, n_blocks, path, n_hubs)
+
+    blocked = blocked_plan.persist()
+    blocked.count()  # materialize cache
+    return BlockedEdges(blocked, hubs, n_blocks, None, n_hubs)
 
 
 def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
@@ -243,7 +260,7 @@ def _route_values(blocked: BlockedEdges, values: DataFrame) -> DataFrame:
         "id",
         "val",
     )
-    all_blocks = blocked.edges.sparkSession.range(nb).select(
+    all_blocks = blocked.spark.range(nb).select(
         F.col("id").cast("int").alias("block")
     )
     hub_vals = (
@@ -342,6 +359,8 @@ def spmv(
             cached_kernel, "id long, partial double"
         )
     else:
+        if blocked.edges is None:
+            raise ValueError("BlockedEdges has neither a disk store nor a cached DF")
 
         def kernel(key, edge_pdf, val_pdf):
             return _spmv_kernel(

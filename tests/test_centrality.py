@@ -116,3 +116,21 @@ def test_diameter_estimate(spark):
     med = diameter_estimate(g, n_samples=21)
     eccs = sorted(nx.eccentricity(nxg).values())
     assert eccs[0] <= med <= eccs[-1]
+
+
+def test_weighted_sssp(spark):
+    from centrality_gpu_spark.operators.bfs import weighted_sssp
+
+    rng = np.random.default_rng(9)
+    nxg = nx.gnm_random_graph(30, 60, seed=7)
+    for u, v in nxg.edges():
+        nxg[u][v]["weight"] = float(rng.integers(1, 10))
+    df = spark.createDataFrame(
+        [(u, v, nxg[u][v]["weight"]) for u, v in nxg.edges()],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_undirected_edges(df, weight_col="weight")
+    src = 0
+    got = {r.vertex: r.dist for r in weighted_sssp(g, src).collect()}
+    exp = nx.single_source_dijkstra_path_length(nxg, src)
+    assert got == pytest.approx(exp)

@@ -59,3 +59,12 @@ def test_max_degree_vertex(spark):
     max_d = max(dd for _, dd in nxg.degree())
     assert d == max_d
     assert v == min(n for n, dd in nxg.degree() if dd == max_d)
+
+
+def test_min_degree_vertex(spark):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test1.txt")
+    nxg = sample_nx("test1")
+    v, d = g.min_degree_vertex()
+    min_d = min(dd for _, dd in nxg.degree())
+    assert d == min_d
+    assert v == min(n for n, dd in nxg.degree() if dd == min_d)

