@@ -69,11 +69,19 @@ def pagerank(
     base = (1.0 - alpha) / n
     n_iter = fixed_iterations if fixed_iterations is not None else max_iterations
 
-    import time
+    import contextlib
 
-    from centrality_gpu_spark.plans.checkpoint import iterative_conf
+    from centrality_gpu_spark.plans.checkpoint import (
+        ITERATIVE_CONF_MIN_EDGES,
+        iterative_conf,
+    )
 
-    with iterative_conf(graph.spark):
+    cm = (
+        iterative_conf(graph.spark)
+        if graph.num_edges() >= ITERATIVE_CONF_MIN_EDGES
+        else contextlib.nullcontext()
+    )
+    with cm:
         ranks = _pagerank_loop(
             graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
             blocked, fixed_iterations, tol, ckpt, name,

@@ -55,19 +55,28 @@ def iterative_conf(spark: SparkSession):
         spark.conf.set(key, old)
 
 
+# below this many *undirected* edges, per-superstep shuffles are tiny
+# and AQE coalescing is a win (fewer near-empty tasks); above it the
+# coalescer serializes real work and must be off
+ITERATIVE_CONF_MIN_EDGES = 100_000
+
+
 def with_iterative_conf(fn):
     """Decorator: run an operator whose body is a superstep loop under
-    ``iterative_conf``. The operator's first argument must expose
-    ``.spark`` (a Graph). The loop's jobs all execute inside the
-    function (truncate/count per iteration), so scoping the conf to the
-    call covers the hot path; the returned DataFrame is already
-    materialized (checkpointed/cached) when the conf is restored."""
+    ``iterative_conf`` — but only for graphs big enough that the
+    coalescer hurts (see ITERATIVE_CONF_MIN_EDGES; for tiny graphs
+    coalescing the near-empty shuffles is strictly better). The
+    operator's first argument must be a Graph. The loop's jobs all
+    execute inside the function (truncate/count per iteration), so
+    scoping the conf to the call covers the hot path."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(graph, *args, **kwargs):
-        with iterative_conf(graph.spark):
-            return fn(graph, *args, **kwargs)
+        if graph.num_edges() >= ITERATIVE_CONF_MIN_EDGES:
+            with iterative_conf(graph.spark):
+                return fn(graph, *args, **kwargs)
+        return fn(graph, *args, **kwargs)
 
     return wrapper
 

@@ -70,6 +70,8 @@ def main() -> None:
     for a, b in zip(core_counts, core_counts[1:]):
         k = b / a
         for j in jobs:
+            if j == "block_build":
+                continue  # one-time store build, reused across points
             ta, tb = points[a]["jobs"].get(j), points[b]["jobs"].get(j)
             if not ta or not tb:
                 continue
