@@ -100,8 +100,10 @@ def multi_source_bfs(
         new_visited = keyed(visited.unionByName(new_frontier.select(*FRONTIER_COLS)))
         if depth % 4 == 0:
             new_visited = ckpt.truncate(new_visited)  # bound plan lineage
+        # persist lazily: the cache materializes inside the NEXT
+        # superstep's anti-join (no extra per-level pass over the
+        # growing set); retired copies are unpersisted at the end
         new_visited.persist()
-        new_visited.count()
         retired.append(visited)
         visited = new_visited
         frontier = new_frontier
