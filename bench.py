@@ -109,6 +109,22 @@ def main() -> None:
         .count(),
     )
 
+    # q9: the north-rule pipeline end-to-end — synthesize transcripts,
+    # build the conv/tool graph (tool + co-invocation edges, dense
+    # relabel), PageRank it. Generation is distributed + deterministic.
+    def transcripts_pipeline():
+        from centrality_gpu_spark.datagen import generate_transcripts
+        from centrality_gpu_spark.sources.transcripts import transcript_graph
+
+        tr = generate_transcripts(
+            spark, n_conversations=20_000, n_tools=100, max_turns=40,
+            embed_samples=False,
+        )
+        tg = transcript_graph(tr, id_mode="hash")
+        return pagerank(tg.graph, fixed_iterations=10, mode="sql").count()
+
+    timed("q9_transcripts_pipeline_20k", transcripts_pipeline)
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
