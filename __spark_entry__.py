@@ -156,6 +156,19 @@ def _q_articulation_custorder(spark: SparkSession, sf: str) -> DataFrame:
     return articulation_points(custorder_graph(spark, sf))
 
 
+def _q_clustering_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.triangles import clustering_coefficient
+
+    return clustering_coefficient(copurchase_graph(spark, sf))
+
+
+def _q_core_numbers_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.kcore import core_numbers
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    return core_numbers(custorder_graph(spark, sf))
+
+
 def _q_pendant_peel_custorder(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.pendant import pendant_peel
     from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
@@ -251,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcc_histogram_custorder": _q_bcc_histogram_custorder,
         "articulation_custorder": _q_articulation_custorder,
         "pendant_peel_custorder": _q_pendant_peel_custorder,
+        "clustering_copurchase": _q_clustering_copurchase,
+        "core_numbers_custorder": _q_core_numbers_custorder,
         # rows-only (no SQL oracle; verified vs networkx in pytest):
         "lpa_events": _q_lpa_events,
         "betweenness_events": _q_betweenness_events,
@@ -320,6 +335,24 @@ SELECT o AS id, CAST(0 AS INTEGER) AS round, c AS parent FROM oc
 UNION ALL
 SELECT c AS id, CAST(0 AS INTEGER) AS round, mo AS parent FROM cdeg WHERE n = 1
 ORDER BY id
+""".strip(),
+        "clustering_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
+        f"{TRIANGLE_COUNT_SQL},\n"
+        "roles AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri"
+        " UNION ALL SELECT c FROM tri),\n"
+        "cnt AS (SELECT id, COUNT(*) AS n_tri FROM roles GROUP BY id)\n"
+        "SELECT d.id,\n"
+        "  ROUND(CASE WHEN d.degree >= 2\n"
+        "        THEN 2.0 * COALESCE(c.n_tri, 0) / (d.degree * (d.degree - 1))\n"
+        "        ELSE 0.0 END, 6) AS clustering\n"
+        "FROM deg d LEFT JOIN cnt c ON d.id = c.id ORDER BY d.id",
+        # star forest: every vertex has core number exactly 1
+        "core_numbers_custorder": """
+SELECT CAST(o_custkey AS BIGINT) AS id, CAST(1 AS INTEGER) AS core
+FROM (SELECT DISTINCT o_custkey FROM orders)
+UNION ALL
+SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id, CAST(1 AS INTEGER) AS core
+FROM orders ORDER BY id
 """.strip(),
         "sssp_events": f"WITH RECURSIVE {EVENTS_EDGES_CTE},\n"
         "walk(vertex, dist) AS (\n"

@@ -72,6 +72,19 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
     )
 
 
+def clustering_coefficient(graph: Graph) -> DataFrame:
+    """(id, clustering) — local clustering coefficient
+    2·tri(v) / (deg(v)·(deg(v)−1)), 0 for degree < 2 (nx semantics).
+    Pure composition of triangles_per_vertex + degrees."""
+    t = triangles_per_vertex(graph)
+    d = graph.degrees()
+    cc = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return t.join(d, "id").select("id", F.round(cc, 6).alias("clustering"))
+
+
 # DuckDB oracle fragment: same orientation + wedge-close, over a CTE
 # named `edges(src,dst,weight)` with both directions present.
 TRIANGLE_COUNT_SQL = """

@@ -1,0 +1,36 @@
+"""k-core, core numbers, clustering coefficient vs networkx."""
+
+import networkx as nx
+import pytest
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.operators.kcore import core_numbers, k_core
+from centrality_gpu_spark.operators.triangles import clustering_coefficient
+from centrality_gpu_spark.sources.edgelist import read_edge_list_local
+
+from tests.conftest import SAMPLE_DIR, sample_nx
+
+
+def test_k_core_samples(spark, sample_name):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    nxg = sample_nx(sample_name)
+    for k in (2, 3):
+        sub = k_core(g, k)
+        got = {r.id for r in sub.vertices().collect()}
+        assert got == set(nx.k_core(nxg, k).nodes())
+
+
+def test_core_numbers(spark):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test4.txt")
+    nxg = sample_nx("test4")
+    got = {r.id: r.core for r in core_numbers(g).collect()}
+    assert got == nx.core_number(nxg)
+
+
+def test_clustering_coefficient(spark, sample_name):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    nxg = sample_nx(sample_name)
+    got = {r.id: r.clustering for r in clustering_coefficient(g).collect()}
+    exp = nx.clustering(nxg)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-6), v
