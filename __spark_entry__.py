@@ -110,6 +110,13 @@ def _q_pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
 
 
+def _q_pagerank_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
+    pr = pagerank(
+        events_graph(spark, sf), fixed_iterations=PR_ITERS, mode="sql", weighted=True
+    )
+    return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
+
+
 def _q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(copurchase_graph(spark, sf))
 
@@ -255,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_events": _q_components_events,
         "pagerank_events": _q_pagerank_events,
         "pagerank_copurchase": _q_pagerank_copurchase,
+        "pagerank_weighted_events": _q_pagerank_weighted_events,
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
         "sssp_events": _q_sssp_events,
@@ -308,6 +316,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_copurchase": pagerank_oracle_sql(
             COPURCHASE_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
+        ),
+        "pagerank_weighted_events": pagerank_oracle_sql(
+            EVENTS_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND,
+            weighted=True,
         ),
         "triangle_count_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
         f"{TRIANGLE_COUNT_SQL}\n"

@@ -139,13 +139,13 @@ class Graph:
         """
         if self._src_part is None:
             n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            deg = self.degrees().select(
-                F.col("id").alias("src"),
-                (F.lit(1.0) / F.col("degree")).alias("src_inv_deg"),
+            deg = self.edges.groupBy("src").agg(
+                (F.lit(1.0) / F.count("*")).alias("src_inv_deg"),
+                (F.lit(1.0) / F.sum("weight")).alias("src_inv_wdeg"),
             )
             self._src_part = (
                 self.edges.join(deg, "src")
-                .select("src", "dst", "weight", "src_inv_deg")
+                .select("src", "dst", "weight", "src_inv_deg", "src_inv_wdeg")
                 .repartition(n, "src")
                 .persist()
             )

@@ -39,8 +39,16 @@ def pagerank(
     mode: str = "csr",
     checkpoint: CheckpointManager | None = None,
     blocked: BlockedEdges | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
-    """Return (id:long, rank:double)."""
+    """Return (id:long, rank:double).
+
+    ``weighted=True``: contributions are r(u)·w(u,v)/Σ_v w(u,v) — the
+    natural semantics when edge weight = tool-invocation count
+    (transcript graphs). SQL mode only (the CSR store pre-folds the
+    unweighted 1/deg)."""
+    if weighted and mode != "sql":
+        raise ValueError("weighted PageRank requires mode='sql'")
     ckpt = checkpoint or CheckpointManager(graph.spark)
     # loop-invariant inputs: materialize once, not per iteration
     verts = ckpt.truncate(graph.vertices())
@@ -84,7 +92,7 @@ def pagerank(
     with cm:
         ranks = _pagerank_loop(
             graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
-            blocked, fixed_iterations, tol, ckpt, name,
+            blocked, fixed_iterations, tol, ckpt, name, weighted,
         )
 
     if own_blocked:
@@ -93,7 +101,7 @@ def pagerank(
 
 
 def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
-                   blocked, fixed_iterations, tol, ckpt, name):
+                   blocked, fixed_iterations, tol, ckpt, name, weighted=False):
     import time
 
     for it in range(start_iter, n_iter):
@@ -106,6 +114,8 @@ def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
         vals = ranks.select("id", F.col("rank").alias("val"))
         if mode == "csr":
             msgs = spmv(blocked, vals, weighted=False, divide_by_src_degree=True)
+        elif weighted:
+            msgs = spmv_sql(graph, vals, weighted=True, divide_by_src_wdegree=True)
         else:
             msgs = spmv_sql(graph, vals, weighted=False, divide_by_src_degree=True)
         new_ranks = msgs.select(
@@ -133,7 +143,8 @@ def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
 
 
 def pagerank_oracle_sql(
-    edges_cte: str, alpha: float = 0.85, iterations: int = 5, round_digits: int = 8
+    edges_cte: str, alpha: float = 0.85, iterations: int = 5,
+    round_digits: int = 8, weighted: bool = False,
 ) -> str:
     """DuckDB SQL computing the *identical* fixed-iteration recurrence by
     unrolling (recursive CTEs can't aggregate per step in DuckDB 1.0).
@@ -142,9 +153,11 @@ def pagerank_oracle_sql(
     holding both directions. Output: (id, rank) rounded — the Spark side
     rounds identically so the driver's value-hash comparison is stable.
     """
+    deg_expr = "SUM(weight)" if weighted else "COUNT(*)"
+    contrib = "p.rank * e.weight / d.degree" if weighted else "p.rank / d.degree"
     parts = [
         edges_cte,
-        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)",
+        f"deg AS (SELECT src AS id, {deg_expr} AS degree FROM edges GROUP BY src)",
         "verts AS (SELECT id FROM deg)",
         "nv AS (SELECT COUNT(*) AS n FROM verts)",
         "pr0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM verts)",
@@ -152,7 +165,7 @@ def pagerank_oracle_sql(
     for k in range(iterations):
         parts.append(
             f"""c{k} AS (
-  SELECT e.dst AS id, SUM(p.rank / d.degree) AS msg
+  SELECT e.dst AS id, SUM({contrib}) AS msg
   FROM edges e
   JOIN pr{k} p ON e.src = p.id
   JOIN deg d ON e.src = d.id

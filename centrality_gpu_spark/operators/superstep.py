@@ -381,6 +381,7 @@ def spmv_sql(
     values: DataFrame,
     weighted: bool = True,
     divide_by_src_degree: bool = False,
+    divide_by_src_wdegree: bool = False,
 ) -> DataFrame:
     """Reference SQL-mode SpMV (pure DataFrame join+agg) for testing the
     CSR path against — Catalyst/Tungsten, no Python. Same contract.
@@ -391,6 +392,8 @@ def spmv_sql(
     w = F.col("weight") if weighted else F.lit(1.0)
     if divide_by_src_degree:
         w = w * F.col("src_inv_deg")
+    if divide_by_src_wdegree:
+        w = w * F.col("src_inv_wdeg")
     return (
         e.join(values, e.src == values.id)
         .select("dst", (F.col("val") * w).alias("m"))
