@@ -185,7 +185,7 @@ def bcc_size_histogram(graph: Graph) -> DataFrame:
 
 # ----------------------------------- decomposed (reach-weighted) Brandes
 
-def _component_decomposed_bc(src, dst, total_n=None):
+def _component_decomposed_bc(src, dst):
     """Whole decomposition for ONE connected component, in numpy:
     Tarjan → block-cut tree → reach values → per-BCC reach-weighted
     Brandes + art-point pair terms. Returns dict vertex→bc.

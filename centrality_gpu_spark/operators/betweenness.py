@@ -149,7 +149,15 @@ def betweenness_broadcast(
     if sources is None:
         dense_sources = list(range(n))
     else:
-        dense_sources = np.searchsorted(ids, np.array(sources)).tolist()
+        srcs = np.asarray(sources)
+        pos = np.searchsorted(ids, srcs)
+        bad = (pos >= n) | (ids[np.minimum(pos, n - 1)] != srcs)
+        if bad.any():
+            raise ValueError(
+                f"unknown source vertex ids: {srcs[bad][:5].tolist()}"
+                f"{'...' if int(bad.sum()) > 5 else ''}"
+            )
+        dense_sources = pos.tolist()
     if num_tasks is None:
         num_tasks = min(
             int(spark.conf.get("spark.sql.shuffle.partitions")),

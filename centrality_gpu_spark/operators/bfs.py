@@ -143,6 +143,7 @@ def weighted_sssp(
     )
     dist = ckpt.truncate(dist)
     frontier = dist  # vertices improved in the last round
+    n_impr = 0
     for it in range(max_iterations):
         cand = (
             frontier.join(edges, frontier.vertex == edges.src)
@@ -165,6 +166,15 @@ def weighted_sssp(
             .unionByName(improved)
         )
         frontier = improved
+    else:
+        if n_impr > 0:
+            # the last round still improved distances: the result is not
+            # a fixpoint — error out rather than return wrong distances
+            raise RuntimeError(
+                f"weighted_sssp did not converge within {max_iterations} "
+                f"iterations ({n_impr} vertices still improving); raise "
+                "max_iterations (hop diameter exceeds the cap)"
+            )
     return dist
 
 

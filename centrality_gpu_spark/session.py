@@ -4,8 +4,8 @@ Local-mode defaults are tuned for the sandbox (single JVM, 32 threads,
 128 GiB); on a real cluster the same builder is used with ``master`` and
 memory knobs supplied by spark-submit. AQE is always on — it supplies
 runtime skew-join splitting and partition coalescing, which together
-with explicit salting (operators/skew.py) is our answer to power-law
-hub-vertex skew.
+with explicit hub salting (operators/superstep.py block_edges) is our
+answer to power-law hub-vertex skew.
 """
 
 from __future__ import annotations

@@ -53,11 +53,13 @@ def vertex_ids(transcripts: DataFrame, id_mode: str = "dense") -> DataFrame:
         .withColumn("kind", F.lit("tool"))
     )
     names = convs.unionByName(tools)
+    # id derives from (kind, name): a tool whose name collides with a
+    # conv_id must still get its own vertex
     if id_mode == "hash":
         return names.select(
-            F.xxhash64("name").alias("id"), "name", "kind"
+            F.xxhash64("kind", "name").alias("id"), "name", "kind"
         )
-    w = Window.orderBy("name")
+    w = Window.orderBy("name", "kind")
     return names.select(
         (F.row_number().over(w) - 1).cast("long").alias("id"), "name", "kind"
     )
@@ -82,6 +84,10 @@ def transcript_graph(
     vmap = vertex_ids(transcripts, id_mode=id_mode).persist()
     inv = tool_invocations(transcripts).persist()
 
+    # edge lists carry the endpoint KIND: a tool name that happens to
+    # collide with a conv_id must not resolve to the conv vertex (the
+    # vertex map is keyed by (name, kind), so a name-only join would
+    # fan out and mis-wire edges)
     name_edges: list[DataFrame] = []
     if "tool" in edge_types:
         name_edges.append(
@@ -89,6 +95,8 @@ def transcript_graph(
                 F.col("conv_id").alias("a"),
                 F.col("tool").alias("b"),
                 F.col("n").cast("double").alias("weight"),
+                F.lit("conv").alias("a_kind"),
+                F.lit("tool").alias("b_kind"),
             )
         )
     if "coinvocation" in edge_types:
@@ -107,15 +115,27 @@ def transcript_graph(
             .agg(F.count("*").alias("shared"))
         )
         name_edges.append(
-            pairs.select("a", "b", F.col("shared").cast("double").alias("weight"))
+            pairs.select(
+                "a", "b", F.col("shared").cast("double").alias("weight"),
+                F.lit("conv").alias("a_kind"), F.lit("conv").alias("b_kind"),
+            )
         )
 
     from centrality_gpu_spark.graph import union_all
 
     ne = union_all(name_edges)
-    va = vmap.select(F.col("name").alias("a"), F.col("id").alias("src"))
-    vb = vmap.select(F.col("name").alias("b"), F.col("id").alias("dst"))
-    edges = ne.join(va, "a").join(vb, "b").select("src", "dst", "weight")
+    va = vmap.select(
+        F.col("name").alias("a"), F.col("kind").alias("a_kind"),
+        F.col("id").alias("src"),
+    )
+    vb = vmap.select(
+        F.col("name").alias("b"), F.col("kind").alias("b_kind"),
+        F.col("id").alias("dst"),
+    )
+    edges = (
+        ne.join(va, ["a", "a_kind"]).join(vb, ["b", "b_kind"])
+        .select("src", "dst", "weight")
+    )
     g = Graph.from_undirected_edges(edges, weight_col="weight")
     inv.unpersist()
     return TranscriptGraph(g, vmap)

@@ -34,3 +34,23 @@ def test_clustering_coefficient(spark, sample_name):
     exp = nx.clustering(nxg)
     for v in exp:
         assert got[v] == pytest.approx(exp[v], abs=1e-6), v
+
+
+def test_k_core_long_path_converges(spark):
+    # a path peels one vertex per round from each end under k=2: a
+    # capped loop would return a non-empty "2-core" — the real 2-core
+    # of a path is empty
+    edges = [(i, i + 1) for i in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_undirected_edges(df)
+    assert k_core(g, 2).vertices().count() == 0
+    got = {r.id: r.core for r in core_numbers(g).collect()}
+    assert got == {i: 1 for i in range(61)}
+
+
+def test_k_core_round_cap_raises(spark):
+    edges = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_undirected_edges(df)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(g, 2, max_rounds=2)

@@ -123,3 +123,27 @@ def test_max_tool_degree_cap(spark):
     pairs = {(r.src, r.dst) for r in tg.graph.edges.collect()}
     assert (vm["a"], vm["b"]) in pairs          # via 'rare'
     assert (vm["c"], vm["d"]) not in pairs      # 'hub' capped out
+
+
+def test_tool_name_colliding_with_conv_id(spark):
+    # a tool literally named like a conv_id must stay a separate vertex
+    # and edges must not fan out through the name-only join
+    rows = [
+        ("conv_a", 0, "user", "t", "conv_b", None),
+        ("conv_b", 0, "user", "t", "hammer", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    for mode in ("dense", "hash"):
+        tg = transcript_graph(df, edge_types=("tool",), id_mode=mode)
+        vm = {(r.name, r.kind): r.id for r in tg.vertex_map.collect()}
+        assert len(vm) == 4  # conv_a, conv_b(conv), conv_b(tool), hammer
+        assert vm[("conv_b", "conv")] != vm[("conv_b", "tool")]
+        edges = {(r.src, r.dst) for r in tg.graph.edges.collect()}
+        # exactly 2 undirected edges: conv_a–tool:conv_b, conv_b–hammer
+        assert len(edges) == 4
+        assert (vm[("conv_a", "conv")], vm[("conv_b", "tool")]) in edges
+        assert (vm[("conv_b", "conv")], vm[("hammer", "tool")]) in edges
+        assert (vm[("conv_a", "conv")], vm[("conv_b", "conv")]) not in edges
