@@ -15,10 +15,12 @@ Graph queries run over two graphs derived from the testdata parquet
 Both are defined twice — DataFrame ops and a DuckDB CTE named
 ``edges`` — in the same module, to keep Spark and oracle in lockstep.
 
-Non-SQL-expressible ops (betweenness, closeness, LPA — iterative
-fixpoints DuckDB 1.0's recursive CTEs can't aggregate inside) have no
-oracle entry → driver records the weaker rows-only check; they are
-instead verified against networkx goldens in tests/ (pytest).
+Iterative fixpoints DuckDB 1.0's recursive CTEs can't aggregate inside
+are still hash-checked where a closed form exists: LPA unrolls a fixed
+round budget (``lpa_oracle_sql``), and betweenness/closeness/decomposed
+BC run on the customer↔order star forest whose per-star BC and
+closeness have exact SQL forms. Only the events-graph centralities stay
+rows-only (verified against networkx goldens in tests/).
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from centrality_gpu_spark.operators.components import connected_components
-from centrality_gpu_spark.operators.labelprop import label_propagation
+from centrality_gpu_spark.operators.labelprop import label_propagation, lpa_oracle_sql
 from centrality_gpu_spark.operators.pagerank import pagerank, pagerank_oracle_sql
 from centrality_gpu_spark.operators.betweenness import betweenness_broadcast
 from centrality_gpu_spark.operators.closeness import closeness_broadcast
@@ -70,6 +72,7 @@ from centrality_gpu_spark.sources.testdata_graphs import (
 
 PR_ITERS = 5
 PR_ROUND = 8
+LPA_ITERS = 8
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -134,7 +137,9 @@ def _q_sssp_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_lpa_events(spark: SparkSession, sf: str) -> DataFrame:
-    return label_propagation(events_graph(spark, sf))
+    # fixed round budget so the DuckDB oracle can unroll the identical
+    # recurrence (early stop only fires at a fixpoint — same labels)
+    return label_propagation(events_graph(spark, sf), max_iterations=LPA_ITERS)
 
 
 def _q_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -187,6 +192,87 @@ def _q_pendant_peel_custorder(spark: SparkSession, sf: str) -> DataFrame:
 def _q_closeness_events(spark: SparkSession, sf: str) -> DataFrame:
     c = closeness_broadcast(events_graph(spark, sf))
     return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+# --- star-forest centrality queries (closed-form oracles): on the
+# customer↔order graph every component is a star, so BC and closeness
+# have exact SQL forms — this is what lets the driver hash-check the
+# flagship Brandes/closeness kernels (both physical strategies)
+
+def _q_betweenness_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    bc = betweenness_broadcast(custorder_graph(spark, sf))
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_betweenness_bsp_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.betweenness import betweenness_bsp
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    bc = betweenness_bsp(custorder_graph(spark, sf), batch_size=4096)
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_betweenness_decomposed_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.bcc import betweenness_decomposed
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    bc = betweenness_decomposed(custorder_graph(spark, sf))
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_closeness_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    c = closeness_broadcast(custorder_graph(spark, sf))
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def _q_closeness_bsp_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.closeness import closeness_bsp
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    c = closeness_bsp(custorder_graph(spark, sf), batch_size=4096)
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+# closed forms (reference BC semantics = ordered pairs, 2× nx
+# unnormalized; closeness = wf_improved): a star with center c and k
+# leaves has BC(c) = k(k-1), BC(leaf) = 0; with n total graph vertices
+# C(c) = (k/k)·(k/(n-1)) and C(leaf) = (k/(2k-1))·(k/(n-1)). The SQL
+# mirrors the engine's float expression shape exactly so round(6)
+# agrees bitwise.
+
+BETWEENNESS_CUSTORDER_SQL = """
+WITH k AS (
+  SELECT CAST(o_custkey AS BIGINT) AS id, COUNT(*) AS k
+  FROM orders GROUP BY o_custkey
+)
+SELECT id, ROUND(CAST(k * (k - 1) AS DOUBLE), 6) AS bc FROM k
+UNION ALL
+SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id, 0.0 AS bc FROM orders
+ORDER BY id
+""".strip()
+
+CLOSENESS_CUSTORDER_SQL = """
+WITH k AS (
+  SELECT CAST(o_custkey AS BIGINT) AS c, CAST(COUNT(*) AS DOUBLE) AS k
+  FROM orders GROUP BY o_custkey
+),
+nn AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) + COUNT(*) - 1 AS DOUBLE) AS n1
+  FROM orders
+)
+SELECT c AS id,
+       ROUND((k / k) * (k / (SELECT n1 FROM nn)), 6) AS closeness
+FROM k
+UNION ALL
+SELECT CAST(o.o_orderkey + 10000000 AS BIGINT) AS id,
+       ROUND((k.k / (2 * k.k - 1)) * (k.k / (SELECT n1 FROM nn)), 6) AS closeness
+FROM orders o JOIN k ON CAST(o.o_custkey AS BIGINT) = k.c
+ORDER BY id
+""".strip()
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -274,8 +360,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pendant_peel_custorder": _q_pendant_peel_custorder,
         "clustering_copurchase": _q_clustering_copurchase,
         "core_numbers_custorder": _q_core_numbers_custorder,
-        # rows-only (no SQL oracle; verified vs networkx in pytest):
         "lpa_events": _q_lpa_events,
+        # flagship centralities, oracle-checked on the star forest
+        # (closed-form SQL), both physical strategies:
+        "betweenness_custorder": _q_betweenness_custorder,
+        "betweenness_bsp_custorder": _q_betweenness_bsp_custorder,
+        "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
+        "closeness_custorder": _q_closeness_custorder,
+        "closeness_bsp_custorder": _q_closeness_bsp_custorder,
+        # rows-only (no closed form on the events graph; verified vs
+        # networkx goldens in pytest):
         "betweenness_events": _q_betweenness_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "closeness_events": _q_closeness_events,
@@ -366,6 +460,12 @@ UNION ALL
 SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id, CAST(1 AS INTEGER) AS core
 FROM orders ORDER BY id
 """.strip(),
+        "lpa_events": lpa_oracle_sql(EVENTS_EDGES_CTE, iterations=LPA_ITERS),
+        "betweenness_custorder": BETWEENNESS_CUSTORDER_SQL,
+        "betweenness_bsp_custorder": BETWEENNESS_CUSTORDER_SQL,
+        "betweenness_decomposed_custorder": BETWEENNESS_CUSTORDER_SQL,
+        "closeness_custorder": CLOSENESS_CUSTORDER_SQL,
+        "closeness_bsp_custorder": CLOSENESS_CUSTORDER_SQL,
         "sssp_events": f"WITH RECURSIVE {EVENTS_EDGES_CTE},\n"
         "walk(vertex, dist) AS (\n"
         "  SELECT (SELECT MIN(src) FROM edges), 0\n"

@@ -67,3 +67,44 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def lpa_oracle_sql(edges_cte: str, iterations: int) -> str:
+    """DuckDB SQL computing the *identical* synchronous LPA recurrence
+    by unrolling ``iterations`` rounds (same pattern as
+    ``pagerank_oracle_sql``; recursive CTEs can't aggregate per step in
+    DuckDB 1.0).
+
+    Equivalence to ``label_propagation(g, max_iterations=K)``: the
+    update is a deterministic function of the previous labeling, and
+    Spark's early stop fires only at a fixpoint — where further rounds
+    are no-ops — so K unrolled rounds give the same labels whether or
+    not Spark stopped early.
+
+    ``edges_cte`` must define ``edges(src, dst, weight)`` holding both
+    directions. Output: (id, label).
+    """
+    parts = [
+        edges_cte,
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""v{k} AS (
+  SELECT e.dst AS id, l.label FROM edges e JOIN l{k} l ON e.src = l.id
+  UNION ALL
+  SELECT id, label FROM l{k}
+),
+c{k} AS (SELECT id, label, COUNT(*) AS cnt FROM v{k} GROUP BY id, label),
+l{k + 1} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, label FROM l{iterations} ORDER BY id"
+    )
