@@ -32,8 +32,8 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from centrality_gpu_spark.operators.betweenness import betweenness_broadcast
-    from centrality_gpu_spark.operators.bfs import multi_source_bfs
+    from centrality_gpu_spark.operators.betweenness import betweenness
+    from centrality_gpu_spark.operators.bfs import bfs_visited
     from centrality_gpu_spark.operators.components import connected_components
     from centrality_gpu_spark.operators.labelprop import label_propagation
     from centrality_gpu_spark.operators.pagerank import pagerank
@@ -84,11 +84,12 @@ def main() -> None:
     tri, _ = timed("q4_triangle_count", lambda: triangle_count(g).collect())
     extras["n_triangles"] = tri[0]["n_triangles"]
 
-    # q5: batched multi-source BFS, 256-source wave (G13 superstep)
+    # q5: batched multi-source BFS, 256 sources — auto regime (broadcast
+    # CSR kernel at this scale; BSP supersteps above the size guard)
     srcs = [r.id for r in g.vertices().limit(256).collect()]
     src_df = spark.createDataFrame([(int(s),) for s in srcs], "source long")
     bfs_res, bfs_secs = timed(
-        "q5_bfs_256src", lambda: multi_source_bfs(g, src_df).visited.count()
+        "q5_bfs_256src", lambda: bfs_visited(g, src_df).count()
     )
     extras["bfs_pair_visits"] = bfs_res
     extras["bfs_traversals_per_sec"] = round(len(srcs) * m_directed / bfs_secs, 1)
@@ -96,10 +97,11 @@ def main() -> None:
     # q6: label propagation, capped iterations
     timed("q6_labelprop_5it", lambda: label_propagation(g, max_iterations=5).count())
 
-    # q7: exact betweenness, 64 sampled sources (broadcast-CSR kernel)
+    # q7: exact betweenness, 64 sampled sources (auto regime: broadcast
+    # CSR here, size-guarded to BSP at 100×)
     timed(
         "q7_betweenness_64src",
-        lambda: betweenness_broadcast(g, sources=srcs[:64]).agg(F.sum("bc")).collect(),
+        lambda: betweenness(g, sources=srcs[:64]).agg(F.sum("bc")).collect(),
     )
 
     # q8: events-graph PageRank end-to-end (scan → edges → rank)

@@ -47,20 +47,12 @@ from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterat
 
 # --------------------------------------------------------------- numpy core
 
-def _flat_neighbors(indptr: np.ndarray, indices: np.ndarray, verts: np.ndarray):
-    """Vectorized CSR slice gather: all neighbors of ``verts``.
-
-    Returns (vrep, nbr): per-edge source vertex (repeated) and target.
-    """
-    starts = indptr[verts]
-    counts = indptr[verts + 1] - starts
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=indices.dtype), np.empty(0, dtype=indices.dtype)
-    # flat positions: for each vert, the range [start, start+count)
-    offs = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
-    flat = np.arange(total, dtype=np.int64) + offs
-    return np.repeat(verts, counts), indices[flat]
+from centrality_gpu_spark.operators.csrkernels import (  # noqa: E402  (re-exported)
+    DEFAULT_BROADCAST_MAX_EDGES,
+    _flat_neighbors,
+    bfs_forward,
+    graph_to_csr,
+)
 
 
 def brandes_kernel(
@@ -72,29 +64,17 @@ def brandes_kernel(
 ) -> np.ndarray:
     """Per-level vectorized Brandes for a batch of sources → partial bc.
 
-    Forward = G13 (min-dist claim A2 + σ accumulation A1); backward =
-    G15 successor-form dependency accumulation, all per-level numpy
-    (np.add.at ≅ the kernels' atomicAdd).
+    Forward = G13 via the shared direction-optimizing kernel
+    (csrkernels.bfs_forward: min-dist claim A2 + σ accumulation A1,
+    Beamer top-down/bottom-up switch G6); backward = G15 successor-form
+    dependency accumulation, all per-level numpy (np.add.at ≅ the
+    kernels' atomicAdd).
     """
     if reach is None:
         reach = np.zeros(n)
     bc = np.zeros(n)
     for s in sources:
-        dist = np.full(n, -1, dtype=np.int64)
-        sigma = np.zeros(n)
-        dist[s] = 0
-        sigma[s] = 1.0
-        levels = [np.array([s], dtype=indices.dtype)]
-        d = 0
-        while levels[-1].size:
-            vrep, nbr = _flat_neighbors(indptr, indices, levels[-1])
-            undisc = nbr[dist[nbr] == -1]
-            dist[undisc] = d + 1
-            nxt_mask = dist[nbr] == d + 1
-            np.add.at(sigma, nbr[nxt_mask], sigma[vrep[nxt_mask]])
-            levels.append(np.unique(undisc))
-            d += 1
-        levels.pop()  # last level is empty
+        dist, sigma, levels = bfs_forward(indptr, indices, int(s), n)
         delta = np.zeros(n)
         for lvl in range(len(levels) - 1, 0, -1):
             vrep, nbr = _flat_neighbors(indptr, indices, levels[lvl - 1])
@@ -107,26 +87,6 @@ def brandes_kernel(
 
 
 # ------------------------------------------------------------ broadcast mode
-
-def graph_to_csr(graph: Graph):
-    """Collect the (symmetric) edge table into dense-relabel CSR arrays.
-
-    Returns (ids, indptr, indices): ids[i] = original vertex id of dense
-    id i. Only valid in the broadcast regime (graph fits driver memory).
-    """
-    pdf = graph.edges.select("src", "dst").toPandas()
-    src = pdf["src"].to_numpy()
-    dst = pdf["dst"].to_numpy()
-    ids = np.unique(np.concatenate([src, dst]))
-    s = np.searchsorted(ids, src)
-    t = np.searchsorted(ids, dst)
-    n = len(ids)
-    order = np.lexsort((t, s))  # counting-sort CSR build (O2 analog)
-    s, t = s[order], t[order]
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(indptr, s + 1, 1)
-    indptr = np.cumsum(indptr)
-    return ids, indptr, t.astype(np.int64)
 
 
 def betweenness_broadcast(
@@ -184,6 +144,31 @@ def betweenness_broadcast(
         .join(bc, "id", "left")
         .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
     )
+
+
+def betweenness(
+    graph: Graph,
+    sources: list[int] | None = None,
+    strategy: str = "auto",
+    max_broadcast_edges: int = DEFAULT_BROADCAST_MAX_EDGES,
+    **kwargs,
+) -> DataFrame:
+    """(id, bc) — regime-dispatching front door.
+
+    ``auto`` routes to the broadcast-CSR kernel when the directed edge
+    count fits ``max_broadcast_edges`` and to the fully distributed BSP
+    twin otherwise — the size guard that makes the broadcast default
+    safe at 100× scale (no silent driver collect of a huge edge table).
+    """
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if graph.num_edges() * 2 <= max_broadcast_edges else "bsp"
+        )
+    if strategy == "broadcast":
+        return betweenness_broadcast(graph, sources=sources, **kwargs)
+    if strategy == "bsp":
+        return betweenness_bsp(graph, sources=sources, **kwargs)
+    raise ValueError(f"unknown strategy {strategy!r}")
 
 
 # ------------------------------------------------------------------ BSP mode

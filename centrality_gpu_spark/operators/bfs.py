@@ -92,7 +92,10 @@ def multi_source_bfs(
             agg.join(visited.select("source", "vertex"), ["source", "vertex"], "left_anti")
             .select("source", "vertex", F.lit(depth).alias("dist"), "sigma")
         )
-        new_frontier = ckpt.truncate(new_frontier)
+        # lazy checkpoint: the count() below is the single action that
+        # both materializes the truncated frontier and sizes it — one
+        # job per superstep, not two
+        new_frontier = ckpt.truncate(new_frontier, eager=False)
         n_new = new_frontier.count()
         ckpt.record(op="bfs", depth=depth, frontier=n_new)
         if n_new == 0:
@@ -111,6 +114,72 @@ def multi_source_bfs(
     for df in retired:
         df.unpersist()
     return BFSResult(visited, levels)
+
+
+def multi_source_bfs_broadcast(graph: Graph, sources: DataFrame) -> DataFrame:
+    """Broadcast-CSR fast path for batched BFS: same (source, vertex,
+    dist, sigma) rows as ``multi_source_bfs(...).visited``, but each
+    Spark task runs the direction-optimizing numpy forward kernel over
+    a slice of sources against the broadcast CSR — no per-superstep
+    shuffles at all. The right plan whenever the graph fits the
+    broadcast limit (csrkernels.DEFAULT_BROADCAST_MAX_EDGES); the BSP
+    superstep path is the fallback above it (see ``bfs_visited``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from centrality_gpu_spark.operators.csrkernels import bfs_forward, graph_to_csr
+
+    spark = graph.spark
+    ids, indptr, indices = graph_to_csr(graph)
+    n = len(ids)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices))
+    num_tasks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    src_df = sources.select(F.col("source").cast("long")).repartition(num_tasks)
+
+    def run_batch(batches):
+        ids_, indptr_, indices_ = bcast.value
+        n_ = len(ids_)
+        for pdf in batches:
+            for s in pdf["source"].to_numpy():
+                pos = int(np.searchsorted(ids_, s))
+                if pos >= n_ or ids_[pos] != s:
+                    raise ValueError(f"unknown BFS source vertex id {s}")
+                dist, sigma, _levels = bfs_forward(indptr_, indices_, pos, n_)
+                reached = dist >= 0
+                yield pd.DataFrame(
+                    {
+                        "source": np.full(int(reached.sum()), s, dtype=np.int64),
+                        "vertex": ids_[reached],
+                        "dist": dist[reached].astype(np.int32),
+                        "sigma": sigma[reached],
+                    }
+                )
+
+    return src_df.mapInPandas(
+        run_batch, "source long, vertex long, dist int, sigma double"
+    )
+
+
+def bfs_visited(
+    graph: Graph,
+    sources: DataFrame,
+    strategy: str = "auto",
+    max_broadcast_edges: int | None = None,
+) -> DataFrame:
+    """(source, vertex, dist, sigma) for every reached pair — regime
+    dispatcher: broadcast-CSR kernel under the size guard, BSP
+    frontier-join supersteps above it."""
+    from centrality_gpu_spark.operators.csrkernels import DEFAULT_BROADCAST_MAX_EDGES
+
+    limit = max_broadcast_edges or DEFAULT_BROADCAST_MAX_EDGES
+    if strategy == "auto":
+        strategy = "broadcast" if graph.num_edges() * 2 <= limit else "bsp"
+    if strategy == "broadcast":
+        return multi_source_bfs_broadcast(graph, sources)
+    if strategy == "bsp":
+        return multi_source_bfs(graph, sources).visited
+    raise ValueError(f"unknown strategy {strategy!r}")
 
 
 def sssp_distances(graph: Graph, source: int) -> DataFrame:

@@ -15,14 +15,17 @@ kernel over the broadcast CSR.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from centrality_gpu_spark.graph import Graph
-from centrality_gpu_spark.operators.betweenness import _flat_neighbors, graph_to_csr
+from centrality_gpu_spark.operators.csrkernels import (
+    DEFAULT_BROADCAST_MAX_EDGES,
+    bfs_forward,
+    graph_to_csr,
+)
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
 from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterative_conf
 
@@ -80,16 +83,7 @@ def closeness_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame
         for pdf in batches:
             out_id, out_far, out_reach = [], [], []
             for s in pdf["sid"].to_numpy():
-                dist = np.full(n_, -1, dtype=np.int64)
-                dist[s] = 0
-                frontier = np.array([s], dtype=indices_.dtype)
-                d = 0
-                while frontier.size:
-                    _, nbr = _flat_neighbors(indptr_, indices_, frontier)
-                    undisc = np.unique(nbr[dist[nbr] == -1])
-                    dist[undisc] = d + 1
-                    frontier = undisc
-                    d += 1
+                dist, _sigma, _levels = bfs_forward(indptr_, indices_, int(s), n_)
                 reached = dist >= 0
                 out_id.append(ids_[s])
                 out_far.append(int(dist[reached].sum()))
@@ -100,6 +94,25 @@ def closeness_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame
 
     far = src_df.mapInPandas(run_batch, "source long, farness long, reachable long")
     return _closeness_from_farness(far, n)
+
+
+def closeness(
+    graph: Graph,
+    strategy: str = "auto",
+    max_broadcast_edges: int = DEFAULT_BROADCAST_MAX_EDGES,
+    **kwargs,
+) -> DataFrame:
+    """(id, closeness) — regime-dispatching front door (same size guard
+    as ``betweenness``: broadcast CSR under the limit, BSP above)."""
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if graph.num_edges() * 2 <= max_broadcast_edges else "bsp"
+        )
+    if strategy == "broadcast":
+        return closeness_broadcast(graph, **kwargs)
+    if strategy == "bsp":
+        return closeness_bsp(graph, **kwargs)
+    raise ValueError(f"unknown strategy {strategy!r}")
 
 
 @with_iterative_conf

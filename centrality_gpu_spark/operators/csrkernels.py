@@ -1,0 +1,132 @@
+"""Shared numpy CSR kernels for the broadcast regime.
+
+The reference keeps the CSR resident on the GPU and runs one BFS per
+thread-block (``kernels_free.cu:43-79,154-473``); here the CSR arrays
+are broadcast once per job and each Spark task runs vectorized numpy
+over a batch of sources. Everything in this module is driver/worker
+numpy — no Spark imports — so both the betweenness and closeness
+operators (and the BFS fast path) share one forward kernel.
+
+Direction-optimizing BFS (G6/G14): each level picks top-down
+(frontier → neighbors) or bottom-up (undiscovered → neighbors) by
+comparing the edges each side would touch, the Beamer α-heuristic the
+reference hardcodes as α=15/β=25 (``bcc_bfs.cpp:322-323,542-567``) and
+gates by its sampled-diameter test (``kernels_free.cu:447-470``). On
+power-law graphs the middle BFS levels hold most of the graph, so the
+bottom-up steps touch Σdeg(undiscovered) ≪ Σdeg(frontier) edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Above this many *directed* edge rows the CSR no longer belongs on the
+# driver/in a task: callers must fall back to the BSP superstep path.
+# 64M rows ≈ 1 GiB of int64 CSR — comfortable for this sandbox's 48 GiB
+# driver; tune per deployment.
+DEFAULT_BROADCAST_MAX_EDGES = 64_000_000
+
+# Beamer direction switch: bottom-up when the frontier's edge count
+# exceeds (undiscovered edges)/alpha (reference α=15, bcc_bfs.cpp:322)
+BEAMER_ALPHA = 15.0
+
+
+def _flat_neighbors(indptr: np.ndarray, indices: np.ndarray, verts: np.ndarray):
+    """Vectorized CSR slice gather: all neighbors of ``verts``.
+
+    Returns (vrep, nbr): per-edge source vertex (repeated) and target.
+    """
+    starts = indptr[verts]
+    counts = indptr[verts + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=indices.dtype), np.empty(0, dtype=indices.dtype)
+    # flat positions: for each vert, the range [start, start+count)
+    offs = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    flat = np.arange(total, dtype=np.int64) + offs
+    return np.repeat(verts, counts), indices[flat]
+
+
+def graph_to_csr(graph, max_edges: int | None = DEFAULT_BROADCAST_MAX_EDGES):
+    """Collect the (symmetric) edge table into dense-relabel CSR arrays.
+
+    Returns (ids, indptr, indices): ids[i] = original vertex id of dense
+    id i. Only valid in the broadcast regime; raises when the edge table
+    exceeds ``max_edges`` directed rows instead of silently OOMing the
+    driver — callers with an auto strategy route to their BSP twin
+    before hitting this guard.
+    """
+    if max_edges is not None:
+        directed = graph.num_edges() * 2
+        if directed > max_edges:
+            raise ValueError(
+                f"graph has {directed} directed edges > broadcast limit "
+                f"{max_edges}; use the BSP strategy (betweenness_bsp / "
+                "closeness_bsp / multi_source_bfs) or raise max_edges"
+            )
+    pdf = graph.edges.select("src", "dst").toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    t = np.searchsorted(ids, dst)
+    n = len(ids)
+    order = np.lexsort((t, s))  # counting-sort CSR build (O2 analog)
+    s, t = s[order], t[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    indptr = np.cumsum(indptr)
+    return ids, indptr, t.astype(np.int64)
+
+
+def bfs_forward(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    s: int,
+    n: int,
+    alpha: float = BEAMER_ALPHA,
+):
+    """Direction-optimizing single-source BFS with σ path counting.
+
+    Returns (dist, sigma, levels): dist[v] = hop distance (-1 if
+    unreached), sigma[v] = number of shortest s→v paths (float64 — the
+    reference's ull σ only ever enters results as the float ratio σw/σv,
+    ``kernels_free.cu:391``), levels[d] = vertices at distance d.
+
+    Top-down step cost ∝ Σdeg(frontier); bottom-up ∝ Σdeg(undisc);
+    pick bottom-up when deg(frontier)·α > deg(undisc) (Beamer; the
+    reference's α=15 switch at ``bcc_bfs.cpp:542-567``).
+    """
+    dist = np.full(n, -1, dtype=np.int64)
+    sigma = np.zeros(n)
+    dist[s] = 0
+    sigma[s] = 1.0
+    levels = [np.array([s], dtype=indices.dtype)]
+    deg = np.diff(indptr)
+    deg_undisc = int(deg.sum()) - int(deg[s])
+    d = 0
+    while levels[-1].size:
+        frontier = levels[-1]
+        deg_frontier = int(deg[frontier].sum())
+        if deg_frontier * alpha > deg_undisc:
+            # bottom-up: undiscovered vertices scan for level-d parents
+            undisc = np.nonzero(dist == -1)[0].astype(indices.dtype)
+            vrep, nbr = _flat_neighbors(indptr, indices, undisc)
+            m = dist[nbr] == d
+            v = vrep[m]
+            np.add.at(sigma, v, sigma[nbr[m]])
+            nxt = np.unique(v)
+        else:
+            # top-down: frontier scans its neighbors (J1/A1/A2)
+            vrep, nbr = _flat_neighbors(indptr, indices, frontier)
+            undisc_nbr = nbr[dist[nbr] == -1]
+            dist[undisc_nbr] = d + 1  # claim before σ so ties all count
+            nxt_mask = dist[nbr] == d + 1
+            np.add.at(sigma, nbr[nxt_mask], sigma[vrep[nxt_mask]])
+            nxt = np.unique(undisc_nbr)
+        dist[nxt] = d + 1
+        deg_undisc -= int(deg[nxt].sum())
+        levels.append(nxt)
+        d += 1
+    levels.pop()  # last level is empty
+    return dist, sigma, levels

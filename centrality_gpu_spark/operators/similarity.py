@@ -14,7 +14,11 @@
   LSH bucketing — embedding near-dup dedup.
 
 At 100 TB the corpus side streams partition-by-partition against a
-broadcast query set (or IVF cells); nothing here collects the corpus.
+broadcast query set (or IVF cells). The one collect in this module is
+the *query* matrix of ``cosine_topk_gemm`` — when no explicit query set
+is given it defaults to the corpus itself, so a row-count guard
+(``MAX_QUERY_COLLECT_ROWS``) refuses to silently pull a huge corpus to
+the driver and points at ``lsh_topk`` instead.
 """
 
 from __future__ import annotations
@@ -66,14 +70,33 @@ def cosine_topk_sql(
     )
 
 
+MAX_QUERY_COLLECT_ROWS = 1_000_000
+
+
 def cosine_topk_gemm(
-    embeddings: DataFrame, queries: DataFrame | None = None, k: int = 5
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    max_query_rows: int = MAX_QUERY_COLLECT_ROWS,
 ) -> DataFrame:
     """Same contract as cosine_topk_sql; numpy GEMM per corpus partition
     against a broadcast query matrix, partial top-k per partition
-    (np.argpartition), final top-k via window. Shuffle = P·Q·k rows."""
+    (np.argpartition), final top-k via window. Shuffle = P·Q·k rows.
+
+    The query side is collected and broadcast, so it must be small;
+    ``queries=None`` means all-pairs over the corpus — guarded by
+    ``max_query_rows`` so a big corpus errors with a pointer to
+    ``lsh_topk`` instead of OOMing the driver."""
     spark = embeddings.sparkSession
     qdf = queries if queries is not None else embeddings
+    n_q = qdf.count()
+    if n_q > max_query_rows:
+        side = "corpus (queries=None means all-pairs)" if queries is None else "query set"
+        raise ValueError(
+            f"cosine_topk_gemm would collect a {side} of {n_q} rows "
+            f"(> {max_query_rows}); pass a small explicit `queries` DF, "
+            "or use lsh_topk for approximate all-pairs at scale"
+        )
     qpd = with_unit_vectors(qdf).toPandas()
     qids = qpd["vec_id"].to_numpy()
     qmat = np.stack(qpd["unit"].to_numpy())

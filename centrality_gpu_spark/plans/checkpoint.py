@@ -115,10 +115,14 @@ class CheckpointManager:
 
     # -- lineage truncation (every iteration) --------------------------
 
-    def truncate(self, df: DataFrame) -> DataFrame:
+    def truncate(self, df: DataFrame, eager: bool = True) -> DataFrame:
         """Cut Catalyst lineage. localCheckpoint is executor-local —
-        cheap, survives within the app; durable epochs handle restarts."""
-        return df.localCheckpoint(eager=True)
+        cheap, survives within the app; durable epochs handle restarts.
+
+        ``eager=False`` defers materialization to the caller's next
+        action — use it when the loop immediately counts the result, so
+        each superstep runs ONE job instead of two."""
+        return df.localCheckpoint(eager=eager)
 
     # -- metrics --------------------------------------------------------
 

@@ -134,3 +134,84 @@ def test_weighted_sssp(spark):
     got = {r.vertex: r.dist for r in weighted_sssp(g, src).collect()}
     exp = nx.single_source_dijkstra_path_length(nxg, src)
     assert got == pytest.approx(exp)
+
+
+# ------------------------- round 2: direction switch + regime guards
+
+def test_bfs_forward_direction_invariance(spark, sample_name):
+    """Forcing all-top-down vs all-bottom-up gives identical dist/sigma
+    (G6: the Beamer switch is a physical choice, not a semantic one)."""
+    from centrality_gpu_spark.operators.csrkernels import bfs_forward
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    ids, indptr, indices = graph_to_csr(g)
+    n = len(ids)
+    for s in range(min(n, 4)):
+        d_td, s_td, lv_td = bfs_forward(indptr, indices, s, n, alpha=float("inf"))
+        d_bu, s_bu, lv_bu = bfs_forward(indptr, indices, s, n, alpha=0.0)
+        d_auto, s_auto, _ = bfs_forward(indptr, indices, s, n)
+        assert (d_td == d_bu).all() and (d_td == d_auto).all()
+        assert np.allclose(s_td, s_bu) and np.allclose(s_td, s_auto)
+        assert len(lv_td) == len(lv_bu)
+        for a, b in zip(lv_td, lv_bu):
+            assert (np.sort(a) == np.sort(b)).all()
+
+
+def test_graph_to_csr_size_guard(spark):
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test1.txt")
+    with pytest.raises(ValueError, match="broadcast limit"):
+        graph_to_csr(g, max_edges=2)
+
+
+def test_auto_strategy_routes_to_bsp(spark, monkeypatch):
+    """Above the size guard the front doors must never collect the edge
+    table — broadcast kernels are made unreachable and results must
+    still be golden-correct via the BSP twins."""
+    import centrality_gpu_spark.operators.betweenness as bmod
+    import centrality_gpu_spark.operators.closeness as cmod
+    from centrality_gpu_spark.operators.betweenness import betweenness
+    from centrality_gpu_spark.operators.closeness import closeness
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast path must not run above the guard")
+
+    monkeypatch.setattr(bmod, "betweenness_broadcast", boom)
+    monkeypatch.setattr(cmod, "closeness_broadcast", boom)
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test2.txt")
+    nxg = sample_nx("test2")
+    bc = {r.id: r.bc for r in betweenness(g, max_broadcast_edges=2).collect()}
+    exp = golden_bc(nxg)
+    for v in exp:
+        assert bc[v] == pytest.approx(exp[v], abs=1e-6)
+    cl = {r.id: r.closeness for r in closeness(g, max_broadcast_edges=2).collect()}
+    exp_c = nx.closeness_centrality(nxg)
+    for v in exp_c:
+        assert cl[v] == pytest.approx(exp_c[v], abs=1e-6)
+
+
+def test_bfs_visited_broadcast_equals_bsp(spark, sample_name):
+    from centrality_gpu_spark.operators.bfs import bfs_visited
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    srcs = spark.createDataFrame([(0,), (1,)], "source long")
+    fast = {
+        (r.source, r.vertex): (r.dist, r.sigma)
+        for r in bfs_visited(g, srcs, strategy="broadcast").collect()
+    }
+    slow = {
+        (r.source, r.vertex): (r.dist, r.sigma)
+        for r in bfs_visited(g, srcs, strategy="bsp").collect()
+    }
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        assert fast[k][0] == slow[k][0]
+        assert fast[k][1] == pytest.approx(slow[k][1])
+
+
+def test_bfs_broadcast_unknown_source_raises(spark):
+    from centrality_gpu_spark.operators.bfs import multi_source_bfs_broadcast
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test1.txt")
+    srcs = spark.createDataFrame([(424242,)], "source long")
+    with pytest.raises(Exception, match="unknown BFS source"):
+        multi_source_bfs_broadcast(g, srcs).collect()

@@ -99,3 +99,8 @@ def test_embedding_near_duplicates(spark):
              for r in embedding_near_duplicates(df, threshold=0.95).collect()}
     assert (0, 1) in pairs
     assert all(k == (0, 1) for k in pairs)
+
+
+def test_gemm_query_collect_guard(embeddings):
+    with pytest.raises(ValueError, match="lsh_topk"):
+        cosine_topk_gemm(embeddings, max_query_rows=3).count()
