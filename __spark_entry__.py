@@ -114,8 +114,9 @@ def _q_pagerank_copurchase(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_pagerank_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
+    # CSR mode: the driver gate covers the weighted block-store path
     pr = pagerank(
-        events_graph(spark, sf), fixed_iterations=PR_ITERS, mode="sql", weighted=True
+        events_graph(spark, sf), fixed_iterations=PR_ITERS, mode="csr", weighted=True
     )
     return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
 

@@ -45,10 +45,10 @@ def pagerank(
 
     ``weighted=True``: contributions are r(u)·w(u,v)/Σ_v w(u,v) — the
     natural semantics when edge weight = tool-invocation count
-    (transcript graphs). SQL mode only (the CSR store pre-folds the
-    unweighted 1/deg)."""
-    if weighted and mode != "sql":
-        raise ValueError("weighted PageRank requires mode='sql'")
+    (transcript graphs). Works in both modes: the CSR block store
+    pre-folds the normalized factor (``w_norm``) exactly like the
+    unweighted 1/deg, so the weighted hot loop also ships only
+    (id, rank)."""
     ckpt = checkpoint or CheckpointManager(graph.spark)
     # loop-invariant inputs: materialize once, not per iteration
     verts = ckpt.truncate(graph.vertices())
@@ -112,7 +112,9 @@ def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
         # symmetrized graph has ≥1 in-edge, so msgs covers all vertices
         # and no vertex left-join is needed either.
         vals = ranks.select("id", F.col("rank").alias("val"))
-        if mode == "csr":
+        if mode == "csr" and weighted:
+            msgs = spmv(blocked, vals, divide_by_src_wdegree=True)
+        elif mode == "csr":
             msgs = spmv(blocked, vals, weighted=False, divide_by_src_degree=True)
         elif weighted:
             msgs = spmv_sql(graph, vals, weighted=True, divide_by_src_wdegree=True)

@@ -113,8 +113,9 @@ def block_edges(
     )
     n_hubs = hubs.count()
 
-    deg = graph.degrees().select(
-        F.col("id").alias("src"), F.col("degree").alias("src_degree")
+    deg = graph.edges.groupBy("src").agg(
+        F.count("*").alias("src_degree"),
+        F.sum("weight").alias("src_wdeg"),
     )
     e = graph.edges.join(deg, "src")
     is_hub = F.col("src_degree") > hub_threshold
@@ -122,7 +123,7 @@ def block_edges(
         is_hub, F.pmod(F.xxhash64("src", "dst"), F.lit(n_blocks))
     ).otherwise(F.pmod(F.xxhash64("src"), F.lit(n_blocks))).cast("int")
     blocked_plan = e.select(
-        block.alias("block"), "src", "dst", "weight", "src_degree"
+        block.alias("block"), "src", "dst", "weight", "src_degree", "src_wdeg"
     ).repartition(n_blocks, "block")
 
     if scratch_dir is not None:
@@ -167,6 +168,13 @@ def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
                 pdf["weight"].to_numpy().astype(np.float64))
         np.save(os.path.join(bdir, "inv_deg.npy"),
                 (1.0 / pdf["src_degree"].to_numpy()).astype(np.float64))
+        # weight-normalized message factor w(u,v)/Σ_v' w(u,v') — the
+        # weighted-PageRank analog of inv_deg, pre-folded once so the
+        # weighted CSR hot loop ships only (id, rank) like the
+        # unweighted one
+        np.save(os.path.join(bdir, "w_norm.npy"),
+                (pdf["weight"].to_numpy()
+                 / pdf["src_wdeg"].to_numpy()).astype(np.float64))
         np.save(os.path.join(bdir, "src_ids.npy"), src_u.astype(np.int64))
         np.save(os.path.join(bdir, "dst_ids.npy"), dst_u.astype(np.int64))
         return pd.DataFrame({"block": [block], "n_edges": [len(pdf)]})
@@ -180,9 +188,11 @@ def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
     )
     # manifest distinguishes "block has no edges" from "store is gone":
     # without it, losing the scratch dir would silently produce empty
-    # supersteps instead of an error
+    # supersteps instead of an error. v2 adds w_norm.npy per block.
     with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
-        json.dump(sorted(int(r["block"]) for r in written), f)
+        json.dump(
+            {"version": 2, "blocks": sorted(int(r["block"]) for r in written)}, f
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +222,9 @@ def _load_csr_block(path: str, block: int) -> dict:
                 "(_MANIFEST.json not found) — rebuild with block_edges()"
             )
         with open(mpath) as f:
-            manifest = set(json.load(f))
+            raw = json.load(f)
+        # v1 manifests were a bare block list (no w_norm arrays)
+        manifest = set(raw["blocks"]) if isinstance(raw, dict) else set(raw)
         _CSR_CACHE[mkey] = manifest
     bdir = os.path.join(path, f"block_{block}")
     if block not in manifest:
@@ -225,6 +237,7 @@ def _load_csr_block(path: str, block: int) -> dict:
     else:
         ld = lambda name: np.load(os.path.join(bdir, name), mmap_mode="r")
         src_inv = ld("src_code.npy")
+        wn_path = os.path.join(bdir, "w_norm.npy")
         blk = {
             "empty": len(src_inv) == 0,
             "src_u": ld("src_ids.npy"),   # sorted unique srcs
@@ -233,6 +246,8 @@ def _load_csr_block(path: str, block: int) -> dict:
             "dst_inv": ld("dst_code.npy"),
             "w": ld("w.npy"),
             "inv_deg": ld("inv_deg.npy"),
+            # absent in v1 stores; weighted supersteps check and error
+            "w_norm": ld("w_norm.npy") if os.path.exists(wn_path) else None,
         }
     _CSR_CACHE[key] = blk
     if len(_CSR_CACHE) > _CSR_CACHE_MAX:
@@ -272,11 +287,14 @@ def _route_values(blocked: BlockedEdges, values: DataFrame) -> DataFrame:
 
 def _spmv_kernel(key, edge_pdf: pd.DataFrame, val_pdf: pd.DataFrame,
                  weighted: bool = True,
-                 divide_by_src_degree: bool = False) -> pd.DataFrame:
+                 divide_by_src_degree: bool = False,
+                 divide_by_src_wdegree: bool = False) -> pd.DataFrame:
     """Per-block CSR gather-scatter in numpy (runs inside Arrow batches).
 
     gather: msg[e] = val[src[e]] * weight[e]   (weight ≡ 1 if unweighted)
     partial scatter-add by dst (map-side combine): np.bincount.
+    ``divide_by_src_wdegree``: factor = w(u,v)/Σ_v' w(u,v') (weighted
+    PageRank message normalization).
     """
     import numpy as np
 
@@ -285,9 +303,12 @@ def _spmv_kernel(key, edge_pdf: pd.DataFrame, val_pdf: pd.DataFrame,
                              "partial": pd.Series([], dtype="float64")})
     src = edge_pdf["src"].to_numpy()
     dst = edge_pdf["dst"].to_numpy()
-    w = edge_pdf["weight"].to_numpy() if weighted else 1.0
-    if divide_by_src_degree:
-        w = w / edge_pdf["src_degree"].to_numpy()
+    if divide_by_src_wdegree:
+        w = edge_pdf["weight"].to_numpy() / edge_pdf["src_wdeg"].to_numpy()
+    else:
+        w = edge_pdf["weight"].to_numpy() if weighted else 1.0
+        if divide_by_src_degree:
+            w = w / edge_pdf["src_degree"].to_numpy()
     vid = val_pdf["id"].to_numpy()
     vval = val_pdf["val"].to_numpy(dtype="float64")
 
@@ -311,6 +332,7 @@ def spmv(
     values: DataFrame,
     weighted: bool = True,
     divide_by_src_degree: bool = False,
+    divide_by_src_wdegree: bool = False,
 ) -> DataFrame:
     """y = Aᵀ·x over the blocked edge table.
 
@@ -345,10 +367,18 @@ def spmv(
             ok = (pos < len(src_u)) & (src_u[np.minimum(pos, len(src_u) - 1)] == vid)
             lookup[pos[ok]] = vval[ok]
             msg = lookup[blk["src_inv"]]
-            if weighted:
-                msg = msg * blk["w"]
-            if divide_by_src_degree:
-                msg = msg * blk["inv_deg"]
+            if divide_by_src_wdegree:
+                if blk["w_norm"] is None:
+                    raise FileNotFoundError(
+                        f"block store at {path} predates w_norm (v1); "
+                        "rebuild with block_edges() for weighted supersteps"
+                    )
+                msg = msg * blk["w_norm"]
+            else:
+                if weighted:
+                    msg = msg * blk["w"]
+                if divide_by_src_degree:
+                    msg = msg * blk["inv_deg"]
             partial = np.bincount(
                 blk["dst_inv"], weights=msg, minlength=len(blk["dst_u"])
             )
@@ -366,6 +396,7 @@ def spmv(
             return _spmv_kernel(
                 key, edge_pdf, val_pdf,
                 weighted=weighted, divide_by_src_degree=divide_by_src_degree,
+                divide_by_src_wdegree=divide_by_src_wdegree,
             )
 
         partials = (

@@ -81,3 +81,36 @@ def test_pagerank_csr_with_forced_salting(spark):
     b = {r.id: r["rank"] for r in pagerank(g, mode="sql", fixed_iterations=4).collect()}
     assert np.allclose([a[k] for k in sorted(a)], [b[k] for k in sorted(b)], atol=1e-12)
     blocked.unpersist()
+
+
+def test_pagerank_weighted_modes_agree_events(spark):
+    """Weighted CSR path (pre-folded w_norm in the block store) must
+    match the weighted SQL mode bit-for-bit-ish."""
+    g = events_graph(spark, SF_SMALL).persist()
+    a = {r.id: r["rank"] for r in
+         pagerank(g, mode="sql", fixed_iterations=5, weighted=True).collect()}
+    b = {r.id: r["rank"] for r in
+         pagerank(g, mode="csr", fixed_iterations=5, weighted=True).collect()}
+    assert set(a) == set(b)
+    assert np.allclose([a[k] for k in sorted(a)], [b[k] for k in sorted(b)], atol=1e-12)
+    # weighted differs from unweighted on this graph (weights = counts)
+    c = {r.id: r["rank"] for r in
+         pagerank(g, mode="csr", fixed_iterations=5).collect()}
+    assert not np.allclose(
+        [b[k] for k in sorted(b)], [c[k] for k in sorted(c)], atol=1e-9
+    )
+    g.unpersist()
+
+
+def test_pagerank_weighted_csr_cogroup_mode(spark):
+    """The non-disk cogroup fallback must agree too (exercises the
+    src_wdeg column path in _spmv_kernel)."""
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test3.txt")
+    blocked = block_edges(g)  # no scratch_dir -> cogroup path
+    a = {r.id: r["rank"] for r in
+         pagerank(g, mode="csr", fixed_iterations=4, weighted=True,
+                  blocked=blocked).collect()}
+    b = {r.id: r["rank"] for r in
+         pagerank(g, mode="sql", fixed_iterations=4, weighted=True).collect()}
+    assert np.allclose([a[k] for k in sorted(a)], [b[k] for k in sorted(b)], atol=1e-12)
+    blocked.unpersist()
