@@ -45,9 +45,11 @@ from centrality_gpu_spark.operators.dedup import (
     EXACT_DUP_SQL,
     exact_duplicates,
     minhash_dedup,
+    minhash_oracle_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_sql,
     simhash_near_duplicates,
+    simhash_oracle_sql,
 )
 from centrality_gpu_spark.operators.similarity import (
     cosine_topk_gemm,
@@ -336,10 +338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
-        # rows-only (hash functions not replicable in DuckDB; verified
-        # against exact variants in pytest):
+        # md5-mode LSH pipelines — the whole shingle→signature→band→
+        # bucket-join→verify chain replicated in DuckDB:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_near_dups": _q_simhash_near_dups,
+        # rows-only (numpy random hyperplanes not replicable in DuckDB;
+        # recall measured vs brute force in pytest):
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dups": _q_embedding_near_dups,
         "edges_events": _q_edges_events,
@@ -388,6 +392,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT fp, COUNT(*) AS n_docs FROM fp GROUP BY fp "
         "HAVING COUNT(*) > 1 ORDER BY fp",
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
+        "minhash_dedup": minhash_oracle_sql(threshold=0.5),
+        "simhash_near_dups": simhash_oracle_sql(max_hamming=8),
         "ann_topk": cosine_topk_oracle_sql(k=5, where="vec_id < 200"),
         "edges_events": f"WITH {EVENTS_EDGES_CTE}\n"
         "SELECT src, dst, weight FROM edges ORDER BY src, dst",

@@ -105,10 +105,9 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def ngram_jaccard_sql(threshold: float = 0.5, n: int = DEFAULT_NGRAM) -> str:
-    """DuckDB twin of ngram_jaccard_pairs (same shingling)."""
-    return f"""
-WITH norm AS (
+def shingle_ctes(n: int = DEFAULT_NGRAM) -> str:
+    """DuckDB CTEs (norm, toks, sh) reproducing ``with_shingles``."""
+    return f"""norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
   FROM documents
 ),
@@ -121,7 +120,13 @@ sh AS (
                  FOR i IN range(1, len(w) - {n - 2})] END
          ) AS shingles
   FROM toks
-),
+)"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.5, n: int = DEFAULT_NGRAM) -> str:
+    """DuckDB twin of ngram_jaccard_pairs (same shingling)."""
+    return f"""
+WITH {shingle_ctes(n)},
 sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
 inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 inter AS (
@@ -141,21 +146,34 @@ ORDER BY doc_a, doc_b
 
 # --------------------------------------------------------------- MinHash
 
+def _mh_slot(shingles_col, h: int, hash_mode: str):
+    """One signature slot: min over shingles of hash_h(shingle).
+
+    ``md5`` mode keeps the hash as a hex *string* (lexicographic min) —
+    deliberately: DuckDB computes the identical digest, which is what
+    makes the LSH pipeline driver-oracle-checkable. ``xx64`` is the
+    faster JVM-native variant for hot paths that don't need an oracle.
+    """
+    if hash_mode == "md5":
+        return F.array_min(
+            F.transform(
+                shingles_col, lambda s: F.md5(F.concat(F.lit(f"mh{h}:"), s))
+            )
+        )
+    return F.array_min(F.transform(shingles_col, lambda s: F.xxhash64(s, F.lit(h))))
+
+
 def minhash_signatures(
     documents: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     n: int = DEFAULT_NGRAM,
+    hash_mode: str = "md5",
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — sig[h] = min over shingles of
-    xxhash64(shingle, h). All JVM array ops (array_min ∘ transform)."""
+    """(doc_id, sig: array) — sig[h] = min over shingles of
+    hash_h(shingle). All JVM array ops (array_min ∘ transform)."""
     sh = with_shingles(documents, n)
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(h)))
-            )
-            for h in range(num_hashes)
-        ]
+        *[_mh_slot(F.col("shingles"), h, hash_mode) for h in range(num_hashes)]
     )
     return sh.select("doc_id", sig.alias("sig"))
 
@@ -165,19 +183,22 @@ def minhash_candidates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_NGRAM,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """LSH banding: (doc_a, doc_b, est_jaccard) for pairs sharing ≥1
     band bucket. est_jaccard = fraction of matching signature slots."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n).persist()
+    sigs = minhash_signatures(documents, num_hashes, n, hash_mode).persist()
+
+    def bucket_of(bi):
+        slots = [F.col("sig")[bi * rows + r] for r in range(rows)]
+        if hash_mode == "md5":
+            return F.md5(F.concat_ws("|", *slots))
+        return F.xxhash64(*slots).cast("string")
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias(
-                    "bucket"
-                ),
-            )
+            F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
             for bi in range(bands)
         ]
     )
@@ -218,10 +239,13 @@ def minhash_dedup(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_NGRAM,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Candidates filtered by *exact* Jaccard ≥ threshold (the
     verify-after-LSH pattern): (doc_a, doc_b, jaccard)."""
-    cand = minhash_candidates(documents, num_hashes, bands, n).select("doc_a", "doc_b")
+    cand = minhash_candidates(
+        documents, num_hashes, bands, n, hash_mode
+    ).select("doc_a", "doc_b")
     sh = with_shingles(documents, n)
     j = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shA")), "doc_a")
@@ -239,18 +263,86 @@ def minhash_dedup(
     return j.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def minhash_oracle_sql(
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_NGRAM,
+) -> str:
+    """DuckDB twin of ``minhash_dedup(hash_mode='md5')`` — the *same*
+    md5 signature slots, band buckets, candidate join, and exact-Jaccard
+    verify, so the driver can value-hash the whole LSH pipeline (not
+    just ground truth: identically-missed pairs are missed on both
+    sides)."""
+    rows = num_hashes // bands
+    slots = ",\n         ".join(
+        f"MIN(md5('mh{h}:' || shingle)) AS s{h}" for h in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        "md5(" + " || '|' || ".join(f"s{bi * rows + r}" for r in range(rows)) + ") "
+        "AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH {shingle_ctes(n)},
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+sig AS (
+  SELECT doc_id,
+         {slots}
+  FROM inv GROUP BY doc_id
+),
+buckets AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= {threshold}
+ORDER BY doc_a, doc_b
+""".strip()
+
+
 # --------------------------------------------------------------- SimHash
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+MD5_SIMHASH_BITS = 60  # 15 hex chars of md5 → positive int64 on both engines
+
+
+def simhash(documents: DataFrame, bits: int | None = None,
+            hash_mode: str = "md5") -> DataFrame:
     """(doc_id, simhash:long) — sign-aggregated token hashes.
 
-    Per token: xxhash64(token); bit i of the simhash is 1 iff
-    Σ_tokens (2·bit_i(hash) − 1) > 0. Computed as 64 conditional sums
-    in one aggregation — wide but single-pass, all codegen.
+    Per token: hash(token); bit i of the simhash is 1 iff
+    Σ_tokens (2·bit_i(hash) − 1) > 0. Computed as ``bits`` conditional
+    sums in one aggregation — wide but single-pass, all codegen.
+
+    ``md5`` mode derives a 60-bit token hash from the first 15 hex
+    chars of md5 (``conv(hex, 16, 10)``) — reproducible in DuckDB
+    (``('0x'||substr(md5(t),1,15))::BIGINT``), which is what makes the
+    near-dup pipeline oracle-checkable. ``xx64`` keeps the faster
+    64-bit JVM hash.
     """
+    if bits is None:
+        bits = MD5_SIMHASH_BITS if hash_mode == "md5" else 64
+    if hash_mode == "md5":
+        h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("tok")
     toks = documents.select(
         "doc_id", F.explode(F.split(normalized_text(), " ")).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", h.alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -269,13 +361,24 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def simhash_near_duplicates(
-    documents: DataFrame, max_hamming: int = 8, bands: int = 4
+    documents: DataFrame, max_hamming: int = 8, bands: int = 4,
+    hash_mode: str = "md5",
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) — pairs within ``max_hamming`` bits,
-    found by banding the 64-bit simhash into 16-bit chunks (a pair
-    within distance d < bands must share ≥1 exact chunk)."""
-    sh = simhash(documents).persist()
-    width = 64 // bands
+    """(doc_a, doc_b, hamming) — near-dup pairs found by banding the
+    simhash into ``bands`` equal chunks and verifying
+    ``bit_count(xor) <= max_hamming`` on bucket-mates.
+
+    **Recall gap (documented, like lsh_topk):** the pigeonhole guarantee
+    only covers pairs with hamming < ``bands`` — a pair at distance
+    bands..max_hamming can differ in every chunk and be missed. With
+    the defaults (4 bands of 15/16 bits) this is the standard
+    precision/recall/cost trade; pass ``bands=max_hamming+1`` for full
+    recall at the price of much smaller (busier) buckets. The DuckDB
+    oracle implements the identical banding, so missed pairs are missed
+    on both sides and the driver hash still matches."""
+    sh = simhash(documents, hash_mode=hash_mode).persist()
+    total_bits = MD5_SIMHASH_BITS if hash_mode == "md5" else 64
+    width = total_bits // bands
     mask = (1 << width) - 1
     chunk_cols = F.array(
         *[
@@ -306,3 +409,57 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
     )
     return ham
+
+
+def simhash_oracle_sql(max_hamming: int = 8, bands: int = 4) -> str:
+    """DuckDB twin of ``simhash_near_duplicates(hash_mode='md5')`` —
+    identical 60-bit md5-derived token hashes, bit-sign aggregation,
+    chunk banding, and hamming verify (same candidate set, same
+    misses — see the recall note on the operator)."""
+    bits = MD5_SIMHASH_BITS
+    width = bits // bands
+    mask = (1 << width) - 1
+    bsums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp_expr = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(bits)
+    )
+    chunk_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {bi} AS band, (simhash >> {bi * width}) & {mask} AS chunk "
+        "FROM fps"
+        for bi in range(bands)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+),
+bsum AS (
+  SELECT doc_id,
+         {bsums}
+  FROM th GROUP BY doc_id
+),
+fps AS (SELECT doc_id, {fp_expr} AS simhash FROM bsum),
+chunks AS (
+  {chunk_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a
+  JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+               AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, bit_count(xor(fa.simhash, fb.simhash)) AS hamming
+FROM cand c
+JOIN fps fa ON c.doc_a = fa.doc_id
+JOIN fps fb ON c.doc_b = fb.doc_id
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+""".strip()

@@ -93,12 +93,17 @@ def test_ngram_jaccard_exact(near_dups):
 
 
 def test_minhash_finds_near_dups(near_dups):
-    cand = {(r.doc_a, r.doc_b) for r in minhash_candidates(near_dups).collect()}
-    assert (1, 2) in cand
-    assert (1, 3) in cand  # near-dup caught by banding
-    verified = {(r.doc_a, r.doc_b): r.jaccard
-                for r in minhash_dedup(near_dups, threshold=0.5).collect()}
-    assert verified[(1, 2)] == 1.0
+    # identical docs share every band in any hash family
+    for mode in ("md5", "xx64"):
+        cand = {(r.doc_a, r.doc_b)
+                for r in minhash_candidates(near_dups, hash_mode=mode).collect()}
+        assert (1, 2) in cand, mode
+        verified = {(r.doc_a, r.doc_b): r.jaccard
+                    for r in minhash_dedup(
+                        near_dups, threshold=0.5, hash_mode=mode).collect()}
+        assert verified[(1, 2)] == 1.0, mode
+    # the mid-similarity pair (j≈0.5) is a probabilistic catch — its
+    # recall is covered in aggregate by test_minhash_recall_documents
 
 
 def test_minhash_recall_documents(documents):
