@@ -173,6 +173,34 @@ def betweenness(
 
 # ------------------------------------------------------------------ BSP mode
 
+def _source_waves(graph, sources, batch_size, ckpt):
+    """Yield per-wave source DataFrames (col ``source``) of ~batch_size.
+
+    ``sources=None`` (all vertices): hash-bucketed waves computed
+    distributedly — the driver never holds the vertex list (G12 level
+    batching re-expressed; replaces the O(V) ``collect()``).
+    """
+    spark = graph.spark
+    if sources is not None:
+        srcs = list(sources)
+        for w0 in range(0, len(srcs), batch_size):
+            yield spark.createDataFrame(
+                [(int(s),) for s in srcs[w0 : w0 + batch_size]], "source long"
+            )
+        return
+    import math as _math
+
+    n = graph.num_vertices()
+    n_waves = max(1, _math.ceil(n / batch_size))
+    verts = ckpt.truncate(
+        graph.vertices().select(
+            "id", F.pmod(F.xxhash64("id"), F.lit(n_waves)).cast("int").alias("wave")
+        )
+    )
+    for w in range(n_waves):
+        yield verts.where(F.col("wave") == w).select(F.col("id").alias("source"))
+
+
 def _brandes_backward(
     graph: Graph,
     levels: list[DataFrame],
@@ -245,23 +273,24 @@ def betweenness_bsp(
     reach: dict[int, float] | None = None,
     checkpoint: CheckpointManager | None = None,
 ) -> DataFrame:
-    """(id, bc) — fully distributed Brandes in source waves."""
+    """(id, bc) — fully distributed Brandes in source waves.
+
+    All-vertex runs schedule waves by hash-bucketing the vertex DF
+    (``pmod(xxhash64(id), n_waves)``) — no O(V) driver collect, so the
+    schedule itself scales with the graph; an explicit ``sources`` list
+    (always small: it came from the caller) is sliced driver-side.
+    """
     spark = graph.spark
     ckpt = checkpoint or CheckpointManager(spark)
-    if sources is None:
-        all_sources = [r.id for r in graph.vertices().collect()]
-    else:
-        all_sources = list(sources)
     reach_df = None
     if reach:
         reach_df = spark.createDataFrame(
             [(int(k), float(v)) for k, v in reach.items()], "id long, reach double"
         )
 
+    wave_dfs = _source_waves(graph, sources, batch_size, ckpt)
     partials: list[DataFrame] = []
-    for w0 in range(0, len(all_sources), batch_size):
-        wave = all_sources[w0 : w0 + batch_size]
-        src_df = spark.createDataFrame([(int(s),) for s in wave], "source long")
+    for w0, src_df in enumerate(wave_dfs):
         bfs = multi_source_bfs(graph, src_df, checkpoint=ckpt)
         deltas = _brandes_backward(graph, bfs.levels, reach_df, ckpt)
         deltas = deltas.where(F.col("vertex") != F.col("source"))
@@ -276,7 +305,7 @@ def betweenness_bsp(
             deltas = deltas.select("vertex", F.col("delta").alias("wd"))
         part = deltas.groupBy("vertex").agg(F.sum("wd").alias("bc_part"))
         partials.append(ckpt.truncate(part))
-        ckpt.record(op="betweenness_bsp", wave=w0 // batch_size, sources=len(wave))
+        ckpt.record(op="betweenness_bsp", wave=w0)
 
     from centrality_gpu_spark.graph import union_all
 

@@ -46,15 +46,14 @@ def closeness_bsp(
     batch_size: int = 2048,
     checkpoint: CheckpointManager | None = None,
 ) -> DataFrame:
-    """(id, closeness) via distributed frontier-join BFS waves."""
-    spark = graph.spark
-    ckpt = checkpoint or CheckpointManager(spark)
+    """(id, closeness) via distributed frontier-join BFS waves; wave
+    schedule is hash-bucketed distributedly (no O(V) driver collect)."""
+    from centrality_gpu_spark.operators.betweenness import _source_waves
+
+    ckpt = checkpoint or CheckpointManager(graph.spark)
     n = graph.num_vertices()
-    all_sources = [r.id for r in graph.vertices().collect()]
     parts: list[DataFrame] = []
-    for w0 in range(0, len(all_sources), batch_size):
-        wave = all_sources[w0 : w0 + batch_size]
-        src_df = spark.createDataFrame([(int(s),) for s in wave], "source long")
+    for src_df in _source_waves(graph, None, batch_size, ckpt):
         bfs = multi_source_bfs(graph, src_df, checkpoint=ckpt)
         far = bfs.visited.groupBy("source").agg(
             F.sum("dist").alias("farness"), F.count("*").alias("reachable")
@@ -118,13 +117,11 @@ def closeness(
 @with_iterative_conf
 def farness(graph: Graph, batch_size: int = 2048) -> DataFrame:
     """(id, farness, reachable) — the raw per-source Σdist aggregate."""
-    spark = graph.spark
-    all_sources = [r.id for r in graph.vertices().collect()]
-    ckpt = CheckpointManager(spark)
+    from centrality_gpu_spark.operators.betweenness import _source_waves
+
+    ckpt = CheckpointManager(graph.spark)
     parts = []
-    for w0 in range(0, len(all_sources), batch_size):
-        wave = all_sources[w0 : w0 + batch_size]
-        src_df = spark.createDataFrame([(int(s),) for s in wave], "source long")
+    for src_df in _source_waves(graph, None, batch_size, ckpt):
         bfs = multi_source_bfs(graph, src_df, checkpoint=ckpt)
         parts.append(
             ckpt.truncate(
