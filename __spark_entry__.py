@@ -55,6 +55,8 @@ from centrality_gpu_spark.operators.similarity import (
     cosine_topk_gemm,
     cosine_topk_oracle_sql,
     embedding_near_duplicates,
+    embedding_near_dups_oracle_sql,
+    lsh_oracle_sql,
     lsh_topk,
 )
 from centrality_gpu_spark.operators.text import (
@@ -342,8 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucket-join→verify chain replicated in DuckDB:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_near_dups": _q_simhash_near_dups,
-        # rows-only (numpy random hyperplanes not replicable in DuckDB;
-        # recall measured vs brute force in pytest):
+        # deterministic ±1-plane LSH (method='expr') — bucket, re-rank,
+        # and threshold chain replicated in DuckDB:
         "ann_lsh": _q_ann_lsh,
         "embedding_near_dups": _q_embedding_near_dups,
         "edges_events": _q_edges_events,
@@ -395,6 +397,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": minhash_oracle_sql(threshold=0.5),
         "simhash_near_dups": simhash_oracle_sql(max_hamming=8),
         "ann_topk": cosine_topk_oracle_sql(k=5, where="vec_id < 200"),
+        "ann_lsh": lsh_oracle_sql(k=5, where="vec_id < 200"),
+        "embedding_near_dups": embedding_near_dups_oracle_sql(threshold=0.9),
         "edges_events": f"WITH {EVENTS_EDGES_CTE}\n"
         "SELECT src, dst, weight FROM edges ORDER BY src, dst",
         "edges_copurchase": f"WITH {COPURCHASE_EDGES_CTE}\n"

@@ -169,6 +169,65 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
+def signed_planes(dim: int, n_planes: int, table: int, seed: int = 7) -> list[list[float]]:
+    """±1 hyperplanes derived from md5 — deterministic and
+    engine-independent, so the *same* constants can be embedded as
+    literals in both the Spark plan and the DuckDB oracle (random-sign
+    projections are a standard cosine-LSH family)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"lsh:{seed}:{table}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(emb_col, planes: list[list[float]]):
+    """bucket = Σ_p (dot_p > 0)·2^p, dot as a *sequential* fold — the
+    ±1 multiplies are exact and both engines sum left-to-right, so the
+    sign (hence the bucket) is bit-identical to DuckDB's list_sum."""
+    bits = []
+    for p, row in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in row])
+        prod = F.zip_with(emb_col, arr, lambda x, s: x.cast("double") * s)
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(
+            F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    b = bits[0]
+    for x in bits[1:]:
+        b = b + x
+    return b
+
+
+def lsh_buckets_expr(
+    embeddings: DataFrame, n_planes: int = 12, seed: int = 7, n_tables: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, table, bucket) — pure-codegen variant of lsh_buckets
+    using the deterministic ±1 planes (oracle-checkable, no Python)."""
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()["embedding"])
+    tables_col = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _bucket_expr(
+                    F.col("embedding"), signed_planes(dim, n_planes, t, seed)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return embeddings.select(
+        "vec_id", F.explode(tables_col).alias("tb")
+    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
 def lsh_buckets(
     embeddings: DataFrame, n_planes: int = 12, seed: int = 7, n_tables: int = 4
 ) -> DataFrame:
@@ -210,10 +269,18 @@ def lsh_topk(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 7,
+    method: str = "expr",
 ) -> DataFrame:
     """ANN top-k: candidates share an LSH bucket in ≥1 table, exact
-    cosine re-rank. (query_id, neighbor_id, cos, rk)."""
-    b = lsh_buckets(embeddings, n_planes, seed, n_tables).persist()
+    cosine re-rank. (query_id, neighbor_id, cos, rk).
+
+    ``method='expr'`` (default): deterministic ±1 planes evaluated in
+    whole-stage codegen — reproducible in DuckDB (``lsh_oracle_sql``).
+    ``method='numpy'``: Gaussian planes via the Arrow bucketizer."""
+    if method == "expr":
+        b = lsh_buckets_expr(embeddings, n_planes, seed, n_tables).persist()
+    else:
+        b = lsh_buckets(embeddings, n_planes, seed, n_tables).persist()
     pa = b.select("table", "bucket", F.col("vec_id").alias("query_id"))
     pb = b.select("table", "bucket", F.col("vec_id").alias("neighbor_id"))
     cand = (
@@ -245,9 +312,13 @@ def embedding_near_duplicates(
     n_planes: int = 10,
     n_tables: int = 6,
     seed: int = 7,
+    method: str = "expr",
 ) -> DataFrame:
     """(vec_a, vec_b, cos) — LSH candidates with exact cosine ≥ threshold."""
-    top = lsh_topk(embeddings, k=50, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    top = lsh_topk(
+        embeddings, k=50, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        method=method,
+    )
     return (
         top.where((F.col("cos") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
         .select(
@@ -255,4 +326,97 @@ def embedding_near_duplicates(
             F.col("neighbor_id").alias("vec_b"),
             "cos",
         )
+    )
+
+
+# ------------------------------------------------- LSH oracle (DuckDB)
+
+EMBED_DIM = 64  # testdata embeddings dimension (TESTDATA.md)
+
+
+def _lsh_common_sql(
+    n_planes: int, n_tables: int, seed: int, dim: int, where: str
+) -> str:
+    """Shared CTEs: literal ±1 planes → dots → buckets → candidates →
+    exact-cosine scoring with the same sequential-fold dot products as
+    the Spark expressions."""
+    rows = []
+    for t in range(n_tables):
+        for p, row in enumerate(signed_planes(dim, n_planes, t, seed)):
+            lst = "[" + ", ".join(f"{v:.1f}" for v in row) + "]"
+            rows.append(f"({t}, {p}, {lst})")
+    planes_values = ",\n    ".join(rows)
+    return f"""
+WITH src AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+  FROM embeddings WHERE {where}
+),
+plane_defs AS (
+  SELECT * FROM (VALUES
+    {planes_values}
+  ) pd(tbl, p, s)
+),
+dots AS (
+  SELECT e.vec_id, pd.tbl, pd.p,
+         list_sum([e.emb[i] * pd.s[i] FOR i IN range(1, {dim + 1})]) AS dot
+  FROM src e CROSS JOIN plane_defs pd
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+  FROM dots GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets a
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id <> b.vec_id
+),
+unit AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN emb])) FOR x IN emb] AS u
+  FROM src
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum([q.u[i] * n.u[i] FOR i IN range(1, {dim + 1})]) AS cos
+  FROM cand c
+  JOIN unit q ON c.query_id = q.vec_id
+  JOIN unit n ON c.neighbor_id = n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)""".strip()
+
+
+def lsh_oracle_sql(
+    k: int = 5, n_planes: int = 12, n_tables: int = 4, seed: int = 7,
+    dim: int = EMBED_DIM, where: str = "TRUE",
+) -> str:
+    """DuckDB twin of ``lsh_topk(method='expr')`` — identical buckets
+    (same literal planes, same fold order), identical re-rank."""
+    return (
+        _lsh_common_sql(n_planes, n_tables, seed, dim, where)
+        + f"\nSELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rk"
+        f"\nFROM ranked WHERE rk <= {k} ORDER BY query_id, rk"
+    )
+
+
+def embedding_near_dups_oracle_sql(
+    threshold: float = 0.95, n_planes: int = 10, n_tables: int = 6,
+    seed: int = 7, dim: int = EMBED_DIM, where: str = "TRUE",
+) -> str:
+    """DuckDB twin of ``embedding_near_duplicates(method='expr')``
+    (k=50 re-rank, then the rounded-cos threshold and a<b filter, in
+    that order — mirroring the Spark plan)."""
+    return (
+        _lsh_common_sql(n_planes, n_tables, seed, dim, where)
+        + f"""
+SELECT query_id AS vec_a, neighbor_id AS vec_b, ROUND(cos, 6) AS cos
+FROM ranked
+WHERE rk <= 50 AND ROUND(cos, 6) >= {threshold} AND query_id < neighbor_id
+ORDER BY vec_a, vec_b"""
     )

@@ -104,3 +104,25 @@ def test_embedding_near_duplicates(spark):
 def test_gemm_query_collect_guard(embeddings):
     with pytest.raises(ValueError, match="lsh_topk"):
         cosine_topk_gemm(embeddings, max_query_rows=3).count()
+
+
+def test_lsh_numpy_method_recall_clustered(spark):
+    """The Gaussian/numpy bucketizer (legacy method) must keep its
+    recall in the clustered regime now that 'expr' is the default."""
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(20):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(10):
+            v = center + 0.03 * rng.standard_normal(64)
+            rows.append((vid, v.astype("float32").tolist(), c))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    truth = {r.query_id: r.neighbor_id for r in cosine_topk_sql(df, k=1).collect()}
+    got = {r.query_id: r.neighbor_id
+           for r in lsh_topk(df, k=1, n_planes=8, n_tables=8,
+                             method="numpy").collect()}
+    hits = sum(1 for q in truth if got.get(q) == truth[q])
+    assert hits / len(truth) > 0.9, f"recall@1 = {hits/len(truth):.2f}"
