@@ -34,11 +34,24 @@ def build_graph(spark, args):
     if args.input_format == "edgelist":
         return read_edge_list(spark, args.input)
     if args.input_format == "transcripts":
-        df = (
-            spark.read.format(args.table_format).load(args.input)
-            if args.table_format != "parquet"
-            else spark.read.parquet(args.input)
-        )
+        if args.table_format == "parquet":
+            df = spark.read.parquet(args.input)
+        else:
+            try:
+                df = spark.read.format(args.table_format).load(args.input)
+            except Exception as e:  # e.g. "Failed to find data source: iceberg"
+                raise SystemExit(
+                    f"table format {args.table_format!r} is not available in "
+                    "this Spark session. For Iceberg, submit with the runtime "
+                    "package and a catalog, e.g.:\n"
+                    "  spark-submit --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-3.5_2.12:<version> \\\n"
+                    "    --conf spark.sql.catalog.lake=org.apache.iceberg."
+                    "spark.SparkCatalog \\\n"
+                    "    --conf spark.sql.catalog.lake.type=hadoop \\\n"
+                    "    --conf spark.sql.catalog.lake.warehouse=<path> ...\n"
+                    f"(underlying error: {e})"
+                ) from e
         return transcript_graph(
             df,
             edge_types=tuple(args.edge_types.split(",")),

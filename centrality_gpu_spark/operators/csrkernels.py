@@ -85,6 +85,7 @@ def bfs_forward(
     s: int,
     n: int,
     alpha: float = BEAMER_ALPHA,
+    directions: list | None = None,
 ):
     """Direction-optimizing single-source BFS with σ path counting.
 
@@ -95,7 +96,14 @@ def bfs_forward(
 
     Top-down step cost ∝ Σdeg(frontier); bottom-up ∝ Σdeg(undisc);
     pick bottom-up when deg(frontier)·α > deg(undisc) (Beamer; the
-    reference's α=15 switch at ``bcc_bfs.cpp:542-567``).
+    reference's α=15 switch at ``bcc_bfs.cpp:542-567``). This per-level
+    cost rule *subsumes* the reference's sampled-diameter gate (G14,
+    ``kernels_free.cu:447-470``): on a high-diameter chain the frontier
+    never accumulates enough edges to trigger bottom-up, while on a
+    small-diameter power-law graph the bulk middle levels do — the same
+    decision the diameter median proxies, made per level instead of per
+    graph. ``directions`` (optional list) records 'td'/'bu' per level
+    for tests/metrics.
     """
     dist = np.full(n, -1, dtype=np.int64)
     sigma = np.zeros(n)
@@ -108,7 +116,10 @@ def bfs_forward(
     while levels[-1].size:
         frontier = levels[-1]
         deg_frontier = int(deg[frontier].sum())
-        if deg_frontier * alpha > deg_undisc:
+        use_bu = deg_frontier * alpha > deg_undisc
+        if directions is not None:
+            directions.append("bu" if use_bu else "td")
+        if use_bu:
             # bottom-up: undiscovered vertices scan for level-d parents
             undisc = np.nonzero(dist == -1)[0].astype(indices.dtype)
             vrep, nbr = _flat_neighbors(indptr, indices, undisc)

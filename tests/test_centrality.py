@@ -215,3 +215,35 @@ def test_bfs_broadcast_unknown_source_raises(spark):
     srcs = spark.createDataFrame([(424242,)], "source long")
     with pytest.raises(Exception, match="unknown BFS source"):
         multi_source_bfs_broadcast(g, srcs).collect()
+
+
+def test_direction_switch_chain_vs_clique(spark):
+    """G14 evidence: on a chain (high diameter) the per-level cost rule
+    never goes bottom-up; on a clique (diameter 1) it does — the same
+    signal the reference's sampled-diameter gate proxies."""
+    from centrality_gpu_spark.operators.csrkernels import bfs_forward
+
+    from pyspark.sql import functions as F
+
+    chain = Graph.from_undirected_edges(
+        spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    )
+    ids, indptr, indices = graph_to_csr(chain)
+    recs: list = []
+    bfs_forward(indptr, indices, 0, len(ids), directions=recs)
+    # the walk down the chain stays top-down (frontier degree ~2 never
+    # outweighs the remaining edges); only the tail, where almost
+    # nothing is undiscovered, may flip to a (then-cheap) bottom-up
+    half = recs[: len(recs) // 2]
+    assert set(half) == {"td"}
+
+    clique = Graph.from_undirected_edges(
+        spark.createDataFrame(
+            [(i, j) for i in range(12) for j in range(i + 1, 12)],
+            "src long, dst long",
+        )
+    )
+    ids, indptr, indices = graph_to_csr(clique)
+    recs = []
+    bfs_forward(indptr, indices, 0, len(ids), directions=recs)
+    assert "bu" in recs

@@ -66,3 +66,20 @@ def test_metrics_recorded(spark):
     its = [m for m in ck.metrics if m.get("op") == "pagerank"]
     assert [m["iteration"] for m in its] == [0, 1, 2]
     assert all("secs" in m and "wall_ts" in m for m in its)
+
+def test_cli_iceberg_preflight_error(spark, tmp_path):
+    """This sandbox has no iceberg runtime jar: the cli must fail with
+    an actionable message (spark-submit --packages/catalog conf) rather
+    than a raw ClassNotFound stack."""
+    import sys
+
+    import pytest as _pytest
+
+    from centrality_gpu_spark import cli
+
+    argv = [
+        "pagerank", "--input", str(tmp_path), "--input-format", "transcripts",
+        "--table-format", "iceberg", "--output", str(tmp_path / "out"),
+    ]
+    with _pytest.raises(SystemExit, match="iceberg-spark-runtime"):
+        cli.main(argv)
