@@ -185,7 +185,7 @@ def bcc_size_histogram(graph: Graph) -> DataFrame:
 
 # ----------------------------------- decomposed (reach-weighted) Brandes
 
-def _component_decomposed_bc(src, dst):
+def _component_decomposed_bc(src, dst, use_ears: bool = True):
     """Whole decomposition for ONE connected component, in numpy:
     Tarjan → block-cut tree → reach values → per-BCC reach-weighted
     Brandes + art-point pair terms. Returns dict vertex→bc.
@@ -193,6 +193,11 @@ def _component_decomposed_bc(src, dst):
     Mirrors ``reachfunction`` (``modified_apsp.cpp:157-220``) but
     computes reaches from block-cut-tree subtree sizes directly instead
     of the reference's level-ordered incremental updates (same values).
+
+    ``use_ears``: run each BCC through the ear-compressed kernel
+    (operators/ears.py — interiors of degree-2 runs derive their rows
+    instead of running BFS), completing the reference's E1 pipeline
+    (``to_eargraph_construct.cpp:44-202``).
     """
     ids = np.unique(np.concatenate([src, dst]))
     n = len(ids)
@@ -309,21 +314,27 @@ def _component_decomposed_bc(src, dst):
         reach = np.zeros(nl)
         for v, r in reach_per_bcc[k].items():
             reach[local[v]] = r
-        part = brandes_kernel(iptr, ed, np.arange(nl), nl, reach)
+        if use_ears:
+            from centrality_gpu_spark.operators.ears import brandes_ear_kernel
+
+            part = brandes_ear_kernel(iptr, ed, nl, reach)
+        else:
+            part = brandes_kernel(iptr, ed, np.arange(nl), nl, reach)
         for v in mem:
             bc[int(ids[v])] += float(part[local[v]])
     return bc
 
 
-def betweenness_decomposed(graph: Graph) -> DataFrame:
+def betweenness_decomposed(graph: Graph, use_ears: bool = True) -> DataFrame:
     """(id, bc) — whole-graph exact BC via per-component BCC
-    decomposition (the reference's E1 pipeline shape). Equals
-    ``betweenness_broadcast``/``_bsp`` output to 1e-6; cheaper when the
-    graph has many small biconnected pieces (bridges, trees)."""
+    decomposition + per-BCC ear compression (the reference's full E1
+    pipeline shape). Equals ``betweenness_broadcast``/``_bsp`` output
+    to 1e-6; cheaper when the graph has many small biconnected pieces
+    (bridges, trees) and degree-2 chains (mesh/road-like)."""
 
     def per_component(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bc = _component_decomposed_bc(
-            pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+            pdf["src"].to_numpy(), pdf["dst"].to_numpy(), use_ears=use_ears
         )
         return pd.DataFrame(
             {"id": list(bc.keys()), "bc": list(bc.values())}

@@ -77,7 +77,8 @@ def main() -> None:
                 continue
             eff = (ta / tb) / k
             lines.append(f"- `{j}` {a}→{b} cores: speedup {ta/tb:.2f}×, efficiency **{eff:.2f}**")
-    for key in ("pagerank_edges_per_sec", "bc_sources_per_sec"):
+    for key in ("pagerank_edges_per_sec", "bc_sources_per_sec",
+                "bfs_bcast_sources_per_sec"):
         vals = {c: p.get(key) for c, p in points.items() if p.get(key)}
         if vals:
             lines.append(

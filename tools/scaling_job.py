@@ -106,6 +106,19 @@ def main() -> None:
     multi_source_bfs(g1, src_df).visited.count()
     out["jobs"]["bfs_128src"] = round(time.time() - t0, 3)
 
+    # --- broadcast-CSR BFS fast path (source-parallel numpy kernel,
+    # the regime bfs_visited auto-routes to at this scale)
+    from centrality_gpu_spark.operators.bfs import multi_source_bfs_broadcast
+
+    src_df2 = spark.createDataFrame(
+        [(int(s),) for s in srcs[:1024]], "source long"
+    )
+    t0 = time.time()
+    multi_source_bfs_broadcast(g1, src_df2).count()
+    dt = time.time() - t0
+    out["jobs"]["bfs_bcast_1024src"] = round(dt, 3)
+    out["bfs_bcast_sources_per_sec"] = round(1024 / dt, 2)
+
     print(json.dumps(out))
     spark.stop()
 
