@@ -40,6 +40,7 @@ def pagerank(
     checkpoint: CheckpointManager | None = None,
     blocked: BlockedEdges | None = None,
     weighted: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Return (id:long, rank:double).
 
@@ -48,7 +49,15 @@ def pagerank(
     (transcript graphs). Works in both modes: the CSR block store
     pre-folds the normalized factor (``w_norm``) exactly like the
     unweighted 1/deg, so the weighted hot loop also ships only
-    (id, rank)."""
+    (id, rank).
+
+    ``init_ranks`` (id, rank): warm-start vector — e.g. the previous
+    snapshot's converged ranks after a streaming edge merge (delta
+    iteration: convergence from a warm start is fast because only
+    ranks near changed edges move). New vertices get 1/n; the vector
+    is renormalized to sum 1 over the current vertex set. A resumable
+    checkpoint epoch still wins over ``init_ranks`` (exact resume
+    beats warm start)."""
     ckpt = checkpoint or CheckpointManager(graph.spark)
     # loop-invariant inputs: materialize once, not per iteration
     verts = ckpt.truncate(graph.vertices())
@@ -70,6 +79,14 @@ def pagerank(
     if resumed is not None:
         start_iter, ranks, _meta = resumed
         start_iter += 1
+    elif init_ranks is not None:
+        warm = verts.join(init_ranks.select("id", "rank"), "id", "left").select(
+            "id", F.coalesce("rank", F.lit(1.0 / n)).alias("rank")
+        )
+        total = warm.agg(F.sum("rank")).collect()[0][0] or 1.0
+        ranks = ckpt.truncate(
+            warm.select("id", (F.col("rank") / F.lit(float(total))).alias("rank"))
+        )
     else:
         ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
         ranks = ckpt.truncate(ranks)

@@ -1,18 +1,28 @@
-"""Streaming surface — intentionally minimal.
+"""Structured Streaming surface.
 
-The reference is strictly batch (SURVEY.md §2.8: one graph in, one BC
-vector out; no watermarks/windows/stateful ops), and the north rule's
-"iterative supersteps with checkpoint/resume" maps to the driver-side
-iteration loops in ``operators/`` with durable epochs
-(``plans/checkpoint.py``), not to Structured Streaming.
+``streaming.transcripts`` implements the incremental transcript
+pipeline: append-only parquet stream → watermarked turn dedup →
+per-micro-batch invocation deltas (``foreachBatch``) → compacted edge
+table → warm-started PageRank snapshots (``pagerank(init_ranks=...)``,
+the delta-iteration pattern). Windowed per-tool counts demonstrate the
+watermark + tumbling-window append-mode idiom.
 
-What a streaming extension would look like (documented for parity
-completeness, not required): ``spark.readStream`` over an append-only
-transcripts table → incremental edge builder (stateless projection +
-``dropDuplicates`` within watermark) → periodic trigger that merges new
-edges into the blocked-CSR store and warm-starts PageRank from the
-last checkpointed rank vector (delta-iteration; convergence is fast
-from a warm start). All engine pieces needed for that (idempotent edge
-canonicalization, resumable iteration state) already exist in batch
-form.
+The reference engine is strictly batch (SURVEY.md §2.8); this module is
+the Spark-native extension its transcript source implies at
+10¹²-turn scale, where ingestion never finishes. The batch operators
+are unchanged — streaming only maintains their *input* incrementally,
+and the streamed edge table provably converges to the batch
+``sources.transcripts.tool_invocations`` result (delta-count sum ≡
+count over distinct turns; tested in tests/test_streaming.py).
 """
+
+from centrality_gpu_spark.streaming.transcripts import (  # noqa: F401
+    compact_edge_deltas,
+    dedup_turns,
+    invocation_deltas,
+    read_transcript_stream,
+    run_edge_delta_stream,
+    snapshot_graph,
+    snapshot_pagerank,
+    windowed_tool_counts,
+)

@@ -1,21 +1,94 @@
-"""Multimodal plumbing: schema, batch shape, determinism, stub gating."""
+"""Multimodal: real BMP/PPM/WAV/Y4M codecs + Spark plumbing."""
 
+import numpy as np
 import pytest
-from py4j.protocol import Py4JJavaError
 from pyspark.sql import functions as F
 
+from centrality_gpu_spark.functions import media_codecs as mc
 from centrality_gpu_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_media,
+    extract_frames,
     resize_images,
     sample_frames,
     synthetic_media,
 )
 
 
+# ------------------------------------------------------------ pure codecs
+
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(7)
+    for w, h in [(1, 1), (5, 3), (33, 17), (64, 64)]:  # odd widths hit row padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mc.decode_image(mc.encode_bmp(img)), img)
+
+
+def test_ppm_roundtrip_and_comments():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    assert np.array_equal(mc.decode_image(mc.encode_ppm(img)), img)
+    with_comment = b"P6\n# a comment\n13 9\n255\n" + img.tobytes()
+    assert np.array_equal(mc.decode_image(with_comment), img)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-30000, 30000, size=1000).astype(np.int16)
+    out, rate = mc.decode_wav(mc.encode_wav(mono, 8000))
+    assert rate == 8000
+    assert np.array_equal(out[:, 0], mono)
+    stereo = rng.integers(-30000, 30000, size=(500, 2)).astype(np.int16)
+    out2, _ = mc.decode_wav(mc.encode_wav(stereo, 44100))
+    assert np.array_equal(out2, stereo)
+
+
+def test_y4m_roundtrip_and_sampling():
+    rng = np.random.default_rng(10)
+    frames = rng.integers(0, 256, size=(11, 24, 32), dtype=np.uint8)
+    payload = mc.encode_y4m(frames)
+    assert mc.count_y4m_frames(payload) == 11
+    decoded = dict(mc.decode_y4m(payload))
+    assert set(decoded) == set(range(11))
+    for i in range(11):
+        assert np.array_equal(decoded[i], frames[i])
+    sampled = dict(mc.decode_y4m(payload, frame_indices=[0, 5, 10]))
+    assert set(sampled) == {0, 5, 10}
+    assert np.array_equal(sampled[5], frames[5])
+
+
+def test_sniff_rejects_compressed():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mc.sniff_kind(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mc.sniff_kind(b"\x00\x00\x00\x18ftypmp42....")
+    with pytest.raises(ValueError, match="unrecognized"):
+        mc.sniff_kind(b"\x01\x02\x03\x04 random junk")
+
+
+def test_resize_nearest_identity_and_shape():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    assert np.array_equal(mc.resize_nearest(img, 30, 20), img)
+    small = mc.resize_nearest(img, 7, 5)
+    assert small.shape == (5, 7, 3)
+
+
+# ------------------------------------------------------------ Spark plumbing
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     df = synthetic_media(spark, n=30).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    df = synthetic_media(spark, n=30, real=True).persist()
     df.count()
     yield df
     df.unpersist()
@@ -31,18 +104,62 @@ def test_decode_fake_deterministic(spark, media):
         assert a[k] == b[k]  # partition-invariant
 
 
-def test_decode_real_path_raises(spark, media):
+def test_decode_real_media(spark, real_media):
+    rows = decode_media(real_media, fake=False).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert all(np.isfinite(r.features))
+    # image features are luma means in [0, 1]
+    img_rows = [r for r in rows if r.kind == "image"]
+    assert img_rows and all(0.0 <= f <= 1.0 for r in img_rows for f in r.features)
+
+
+def test_decode_real_path_rejects_junk(spark, media):
+    # random-byte payloads have no magic: the real path must error, not
+    # silently fabricate features
     with pytest.raises(Exception) as ei:
         decode_media(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
+    assert "unrecognized" in str(ei.value) or "ValueError" in str(ei.value)
 
 
-def test_resize_and_frames(spark, media):
-    resized = resize_images(media, 64, 64, fake=True)
-    n_img = media.where(F.col("kind") == "image").count()
-    assert resized.count() == n_img
+def test_resize_real_images(spark, real_media):
+    resized = resize_images(real_media, 16, 12, fake=False).collect()
+    n_img = real_media.where(F.col("kind") == "image").count()
+    assert len(resized) == n_img
+    for r in resized:
+        img = mc.decode_image(bytes(r.payload))
+        assert img.shape == (12, 16, 3)
+
+
+def test_extract_frames_real(spark, real_media):
+    feats = extract_frames(real_media, every_n=5).collect()
+    metas = {
+        r.media_id: r.nf
+        for r in real_media.where(F.col("kind") == "video")
+        .select("media_id", F.col("meta.n_frames").alias("nf")).collect()
+    }
+    by_media: dict[int, list[int]] = {}
+    for r in feats:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+        assert len(r.features) == FEATURE_DIM
+    assert set(by_media) == set(metas)
+    for mid, idxs in by_media.items():
+        assert sorted(idxs) == list(range(0, metas[mid], 5))
+
+
+def test_sample_frames_plan_only(spark, media):
     frames = sample_frames(media, every_n=10)
     row = frames.groupBy("media_id").agg(F.count("*").alias("n")).first()
     assert row is not None and row["n"] >= 1
-    # plan-only: no decode involved
-    assert "mapInPandas" not in frames._jdf.queryExecution().executedPlan().toString() or True
+
+
+def test_features_feed_ann(spark, real_media):
+    # decoded features plug into the similarity operators unchanged
+    from centrality_gpu_spark.operators.similarity import cosine_topk_sql
+
+    emb = decode_media(real_media, fake=False).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    top = cosine_topk_sql(emb, k=3)
+    assert top.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 3
