@@ -43,6 +43,8 @@ from centrality_gpu_spark.operators.triangles import (
 )
 from centrality_gpu_spark.operators.dedup import (
     EXACT_DUP_SQL,
+    dedup_clusters,
+    dedup_clusters_oracle_sql,
     exact_duplicates,
     minhash_dedup,
     minhash_oracle_sql,
@@ -317,6 +319,10 @@ def _q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_duplicates(_docs(spark, sf), max_hamming=8)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup_clusters(_docs(spark, sf), threshold=0.5)
+
+
 def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_gemm(_embs(spark, sf), k=5)
 
@@ -344,6 +350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucket-join→verify chain replicated in DuckDB:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_near_dups": _q_simhash_near_dups,
+        # LSH pairs → connected components → representative pick (the
+        # dedup decision), whole chain replicated in DuckDB:
+        "dedup_clusters": _q_dedup_clusters,
         # deterministic ±1-plane LSH (method='expr') — bucket, re-rank,
         # and threshold chain replicated in DuckDB:
         "ann_lsh": _q_ann_lsh,
@@ -396,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
         "minhash_dedup": minhash_oracle_sql(threshold=0.5),
         "simhash_near_dups": simhash_oracle_sql(max_hamming=8),
+        "dedup_clusters": dedup_clusters_oracle_sql(threshold=0.5),
         "ann_topk": cosine_topk_oracle_sql(k=5, where="vec_id < 200"),
         "ann_lsh": lsh_oracle_sql(k=5, where="vec_id < 200"),
         "embedding_near_dups": embedding_near_dups_oracle_sql(threshold=0.9),

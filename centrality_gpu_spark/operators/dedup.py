@@ -463,3 +463,79 @@ JOIN fps fb ON c.doc_b = fb.doc_id
 WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {max_hamming}
 ORDER BY doc_a, doc_b
 """.strip()
+
+
+# ------------------------------------------------------------- clustering
+
+def dedup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_NGRAM,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """(doc_id, cluster, keep) — the dedup DECISION, not just the pairs:
+    connected components over the verified near-dup pair graph, with the
+    min doc_id of each cluster kept as the representative.
+
+    This is the standard corpus-dedup shape (pairs alone don't say which
+    doc to drop — a chain a~b~c must keep exactly one even though (a, c)
+    never matched). Composes the LSH pipeline with the hash-min
+    components operator: both stages are the engine's own scale paths
+    (banded bucket join; O(log d) pointer-jumping supersteps), so the
+    cluster assignment inherits their 100×-scale properties. Docs with
+    no near-dup form singleton clusters (cluster = own id, keep = true).
+    """
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.components import connected_components
+
+    pairs = minhash_dedup(documents, threshold, num_hashes, bands, n, hash_mode)
+    pair_graph = Graph.from_undirected_edges(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(pair_graph)  # (id, component) — min id label
+    return (
+        documents.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            (F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
+            .cast("int")
+            .alias("keep"),  # int not bool: engine-portable value hashing
+        )
+    )
+
+
+def dedup_clusters_oracle_sql(
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_NGRAM,
+) -> str:
+    """DuckDB twin of ``dedup_clusters``: the full md5 LSH pipeline
+    (minhash_oracle_sql's CTEs) + a recursive min-label closure over the
+    verified pairs — same clusters, same representatives."""
+    pair_sql = minhash_oracle_sql(threshold, num_hashes, bands, n)
+    # strip the trailing SELECT (everything after the final CTE) and
+    # rebuild on top of `verified`
+    body = pair_sql[: pair_sql.rindex("SELECT doc_a")]
+    return f"""
+WITH RECURSIVE {body.removeprefix("WITH ").rstrip().rstrip(",")},
+pairs AS (
+  SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.id
+),
+clus AS (SELECT id AS doc_id, MIN(l) AS cluster FROM reach GROUP BY id)
+SELECT doc_id, cluster, CAST(doc_id = cluster AS INTEGER) AS keep
+FROM clus ORDER BY doc_id
+""".strip()

@@ -125,3 +125,47 @@ def test_simhash_properties(near_dups):
     pairs = {(r.doc_a, r.doc_b): r.hamming
              for r in simhash_near_duplicates(near_dups, max_hamming=16).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_dedup_clusters_chain(spark):
+    """A chain a~b~c must collapse to ONE cluster keeping exactly one
+    doc, even though (a, c) may never pair directly; singletons keep."""
+    from centrality_gpu_spark.operators.dedup import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base, "en", "s", 0),
+        (11, base.replace("kappa", "lambda"), "en", "s", 0),   # ~10
+        (12, base.replace("alpha", "omega").replace("kappa", "lambda"),
+         "en", "s", 0),                                        # ~11
+        (20, "an entirely different document about distributed systems",
+         "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    res = {r.doc_id: (r.cluster, r.keep) for r in
+           dedup_clusters(docs, threshold=0.5).collect()}
+    assert res[10] == (10, 1)
+    assert res[11] == (10, 0)
+    assert res[12] == (10, 0)
+    assert res[20] == (20, 1)
+
+
+def test_dedup_clusters_matches_oracle(documents):
+    """Full pipeline vs the DuckDB recursive-closure twin on real docs."""
+    import duckdb
+
+    from centrality_gpu_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_oracle_sql,
+    )
+
+    res = dedup_clusters(documents).toPandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_MED}/documents.parquet'"
+    )
+    ora = con.execute(dedup_clusters_oracle_sql()).df()
+    merged = res.merge(ora, on="doc_id", suffixes=("_s", "_o"))
+    assert len(merged) == len(res) == len(ora)
+    assert (merged.cluster_s != merged.cluster_o).sum() == 0
+    assert (merged.keep_s != merged.keep_o).sum() == 0
