@@ -331,6 +331,15 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(_embs(spark, sf), k=5)
 
 
+def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # rows-only by design: the spherical-k-means quantizer is iterative
+    # numpy (not SQL-expressible); recall + determinism are pytest-
+    # verified (tests/test_similarity.py)
+    from centrality_gpu_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_embs(spark, sf), k=5, n_cells=8, nprobe=2)
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_duplicates(
         spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.9
@@ -356,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic ±1-plane LSH (method='expr') — bucket, re-rank,
         # and threshold chain replicated in DuckDB:
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embedding_near_dups": _q_embedding_near_dups,
         "edges_events": _q_edges_events,
         "edges_copurchase": _q_edges_copurchase,

@@ -420,3 +420,127 @@ FROM ranked
 WHERE rk <= 50 AND ROUND(cos, 6) >= {threshold} AND query_id < neighbor_id
 ORDER BY vec_a, vec_b"""
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+IVF_MAX_TRAIN_ROWS = 200_000
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample_rows: int = IVF_MAX_TRAIN_ROWS,
+    iterations: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """(n_cells, dim) float64 unit centroids — spherical k-means on a
+    bounded deterministic sample.
+
+    The quantizer is a MODEL, not data: training pulls at most
+    ``sample_rows`` hash-selected vectors to the driver (like the LSH
+    planes, the model is then broadcast); the corpus itself is never
+    collected. Deterministic end to end: hash-ordered sample, first
+    ``n_cells`` sample vectors as init (k-means|| would add RNG for no
+    testability win), fixed Lloyd iteration count, max-dot assignment
+    with min-index tie-break.
+    """
+    pdf = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)), "vec_id")
+        .limit(sample_rows)
+        .toPandas()
+    )
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    if len(mat) < n_cells:
+        raise ValueError(f"need ≥ {n_cells} sample vectors, got {len(mat)}")
+    cent = mat[:n_cells].copy()
+    for _ in range(iterations):
+        assign = np.argmax(mat @ cent.T, axis=1)  # argmax breaks ties low
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def _ivf_assign(embeddings: DataFrame, cent_bc, nprobe: int) -> DataFrame:
+    """(vec_id, cell) — each vector's ``nprobe`` nearest cells by
+    cosine, via one GEMM per Arrow batch against the broadcast
+    centroids."""
+
+    def assign(batches):
+        cent = cent_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            dots = mat @ cent.T  # (N, n_cells)
+            top = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cell int"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    train_iterations: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN top-k: (query_id, neighbor_id, cos, rk).
+
+    The inverted-file scale path next to ``lsh_topk``: corpus vectors
+    live in their single nearest cell; each query probes its ``nprobe``
+    nearest cells and re-ranks exactly within them. Candidate count per
+    query ≈ nprobe·|corpus|/n_cells — tune n_cells ∝ √|corpus| and the
+    cell join stays linear-ish; cell skew (popular regions of the
+    embedding space) is handled by the session's AQE skew-join like the
+    LSH bucket join. Self-search (query set = corpus), mirroring
+    ``lsh_topk``; recall is measured in tests, not promised.
+    """
+    spark = embeddings.sparkSession
+    cent = train_ivf_centroids(
+        embeddings, n_cells, iterations=train_iterations, seed=seed
+    )
+    cent_bc = spark.sparkContext.broadcast(cent)
+    corpus_cells = _ivf_assign(embeddings, cent_bc, nprobe=1).persist()
+    query_cells = (
+        _ivf_assign(embeddings, cent_bc, nprobe=nprobe)
+        if nprobe > 1
+        else corpus_cells
+    )
+    cand = (
+        query_cells.select("cell", F.col("vec_id").alias("query_id"))
+        .join(corpus_cells.select("cell", F.col("vec_id").alias("neighbor_id")), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    unit = with_unit_vectors(embeddings)
+    dot = F.aggregate(
+        F.zip_with("qu", "cu", lambda a, b_: a * b_), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        cand.join(unit.select(F.col("vec_id").alias("query_id"), F.col("unit").alias("qu")), "query_id")
+        .join(unit.select(F.col("vec_id").alias("neighbor_id"), F.col("unit").alias("cu")), "neighbor_id")
+        .select("query_id", "neighbor_id", dot.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )

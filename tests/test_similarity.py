@@ -126,3 +126,46 @@ def test_lsh_numpy_method_recall_clustered(spark):
                              method="numpy").collect()}
     hits = sum(1 for q in truth if got.get(q) == truth[q])
     assert hits / len(truth) > 0.9, f"recall@1 = {hits/len(truth):.2f}"
+
+
+def _clustered_df(spark, seed=11, n_clusters=20, per=10, sigma=0.03):
+    rng = np.random.default_rng(seed)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(per):
+            v = center + sigma * rng.standard_normal(64)
+            rows.append((vid, v.astype("float32").tolist(), c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ivf_recall_clustered(spark):
+    """IVF recall@1 in its design regime (clustered data): with
+    n_cells ≈ n_clusters and nprobe=2 the true NN shares a probed cell
+    almost surely."""
+    from centrality_gpu_spark.operators.similarity import ivf_topk
+
+    df = _clustered_df(spark)
+    truth = {r.query_id: r.neighbor_id for r in cosine_topk_sql(df, k=1).collect()}
+    got = {r.query_id: r.neighbor_id
+           for r in ivf_topk(df, k=1, n_cells=16, nprobe=2).collect()}
+    hits = sum(1 for q in truth if got.get(q) == truth[q])
+    assert hits / len(truth) > 0.9, f"recall@1 = {hits/len(truth):.2f}"
+
+
+def test_ivf_deterministic_and_bounded(spark):
+    """Same input twice → identical results (hash sample + fixed init,
+    no RNG at assign time); candidate set ≤ nprobe/n_cells fraction."""
+    from centrality_gpu_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    df = _clustered_df(spark, seed=5)
+    a = sorted(map(tuple, ivf_topk(df, k=3, n_cells=8, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(df, k=3, n_cells=8, nprobe=2).collect()))
+    assert a == b
+    cent = train_ivf_centroids(df, n_cells=8)
+    assert cent.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
