@@ -127,6 +127,22 @@ def main() -> None:
 
     timed("q9_transcripts_pipeline_20k", transcripts_pipeline)
 
+    # q10/q11: the training-data pipeline ops at the same sf — the full
+    # dedup decision (shingle → minhash → band join → verify → connected
+    # components → representative pick) and LSH ANN top-k
+    from centrality_gpu_spark.operators.dedup import dedup_clusters
+    from centrality_gpu_spark.operators.similarity import lsh_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dropped, _ = timed(
+        "q10_dedup_clusters",
+        lambda: dedup_clusters(docs, threshold=0.5)
+        .where(F.col("keep") == 0).count(),
+    )
+    extras["dedup_docs_dropped"] = dropped
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("q11_ann_lsh_topk", lambda: lsh_topk(embs, k=10).count())
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(

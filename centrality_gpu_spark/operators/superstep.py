@@ -54,6 +54,9 @@ class BlockedEdges:
     ``path`` (optional): directory holding the same edges written as
     ``block=N/`` parquet — enables the worker-cached CSR fast path
     (supersteps ship only the value vector, never the edges).
+    ``dense`` caches the lazily-built global dense-combine map
+    (see ``_dense_map``): None = not built yet, False = over the size
+    guard (sparse combine), else (ids ndarray, broadcast).
     """
 
     edges: DataFrame | None
@@ -61,6 +64,7 @@ class BlockedEdges:
     n_blocks: int
     path: str | None = None
     n_hubs: int = 0
+    dense: object = None
 
     @property
     def spark(self):
@@ -285,6 +289,76 @@ def _route_values(blocked: BlockedEdges, values: DataFrame) -> DataFrame:
     return normal.unionByName(hub_vals)
 
 
+# -------------------------------------------------------- dense combine
+#
+# The sparse combine emits one (id, partial) row per distinct dst per
+# block. On a dense iteration (PageRank: every vertex has a value) each
+# block touches nearly ALL vertices, so the combine shuffles
+# O(n_blocks × V) rows — measured 79.5M rows/superstep on the 306M-edge
+# scaling graph, and it is the non-scaling term (Arrow row emission +
+# exchange + hash agg dominate over the numpy gather). The dense path
+# instead bincounts into the GLOBAL dense code space and emits fixed
+# ~2MB array chunks: n_blocks × V/DENSE_CHUNK rows (hundreds, not tens
+# of millions); the final combine is a per-chunk numpy vector add — the
+# DataFrame expression of an allreduce, the same shape as the
+# reference's cross-block atomicAdd into the global result vector
+# (kernels_free.cu:301-304).
+#
+# Guarded: the global id map is broadcast (V×8B), so the dense path is
+# only taken when V ≤ DENSE_COMBINE_MAX_VERTICES; above it (or for
+# cogroup-mode stores) spmv falls back to the sparse combine, which has
+# no V-sized structure anywhere.
+
+DENSE_COMBINE_MAX_VERTICES = 64_000_000
+DENSE_CHUNK = 1 << 18  # 262144 float64 = 2 MiB per emitted chunk row
+
+
+def _dense_map(blocked: BlockedEdges):
+    """Build (once per store per session) the sorted global dst-id array
+    + its broadcast. Returns None when over the size guard."""
+    if blocked.dense is not None:
+        return None if blocked.dense is False else blocked.dense
+    if blocked.path is None:
+        blocked.dense = False
+        return None
+    spark = blocked.spark
+    path = blocked.path
+    blocks_df = spark.range(blocked.n_blocks).select(
+        F.col("id").cast("int").alias("block")
+    )
+
+    def block_dsts(batches):
+        for pdf in batches:
+            for b in pdf["block"]:
+                blk = _load_csr_block(path, int(b))
+                if not blk.get("empty"):
+                    yield pd.DataFrame({"id": np.asarray(blk["dst_u"])})
+
+    ids_df = blocks_df.mapInPandas(block_dsts, "id long").distinct()
+    n = ids_df.count()
+    if n > DENSE_COMBINE_MAX_VERTICES:
+        blocked.dense = False
+        return None
+    ids = np.sort(ids_df.toPandas()["id"].to_numpy())
+    bc = spark.sparkContext.broadcast(ids)
+    blocked.dense = (ids, bc)
+    return blocked.dense
+
+
+def _block_gcodes(path: str, block: int, ids_bc) -> np.ndarray:
+    """Global dense code of each of the block's dst rows (cached — the
+    searchsorted against the broadcast id map runs once per block per
+    worker process, not per superstep)."""
+    key = (path, block, "gcode", id(ids_bc))
+    hit = _CSR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    blk = _load_csr_block(path, block)
+    g = np.searchsorted(ids_bc.value, np.asarray(blk["dst_u"]))
+    _CSR_CACHE[key] = g
+    return g
+
+
 def _spmv_kernel(key, edge_pdf: pd.DataFrame, val_pdf: pd.DataFrame,
                  weighted: bool = True,
                  divide_by_src_degree: bool = False,
@@ -333,6 +407,7 @@ def spmv(
     weighted: bool = True,
     divide_by_src_degree: bool = False,
     divide_by_src_wdegree: bool = False,
+    combine: str = "auto",
 ) -> DataFrame:
     """y = Aᵀ·x over the blocked edge table.
 
@@ -346,18 +421,35 @@ def spmv(
     the routed value vector to Python; the edge block's CSR structures
     come from the worker-resident cache. Otherwise falls back to
     cogrouping edges+values (edges cross the Arrow boundary each call).
+
+    ``combine``: how per-block partial sums meet — ``"sparse"`` emits
+    (id, partial) rows + a hash agg (O(n_blocks × distinct-dst) rows);
+    ``"dense"`` emits fixed ~2MB array chunks of the global dense
+    vector + a per-chunk numpy add (O(n_blocks × V/DENSE_CHUNK) rows —
+    hundreds instead of tens of millions). Both are exact (equality
+    tested to 1e-12). ``"auto"`` currently resolves to sparse: on this
+    one-box sandbox the exchange is page-cache-backed and A/B medians
+    show sparse ≤ dense, so sparse is the measured default; on a real
+    multi-node cluster, where the combine's rows cross the network,
+    the dense path's ~10⁵× row reduction is the right plan — opt in
+    with ``combine="dense"`` (requires a disk store and
+    V ≤ DENSE_COMBINE_MAX_VERTICES for the broadcast id map).
     """
     routed = _route_values(blocked, values)
     if blocked.path is not None:
         path = blocked.path
+        dense = _dense_map(blocked) if combine == "dense" else None
+        if combine == "dense" and dense is None:
+            raise ValueError(
+                "dense combine unavailable: store has no path or vertex "
+                f"count exceeds {DENSE_COMBINE_MAX_VERTICES}"
+            )
 
-        def cached_kernel(key, val_pdf):
+        def block_msg(key, val_pdf):
+            """Shared gather: per-edge messages for one block, or None."""
             blk = _load_csr_block(path, int(key[0]))
             if blk.get("empty") or len(val_pdf) == 0:
-                return pd.DataFrame(
-                    {"id": pd.Series([], dtype="int64"),
-                     "partial": pd.Series([], dtype="float64")}
-                )
+                return None, None
             vid = val_pdf["id"].to_numpy()
             vval = val_pdf["val"].to_numpy(dtype="float64")
             # scatter incoming values onto this block's src slots
@@ -379,6 +471,70 @@ def spmv(
                     msg = msg * blk["w"]
                 if divide_by_src_degree:
                     msg = msg * blk["inv_deg"]
+            return blk, msg
+
+        if dense is not None:
+            ids, ids_bc = dense
+            n_global = len(ids)
+            # captured by value so the workers use the driver's setting
+            # (tests shrink it to force the multi-chunk path)
+            chunk_w = DENSE_CHUNK
+
+            def cached_kernel_dense(key, val_pdf):
+                blk, msg = block_msg(key, val_pdf)
+                if blk is None:
+                    return pd.DataFrame(
+                        {"chunk": pd.Series([], dtype="int32"),
+                         "vals": pd.Series([], dtype="object")}
+                    )
+                partial = np.bincount(
+                    blk["dst_inv"], weights=msg, minlength=len(blk["dst_u"])
+                )
+                g = _block_gcodes(path, int(key[0]), ids_bc)  # ascending
+                chunks, arrs = [], []
+                edges_idx = np.searchsorted(
+                    g, np.arange(0, n_global + chunk_w, chunk_w)
+                )
+                for c in range(len(edges_idx) - 1):
+                    lo, hi = edges_idx[c], edges_idx[c + 1]
+                    if lo == hi:
+                        continue
+                    seg = partial[lo:hi]
+                    if not seg.any():
+                        continue
+                    width = min(chunk_w, n_global - c * chunk_w)
+                    arr = np.zeros(width)
+                    arr[g[lo:hi] - c * chunk_w] = seg
+                    chunks.append(c)
+                    arrs.append(arr)
+                return pd.DataFrame({"chunk": pd.Series(chunks, dtype="int32"),
+                                     "vals": arrs})
+
+            chunked = routed.groupBy("block").applyInPandas(
+                cached_kernel_dense, "chunk int, vals array<double>"
+            )
+
+            def combine_chunk(key, pdf):
+                c = int(key[0])
+                acc = None
+                for arr in pdf["vals"]:
+                    a = np.asarray(arr)
+                    acc = a.copy() if acc is None else acc + a
+                ids_slice = ids_bc.value[c * chunk_w : c * chunk_w + len(acc)]
+                nz = acc != 0.0
+                return pd.DataFrame({"id": ids_slice[nz], "msg": acc[nz]})
+
+            return chunked.groupBy("chunk").applyInPandas(
+                combine_chunk, "id long, msg double"
+            )
+
+        def cached_kernel(key, val_pdf):
+            blk, msg = block_msg(key, val_pdf)
+            if blk is None:
+                return pd.DataFrame(
+                    {"id": pd.Series([], dtype="int64"),
+                     "partial": pd.Series([], dtype="float64")}
+                )
             partial = np.bincount(
                 blk["dst_inv"], weights=msg, minlength=len(blk["dst_u"])
             )
@@ -389,6 +545,8 @@ def spmv(
             cached_kernel, "id long, partial double"
         )
     else:
+        if combine == "dense":
+            raise ValueError("dense combine requires a disk block store")
         if blocked.edges is None:
             raise ValueError("BlockedEdges has neither a disk store nor a cached DF")
 

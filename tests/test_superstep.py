@@ -65,3 +65,35 @@ def test_spmv_repeated_calls_consistent(spark, g, values):
     b = as_map(spmv(blocked, values, weighted=False))
     assert a == b
     blocked.unpersist()
+
+
+def test_spmv_dense_vs_sparse_combine(spark, g, values):
+    """The dense chunked combine must equal the sparse row combine to
+    1e-12 on every vertex, for all weighting modes, including a chunk
+    width smaller than the vertex count (multi-chunk path)."""
+    import centrality_gpu_spark.operators.superstep as ss
+
+    cached = block_edges(g, scratch_dir=tempfile.mkdtemp(prefix="t_blkd_"))
+    old_chunk = ss.DENSE_CHUNK
+    ss.DENSE_CHUNK = 8  # force many chunks on the small test graph
+    try:
+        for kw in (
+            {"weighted": True},
+            {"weighted": False, "divide_by_src_degree": True},
+            {"divide_by_src_wdegree": True},
+        ):
+            dense = as_map(spmv(cached, values, combine="dense", **kw))
+            sparse = as_map(spmv(cached, values, combine="sparse", **kw))
+            assert set(dense) == set(sparse)
+            for k in sparse:
+                assert dense[k] == pytest.approx(sparse[k], abs=1e-12)
+    finally:
+        ss.DENSE_CHUNK = old_chunk
+        cached.unpersist()
+
+
+def test_spmv_dense_requires_store(spark, g, values):
+    cogrouped = block_edges(g)
+    with pytest.raises(ValueError, match="dense combine"):
+        spmv(cogrouped, values, combine="dense").collect()
+    cogrouped.unpersist()
