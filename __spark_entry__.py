@@ -16,11 +16,13 @@ Both are defined twice — DataFrame ops and a DuckDB CTE named
 ``edges`` — in the same module, to keep Spark and oracle in lockstep.
 
 Iterative fixpoints DuckDB 1.0's recursive CTEs can't aggregate inside
-are still hash-checked where a closed form exists: LPA unrolls a fixed
-round budget (``lpa_oracle_sql``), and betweenness/closeness/decomposed
-BC run on the customer↔order star forest whose per-star BC and
-closeness have exact SQL forms. Only the events-graph centralities stay
-rows-only (verified against networkx goldens in tests/).
+are hash-checked by unrolling a fixed budget: LPA unrolls its round
+count (``lpa_oracle_sql``), and the events-graph centralities use the
+unrolled-APSP oracle (``brandes_apsp_oracle_sql``: recursive-walk
+distances, per-level sigma unroll, pair-dependency BC). The star-forest
+(custorder) centralities additionally check against independent
+closed forms. The only rows-only query left is ``ann_ivf``, whose
+iterative k-means quantizer is not SQL-expressible (pytest-verified).
 """
 
 from __future__ import annotations
@@ -33,8 +35,14 @@ from pyspark.sql import functions as F
 from centrality_gpu_spark.operators.components import connected_components
 from centrality_gpu_spark.operators.labelprop import label_propagation, lpa_oracle_sql
 from centrality_gpu_spark.operators.pagerank import pagerank, pagerank_oracle_sql
-from centrality_gpu_spark.operators.betweenness import betweenness_broadcast
-from centrality_gpu_spark.operators.closeness import closeness_broadcast
+from centrality_gpu_spark.operators.betweenness import (
+    betweenness_broadcast,
+    brandes_apsp_oracle_sql,
+)
+from centrality_gpu_spark.operators.closeness import (
+    closeness_apsp_oracle_sql,
+    closeness_broadcast,
+)
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
 from centrality_gpu_spark.operators.triangles import (
     TRIANGLE_COUNT_SQL,
@@ -394,8 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
         "closeness_custorder": _q_closeness_custorder,
         "closeness_bsp_custorder": _q_closeness_bsp_custorder,
-        # rows-only (no closed form on the events graph; verified vs
-        # networkx goldens in pytest):
+        # hash-checked against the unrolled-APSP DuckDB oracle
+        # (pair-dependency BC / wf closeness; also networkx goldens):
         "betweenness_events": _q_betweenness_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "closeness_events": _q_closeness_events,
@@ -492,6 +500,12 @@ SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id, CAST(1 AS INTEGER) AS core
 FROM orders ORDER BY id
 """.strip(),
         "lpa_events": lpa_oracle_sql(EVENTS_EDGES_CTE, iterations=LPA_ITERS),
+        # unrolled-APSP oracles (recursive-walk distances + per-level
+        # sigma unroll + pair-dependency sum; diameter(sf0.01 events)=2,
+        # unrolled to 8 for margin):
+        "betweenness_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "betweenness_decomposed_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "closeness_events": closeness_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "betweenness_custorder": BETWEENNESS_CUSTORDER_SQL,
         "betweenness_bsp_custorder": BETWEENNESS_CUSTORDER_SQL,
         "betweenness_decomposed_custorder": BETWEENNESS_CUSTORDER_SQL,

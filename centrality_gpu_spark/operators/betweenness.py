@@ -319,3 +319,74 @@ def betweenness_bsp(
         .join(bc, "id", "left")
         .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
     )
+
+
+# ------------------------------------------------------------- oracle SQL
+
+def apsp_oracle_cte(edges_cte: str, max_depth: int = 8) -> str:
+    """DuckDB CTE prefix computing exact unweighted APSP with shortest-
+    path counts over an ``edges`` CTE (symmetrized ``src, dst``).
+
+    Strategy (the G20 oracle idiom, ``apsp_graph.cpp:404-440``, done in
+    SQL instead of O(n^3) Floyd-Warshall): a recursive CTE enumerates
+    deduplicated (source, vertex, depth) walk states to ``max_depth``
+    and ``MIN(depth)`` gives distances; sigma path counts then unroll
+    level-by-level (DuckDB 1.0 recursive CTEs cannot aggregate inside
+    the recursion, so the per-level join-aggregate
+
+        sigma_k(s, w) = SUM over {v : dist(s,v)=k-1, (v,w) in E,
+                                    dist(s,w)=k} of sigma_{k-1}(s, v)
+
+    is unrolled ``max_depth`` times — the same fixed-budget trick as
+    ``pagerank_oracle_sql``/``lpa_oracle_sql``). Exposes CTEs:
+    ``verts(id)``, ``dist(s, v, d)`` and ``ds(s, v, d, sigma)``.
+    Correct whenever the graph diameter <= max_depth (the driver's
+    sf0.01 events graph has diameter 2).
+    """
+    sig = []
+    for k in range(1, max_depth + 1):
+        prev = "sig0" if k == 1 else f"sig{k-1}"
+        sig.append(
+            f"sig{k} AS (SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma "
+            f"FROM {prev} p JOIN edges e ON e.src = p.v "
+            f"JOIN dist dd ON dd.s = p.s AND dd.v = e.dst AND dd.d = {k} "
+            f"GROUP BY p.s, e.dst)"
+        )
+    sig_block = ",\n".join(sig)
+    ds_union = " UNION ALL ".join(
+        f"SELECT s, v, {k} AS d, sigma FROM sig{k}" for k in range(0, max_depth + 1)
+    )
+    return f"""RECURSIVE {edges_cte},
+verts AS (SELECT DISTINCT src AS id FROM edges),
+walk(s, v, d) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < {max_depth}
+),
+dist AS (SELECT s, v, MIN(d) AS d FROM walk GROUP BY s, v),
+sig0 AS (SELECT id AS s, id AS v, CAST(1 AS DOUBLE) AS sigma FROM verts),
+{sig_block},
+ds AS ({ds_union})"""
+
+
+def brandes_apsp_oracle_sql(edges_cte: str, max_depth: int = 8) -> str:
+    """Full DuckDB oracle for ``betweenness`` on any graph of diameter
+    <= max_depth: BC(v) = sum over ordered pairs (s,t), v not in {s,t},
+    with d(s,v)+d(v,t)=d(s,t), of sigma(s,v)*sigma(v,t)/sigma(s,t) —
+    the pair-dependency definition Brandes' delta recursion telescopes
+    to, and the ordered-pair counting the reference uses
+    (``modified_apsp.cpp:209``; = 2x networkx unnormalized).
+    Output: (id, bc) rounded to 6 decimals, ordered by id.
+    """
+    return f"""WITH {apsp_oracle_cte(edges_cte, max_depth)},
+bcsum AS (
+  SELECT sv.v AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS bc
+  FROM ds st
+  JOIN ds sv ON sv.s = st.s AND sv.v <> st.s AND sv.v <> st.v
+  JOIN ds vt ON vt.s = sv.v AND vt.v = st.v AND sv.d + vt.d = st.d
+  WHERE st.s <> st.v
+  GROUP BY sv.v
+)
+SELECT v.id, ROUND(COALESCE(b.bc, 0.0), 6) AS bc
+FROM verts v LEFT JOIN bcsum b ON v.id = b.id ORDER BY v.id"""

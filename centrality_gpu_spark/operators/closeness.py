@@ -135,3 +135,23 @@ def farness(graph: Graph, batch_size: int = 2048) -> DataFrame:
     return union_all(parts).select(
         F.col("source").alias("id"), "farness", "reachable"
     )
+
+
+def closeness_apsp_oracle_sql(edges_cte: str, max_depth: int = 8) -> str:
+    """DuckDB oracle for ``closeness`` on any graph of diameter <=
+    max_depth, from the same APSP CTE as ``brandes_apsp_oracle_sql``;
+    mirrors ``_closeness_from_farness``'s wf_improved expression shape
+    term-for-term so ROUND(..., 6) agrees bitwise with the engine.
+    Output: (id, closeness) rounded to 6 decimals, ordered by id.
+    """
+    from centrality_gpu_spark.operators.betweenness import apsp_oracle_cte
+
+    return f"""WITH {apsp_oracle_cte(edges_cte, max_depth)},
+far AS (SELECT s, SUM(d) AS farness, COUNT(*) AS r FROM dist GROUP BY s),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)
+SELECT s AS id,
+       ROUND(CASE WHEN farness > 0 AND r > 1
+             THEN (CAST(r - 1 AS DOUBLE) / farness)
+                  * (CAST(r - 1 AS DOUBLE) / ((SELECT n FROM nn) - 1))
+             ELSE 0.0 END, 6) AS closeness
+FROM far ORDER BY id"""

@@ -19,7 +19,7 @@ from centrality_gpu_spark.operators.bfs import multi_source_bfs, sssp_distances
 from centrality_gpu_spark.operators.closeness import closeness_broadcast, closeness_bsp
 from centrality_gpu_spark.sources.edgelist import read_edge_list_local
 
-from tests.conftest import SAMPLE_DIR, sample_nx
+from tests.conftest import SAMPLE_DIR, SF_SMALL, sample_nx
 
 
 def golden_bc(nxg):
@@ -247,3 +247,60 @@ def test_direction_switch_chain_vs_clique(spark):
     recs = []
     bfs_forward(indptr, indices, 0, len(ids), directions=recs)
     assert "bu" in recs
+
+
+def _sample_edges_cte(name: str) -> str:
+    """Inline symmetrized edges CTE for a reference sample graph."""
+    from tests.conftest import read_sample_edges
+
+    rows = ", ".join(f"({u}, {v})" for u, v in read_sample_edges(name))
+    return (
+        f"raw(src, dst) AS (VALUES {rows}),\n"
+        "edges AS (SELECT src, dst FROM raw "
+        "UNION ALL SELECT dst, src FROM raw)"
+    )
+
+
+def test_apsp_oracle_sql_vs_networkx(sample_name):
+    """The unrolled-APSP DuckDB oracle (used by the driver for the
+    events-graph centralities) reproduces 2x-unnormalized networkx BC
+    and wf-improved closeness on every reference sample graph."""
+    import duckdb
+
+    from centrality_gpu_spark.operators.betweenness import brandes_apsp_oracle_sql
+    from centrality_gpu_spark.operators.closeness import closeness_apsp_oracle_sql
+    from tests.conftest import sample_nx
+
+    g = sample_nx(sample_name)
+    cte = _sample_edges_cte(sample_name)
+    con = duckdb.connect()
+    bc = dict(con.execute(brandes_apsp_oracle_sql(cte, max_depth=12)).fetchall())
+    cl = dict(con.execute(closeness_apsp_oracle_sql(cte, max_depth=12)).fetchall())
+    nx_bc = nx.betweenness_centrality(g, normalized=False)
+    nx_cl = nx.closeness_centrality(g, wf_improved=True)
+    assert set(bc) == set(g.nodes)
+    for v in g.nodes:
+        assert bc[v] == pytest.approx(2 * nx_bc[v], abs=1e-6)
+        assert cl[v] == pytest.approx(nx_cl[v], abs=1e-6)
+
+
+def test_apsp_oracle_sql_events_graph():
+    """Oracle vs networkx on the real sf0.001 events graph (the same
+    CTE the driver hash-checks betweenness/closeness_events against)."""
+    import duckdb
+
+    from centrality_gpu_spark.operators.betweenness import brandes_apsp_oracle_sql
+    from centrality_gpu_spark.sources.testdata_graphs import EVENTS_EDGES_CTE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    bc = dict(con.execute(brandes_apsp_oracle_sql(EVENTS_EDGES_CTE)).fetchall())
+    edges = con.execute(f"WITH {EVENTS_EDGES_CTE} SELECT src, dst FROM edges").fetchall()
+    g = nx.Graph()
+    g.add_edges_from(edges)
+    nx_bc = nx.betweenness_centrality(g, normalized=False)
+    assert set(bc) == set(g.nodes)
+    for v in g.nodes:
+        assert bc[v] == pytest.approx(2 * nx_bc[v], abs=1e-6)
