@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from centrality_gpu_spark.operators.components import connected_components
 from centrality_gpu_spark.operators.labelprop import label_propagation, lpa_oracle_sql
-from centrality_gpu_spark.operators.pagerank import pagerank, pagerank_oracle_sql
+from centrality_gpu_spark.operators.pagerank import (
+    pagerank,
+    pagerank_oracle_sql,
+    personalized_pagerank,
+    ppr_oracle_sql,
+)
 from centrality_gpu_spark.operators.betweenness import (
     betweenness_broadcast,
     brandes_apsp_oracle_sql,
@@ -42,6 +47,12 @@ from centrality_gpu_spark.operators.betweenness import (
 from centrality_gpu_spark.operators.closeness import (
     closeness_apsp_oracle_sql,
     closeness_broadcast,
+    harmonic,
+    harmonic_apsp_oracle_sql,
+)
+from centrality_gpu_spark.operators.eigenvector import (
+    eigenvector_centrality,
+    eigenvector_oracle_sql,
 )
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
 from centrality_gpu_spark.operators.triangles import (
@@ -207,6 +218,34 @@ def _q_pendant_peel_custorder(spark: SparkSession, sf: str) -> DataFrame:
 def _q_closeness_events(spark: SparkSession, sf: str) -> DataFrame:
     c = closeness_broadcast(events_graph(spark, sf))
     return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def _q_harmonic_events(spark: SparkSession, sf: str) -> DataFrame:
+    h = harmonic(events_graph(spark, sf))
+    return h.select("id", F.round("harmonic", 6).alias("harmonic"))
+
+
+PPR_SEEDS = 3
+PPR_ITERS = 5
+
+
+def _q_ppr_events(spark: SparkSession, sf: str) -> DataFrame:
+    g = events_graph(spark, sf)
+    seeds = g.vertices().orderBy("id").limit(PPR_SEEDS)
+    pr = personalized_pagerank(g, seeds, fixed_iterations=PPR_ITERS, mode="sql")
+    return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
+
+
+EV_ITERS = 10
+
+
+def _q_eigenvector_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    # copurchase (triangle-rich, non-bipartite) — the events graph is
+    # bipartite, where the power sequence oscillates
+    ev = eigenvector_centrality(
+        copurchase_graph(spark, sf), fixed_iterations=EV_ITERS, mode="sql"
+    )
+    return ev.select("id", F.round("score", PR_ROUND).alias("score"))
 
 
 # --- star-forest centrality queries (closed-form oracles): on the
@@ -383,6 +422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events": _q_pagerank_events,
         "pagerank_copurchase": _q_pagerank_copurchase,
         "pagerank_weighted_events": _q_pagerank_weighted_events,
+        "ppr_events": _q_ppr_events,
+        "eigenvector_copurchase": _q_eigenvector_copurchase,
+        "harmonic_events": _q_harmonic_events,
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
         "sssp_events": _q_sssp_events,
@@ -506,6 +548,16 @@ FROM orders ORDER BY id
         "betweenness_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "betweenness_decomposed_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "closeness_events": closeness_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "harmonic_events": harmonic_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "ppr_events": ppr_oracle_sql(
+            EVENTS_EDGES_CTE,
+            "seeds AS (SELECT DISTINCT src AS id FROM edges ORDER BY id "
+            f"LIMIT {PPR_SEEDS})",
+            iterations=PPR_ITERS, round_digits=PR_ROUND,
+        ),
+        "eigenvector_copurchase": eigenvector_oracle_sql(
+            COPURCHASE_EDGES_CTE, iterations=EV_ITERS, round_digits=PR_ROUND
+        ),
         "betweenness_custorder": BETWEENNESS_CUSTORDER_SQL,
         "betweenness_bsp_custorder": BETWEENNESS_CUSTORDER_SQL,
         "betweenness_decomposed_custorder": BETWEENNESS_CUSTORDER_SQL,

@@ -155,3 +155,101 @@ SELECT s AS id,
                   * (CAST(r - 1 AS DOUBLE) / ((SELECT n FROM nn) - 1))
              ELSE 0.0 END, 6) AS closeness
 FROM far ORDER BY id"""
+
+
+# ------------------------------------------------------ harmonic centrality
+
+def harmonic_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:
+    """(id, harmonic) — H(u) = Σ_{v≠u} 1/d(u,v) (unreachable terms 0;
+    networkx ``harmonic_centrality`` convention, unnormalized).
+
+    Same broadcast-CSR source-parallel plan as ``closeness_broadcast``
+    (one BFS-forward per source per task, reference regime
+    ``kernels_free.cu:43-79``); only the per-source aggregate differs:
+    Σ1/d instead of Σd — harmonic handles disconnected graphs without
+    the wf correction factor.
+    """
+    spark = graph.spark
+    ids, indptr, indices = graph_to_csr(graph)
+    n = len(ids)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices))
+    if num_tasks is None:
+        num_tasks = min(int(spark.conf.get("spark.sql.shuffle.partitions")), max(1, n))
+    src_df = spark.createDataFrame([(int(i),) for i in range(n)], "sid long").repartition(
+        num_tasks
+    )
+
+    def run_batch(batches):
+        ids_, indptr_, indices_ = bcast.value
+        n_ = len(ids_)
+        for pdf in batches:
+            out_id, out_h = [], []
+            for s in pdf["sid"].to_numpy():
+                dist, _sigma, _levels = bfs_forward(indptr_, indices_, int(s), n_)
+                pos = dist > 0
+                out_id.append(ids_[s])
+                out_h.append(float((1.0 / dist[pos]).sum()))
+            yield pd.DataFrame({"id": out_id, "harmonic": out_h})
+
+    return src_df.mapInPandas(run_batch, "id long, harmonic double")
+
+
+@with_iterative_conf
+def harmonic_bsp(
+    graph: Graph,
+    batch_size: int = 2048,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(id, harmonic) via the distributed frontier-join BFS waves."""
+    from centrality_gpu_spark.operators.betweenness import _source_waves
+    from centrality_gpu_spark.graph import union_all
+
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    parts: list[DataFrame] = []
+    for src_df in _source_waves(graph, None, batch_size, ckpt):
+        bfs = multi_source_bfs(graph, src_df, checkpoint=ckpt)
+        h = (
+            bfs.visited.where(F.col("dist") > 0)
+            .groupBy("source")
+            .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
+        )
+        parts.append(ckpt.truncate(h))
+    res = union_all(parts).select(F.col("source").alias("id"), "harmonic")
+    # isolated / all-unreachable sources: harmonic = 0
+    return (
+        graph.vertices()
+        .join(res, "id", "left")
+        .select("id", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
+    )
+
+
+def harmonic(
+    graph: Graph,
+    strategy: str = "auto",
+    max_broadcast_edges: int = DEFAULT_BROADCAST_MAX_EDGES,
+    **kwargs,
+) -> DataFrame:
+    """(id, harmonic) — regime-dispatching front door (same size guard
+    as ``closeness``)."""
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if graph.num_edges() * 2 <= max_broadcast_edges else "bsp"
+        )
+    if strategy == "broadcast":
+        return harmonic_broadcast(graph, **kwargs)
+    if strategy == "bsp":
+        return harmonic_bsp(graph, **kwargs)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def harmonic_apsp_oracle_sql(edges_cte: str, max_depth: int = 8) -> str:
+    """DuckDB oracle for ``harmonic`` (graphs of diameter <= max_depth),
+    from the same APSP CTE. Output: (id, harmonic) rounded to 6."""
+    from centrality_gpu_spark.operators.betweenness import apsp_oracle_cte
+
+    return f"""WITH {apsp_oracle_cte(edges_cte, max_depth)},
+h AS (
+  SELECT s, SUM(1.0 / d) AS harmonic FROM dist WHERE d > 0 GROUP BY s
+)
+SELECT v.id, ROUND(COALESCE(h.harmonic, 0.0), 6) AS harmonic
+FROM verts v LEFT JOIN h ON v.id = h.s ORDER BY v.id"""

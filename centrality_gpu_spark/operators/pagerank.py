@@ -203,3 +203,132 @@ def pagerank_oracle_sql(
         f"FROM pr{iterations} ORDER BY id"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+# ------------------------------------------------- personalized PageRank
+
+def personalized_pagerank(
+    graph: Graph,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    fixed_iterations: int = 10,
+    mode: str = "csr",
+    blocked: BlockedEdges | None = None,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Random-walk-with-restart ranks: (id:long, rank:double).
+
+        r'(v) = (1-α)·p(v) + α · Σ_{(u,v)∈E} r(u)/deg(u)
+
+    with restart distribution p uniform over ``seeds`` (id:long) — the
+    similarity/recommendation query over the transcript graph ("which
+    conversations/tools sit near these seeds in the link structure").
+    Same SpMV superstep as ``pagerank``; the only extra per-iteration
+    work is adding the static base vector, an O(V) join against the
+    loop-invariant seed DF. Fixed iterations so the unrolled DuckDB
+    oracle (``ppr_oracle_sql``) replays the identical recurrence.
+    """
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    verts = ckpt.truncate(graph.vertices())
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs at least one seed")
+    base = (1.0 - alpha) / n_seeds
+    base_df = ckpt.truncate(
+        verts.join(seeds.select("id").withColumn("_s", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_s").isNotNull(), F.lit(base)).otherwise(F.lit(0.0)).alias("base"),
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)).alias("rank"),
+        )
+    )
+    ranks = base_df.select("id", "rank")
+
+    own_blocked = False
+    if mode == "csr" and blocked is None:
+        import tempfile
+
+        blocked = block_edges(graph, scratch_dir=tempfile.mkdtemp(prefix="cgs_blk_"))
+        own_blocked = True
+
+    import contextlib
+    import time
+
+    from centrality_gpu_spark.plans.checkpoint import (
+        ITERATIVE_CONF_MIN_EDGES,
+        iterative_conf,
+    )
+
+    cm = (
+        iterative_conf(graph.spark)
+        if graph.num_edges() >= ITERATIVE_CONF_MIN_EDGES
+        else contextlib.nullcontext()
+    )
+    with cm:
+        for it in range(fixed_iterations):
+            t0 = time.time()
+            vals = ranks.select("id", F.col("rank").alias("val"))
+            if mode == "csr":
+                msgs = spmv(blocked, vals, weighted=False, divide_by_src_degree=True)
+            else:
+                msgs = spmv_sql(graph, vals, weighted=False, divide_by_src_degree=True)
+            ranks = ckpt.truncate(
+                base_df.select("id", "base")
+                .join(msgs, "id", "left")
+                .select(
+                    "id",
+                    (F.col("base")
+                     + F.lit(alpha) * F.coalesce("msg", F.lit(0.0))).alias("rank"),
+                )
+            )
+            ckpt.record(op="ppr", iteration=it, secs=time.time() - t0)
+
+    if own_blocked:
+        blocked.unpersist()
+    return ranks
+
+
+def ppr_oracle_sql(
+    edges_cte: str, seeds_cte: str, alpha: float = 0.85,
+    iterations: int = 10, round_digits: int = 8,
+) -> str:
+    """Unrolled DuckDB twin of ``personalized_pagerank``.
+
+    ``seeds_cte`` must define a CTE ``seeds(id)``. Same fixed-budget
+    unrolling idiom as ``pagerank_oracle_sql``.
+    """
+    parts = [
+        edges_cte,
+        seeds_cte,
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)",
+        "verts AS (SELECT id FROM deg)",
+        "ns AS (SELECT COUNT(*) AS n FROM seeds)",
+        "basev AS (SELECT v.id,"
+        f" CASE WHEN s.id IS NOT NULL THEN (1.0 - {alpha})/(SELECT n FROM ns)"
+        " ELSE 0.0 END AS base,"
+        " CASE WHEN s.id IS NOT NULL THEN 1.0/(SELECT n FROM ns)"
+        " ELSE 0.0 END AS rank"
+        " FROM verts v LEFT JOIN seeds s ON v.id = s.id)",
+        "pr0 AS (SELECT id, rank FROM basev)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS id, SUM(p.rank / d.degree) AS msg
+  FROM edges e
+  JOIN pr{k} p ON e.src = p.id
+  JOIN deg d ON e.src = d.id
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""pr{k + 1} AS (
+  SELECT b.id, b.base + {alpha} * COALESCE(c.msg, 0.0) AS rank
+  FROM basev b LEFT JOIN c{k} c ON b.id = c.id
+)"""
+        )
+    final = (
+        f"SELECT id, ROUND(rank, {round_digits}) AS rank "
+        f"FROM pr{iterations} ORDER BY id"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final

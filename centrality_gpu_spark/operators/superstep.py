@@ -581,8 +581,12 @@ def spmv(
                     arr[g[lo:hi] - c * chunk_w] = seg
                     chunks.append(c)
                     arrs.append(arr)
+                # dtype="object" even when empty: an empty float64
+                # column can't Arrow-convert to array<double> (hit when
+                # a sparse value vector zeroes out a whole block, e.g.
+                # personalized PageRank's first supersteps)
                 return pd.DataFrame({"chunk": pd.Series(chunks, dtype="int32"),
-                                     "vals": arrs})
+                                     "vals": pd.Series(arrs, dtype="object")})
 
             chunked = routed.groupBy("block").applyInPandas(
                 cached_kernel_dense, "chunk int, vals array<double>"

@@ -304,3 +304,28 @@ def test_apsp_oracle_sql_events_graph():
     assert set(bc) == set(g.nodes)
     for v in g.nodes:
         assert bc[v] == pytest.approx(2 * nx_bc[v], abs=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "bsp"])
+def test_harmonic_samples(spark, sample_name, strategy):
+    from centrality_gpu_spark.operators.closeness import harmonic
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    got = {r.id: r.harmonic for r in harmonic(g, strategy=strategy).collect()}
+    exp = nx.harmonic_centrality(sample_nx(sample_name))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9), k
+
+
+def test_harmonic_disconnected(spark):
+    """Unreachable pairs contribute 0 (no wf correction needed)."""
+    from centrality_gpu_spark.operators.closeness import harmonic
+
+    edges = [(0, 1), (1, 2), (10, 11)]
+    g = Graph.from_undirected_edges(spark.createDataFrame(edges, "src long, dst long"))
+    got = {r.id: r.harmonic for r in harmonic(g).collect()}
+    nxg = nx.Graph(edges)
+    exp = nx.harmonic_centrality(nxg)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9), k

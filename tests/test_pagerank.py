@@ -114,3 +114,65 @@ def test_pagerank_weighted_csr_cogroup_mode(spark):
          pagerank(g, mode="sql", fixed_iterations=4, weighted=True).collect()}
     assert np.allclose([a[k] for k in sorted(a)], [b[k] for k in sorted(b)], atol=1e-12)
     blocked.unpersist()
+
+
+def np_ppr(edges, seeds, alpha=0.85, iters=5):
+    """Replay the personalized-pagerank fixed recurrence in numpy."""
+    ids = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    sym = {(idx[u], idx[v]) for u, v in edges if u != v}
+    sym |= {(b, a) for a, b in sym}
+    src = np.array([a for a, _ in sym])
+    dst = np.array([b for _, b in sym])
+    deg = np.bincount(src, minlength=n).astype(float)
+    base = np.zeros(n)
+    for s in seeds:
+        base[idx[s]] = 1.0 / len(seeds)
+    r = base.copy()
+    for _ in range(iters):
+        contrib = r[src] / deg[src]
+        msg = np.bincount(dst, weights=contrib, minlength=n)
+        r = (1 - alpha) * base + alpha * msg
+    return {v: r[idx[v]] for v in ids}
+
+
+@pytest.mark.parametrize("mode", ["sql", "csr"])
+def test_ppr_samples_fixed(spark, sample_name, mode):
+    from centrality_gpu_spark.operators.pagerank import personalized_pagerank
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    edges = read_sample_edges(sample_name)
+    seeds = sorted({u for e in edges for u in e})[:2]
+    seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    got = {
+        r.id: r["rank"]
+        for r in personalized_pagerank(
+            g, seeds_df, fixed_iterations=5, mode=mode
+        ).collect()
+    }
+    exp = np_ppr(edges, seeds, iters=5)
+    assert set(got) == set(exp)
+    assert np.allclose(
+        [got[k] for k in sorted(got)], [exp[k] for k in sorted(exp)],
+        atol=1e-12, rtol=1e-12,
+    )
+
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    """Sanity: with a low alpha the seed keeps the largest rank."""
+    from centrality_gpu_spark.operators.pagerank import personalized_pagerank
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test4.txt")
+    seeds_df = spark.createDataFrame([(0,)], "id long")
+    rows = personalized_pagerank(g, seeds_df, alpha=0.5, fixed_iterations=10).collect()
+    top = max(rows, key=lambda r: r["rank"])
+    assert top.id == 0
+
+
+def test_ppr_empty_seeds_raises(spark):
+    from centrality_gpu_spark.operators.pagerank import personalized_pagerank
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test1.txt")
+    with pytest.raises(ValueError):
+        personalized_pagerank(g, spark.createDataFrame([], "id long"))
