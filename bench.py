@@ -143,6 +143,20 @@ def main() -> None:
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     timed("q11_ann_lsh_topk", lambda: lsh_topk(embs, k=10).count())
 
+    # q12: eigenvector centrality — another SpMV client, reuses the q1
+    # block store (no rebuild); q13: harmonic centrality via the
+    # broadcast BFS kernel (auto regime)
+    from centrality_gpu_spark.operators.closeness import harmonic
+    from centrality_gpu_spark.operators.eigenvector import eigenvector_centrality
+
+    timed(
+        "q12_eigenvector_csr_10it",
+        lambda: eigenvector_centrality(
+            g, fixed_iterations=10, mode="csr", blocked=blocked
+        ).agg(F.sum("score")).collect(),
+    )
+    timed("q13_harmonic", lambda: harmonic(g).agg(F.sum("harmonic")).collect())
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
