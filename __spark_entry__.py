@@ -53,6 +53,8 @@ from centrality_gpu_spark.operators.closeness import (
 from centrality_gpu_spark.operators.eigenvector import (
     eigenvector_centrality,
     eigenvector_oracle_sql,
+    katz_centrality,
+    katz_oracle_sql,
 )
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
 from centrality_gpu_spark.operators.triangles import (
@@ -234,6 +236,18 @@ def _q_ppr_events(spark: SparkSession, sf: str) -> DataFrame:
     seeds = g.vertices().orderBy("id").limit(PPR_SEEDS)
     pr = personalized_pagerank(g, seeds, fixed_iterations=PPR_ITERS, mode="sql")
     return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
+
+
+KATZ_ITERS = 8
+KATZ_ALPHA = 0.01
+
+
+def _q_katz_events(spark: SparkSession, sf: str) -> DataFrame:
+    kz = katz_centrality(
+        events_graph(spark, sf), alpha=KATZ_ALPHA,
+        fixed_iterations=KATZ_ITERS, mode="sql",
+    )
+    return kz.select("id", F.round("katz", PR_ROUND).alias("katz"))
 
 
 EV_ITERS = 10
@@ -424,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_events": _q_pagerank_weighted_events,
         "ppr_events": _q_ppr_events,
         "eigenvector_copurchase": _q_eigenvector_copurchase,
+        "katz_events": _q_katz_events,
         "harmonic_events": _q_harmonic_events,
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
@@ -557,6 +572,10 @@ FROM orders ORDER BY id
         ),
         "eigenvector_copurchase": eigenvector_oracle_sql(
             COPURCHASE_EDGES_CTE, iterations=EV_ITERS, round_digits=PR_ROUND
+        ),
+        "katz_events": katz_oracle_sql(
+            EVENTS_EDGES_CTE, alpha=KATZ_ALPHA, iterations=KATZ_ITERS,
+            round_digits=PR_ROUND,
         ),
         "betweenness_custorder": BETWEENNESS_CUSTORDER_SQL,
         "betweenness_bsp_custorder": BETWEENNESS_CUSTORDER_SQL,

@@ -24,7 +24,6 @@ goldens carry over to the full transcripts→edges→BC pipeline.
 
 from __future__ import annotations
 
-import itertools
 from datetime import datetime, timezone
 
 import numpy as np
@@ -54,30 +53,70 @@ def _read_sample(name: str) -> list[tuple[int, int]]:
     return [(int(u), int(v)) for u, v, _w in (ln.split() for ln in lines[1:])]
 
 
-def _conv_rows(seed: int, conv_index: int, n_tools: int,
-               min_turns: int, max_turns: int) -> list[tuple]:
-    """All turns of one synthetic conversation (pure function of seed+index)."""
-    rng = np.random.default_rng([seed, conv_index])
-    conv_id = f"conv_{conv_index:06d}"
-    n_turns = int(rng.integers(min_turns, max_turns + 1))
-    # Zipf tool popularity: tool_00 is the hub
+def _conv_batch(seed: int, conv_indices, n_tools: int,
+                min_turns: int, max_turns: int) -> pd.DataFrame:
+    """All turns of a batch of conversations, as one pandas frame.
+
+    Still one rng per conversation keyed ``[seed, conv_index]`` (the
+    partitioning-independence invariant), but each conversation draws
+    VECTORS (turn count, tool flags, tool picks, filler words) instead
+    of per-turn scalars, and the text/ts columns are assembled with
+    pandas str/vector ops — the per-turn Python loop was the dominant
+    cost of the end-to-end transcripts bench (q9).
+    """
+    # Zipf tool popularity: tool_00 is the hub. Inverse-CDF sampling
+    # (searchsorted on the precomputed cumsum) instead of rng.choice(p=)
+    # — choice re-normalizes and cumsums the weights on every call.
     zipf_w = 1.0 / np.arange(1, n_tools + 1)
-    zipf_w /= zipf_w.sum()
-    rows = []
-    for t in range(n_turns):
-        if t % 2 == 0:
-            role = "user"
-            tool = None
-        else:
-            # assistant turns sometimes invoke a tool (recorded as a
-            # separate 'tool' role turn, mirroring agent traces)
-            role = "tool" if rng.random() < 0.35 else "assistant"
-            tool = f"tool_{int(rng.choice(n_tools, p=zipf_w)):03d}" if role == "tool" else None
-        filler = " ".join(rng.choice(_FILLER, size=6))
-        text = f"{conv_id}:{t}:{role} {filler}"
-        ts = BASE_EPOCH + conv_index * 1000 + t
-        rows.append((conv_id, t, role, text, tool, datetime.fromtimestamp(ts, tz=timezone.utc)))
-    return rows
+    zipf_cdf = np.cumsum(zipf_w / zipf_w.sum())
+    filler_arr = np.array(_FILLER)
+    tool_names = np.array([f"tool_{k:03d}" for k in range(n_tools)], dtype=object)
+
+    cid_parts, turn_parts, role_parts, tool_parts, ts_parts, fill_parts = (
+        [], [], [], [], [], []
+    )
+    for ci in conv_indices:
+        ci = int(ci)
+        rng = np.random.default_rng([seed, ci])
+        n_turns = int(rng.integers(min_turns, max_turns + 1))
+        t = np.arange(n_turns)
+        odd = np.flatnonzero(t % 2 == 1)
+        is_tool = rng.random(len(odd)) < 0.35
+        tool_pick = np.searchsorted(zipf_cdf, rng.random(len(odd)))
+        fill_idx = rng.integers(0, len(filler_arr), size=(n_turns, 6))
+
+        role = np.full(n_turns, "user", dtype=object)
+        role[odd] = "assistant"
+        role[odd[is_tool]] = "tool"
+        tool = np.full(n_turns, None, dtype=object)
+        tool[odd[is_tool]] = tool_names[tool_pick[is_tool]]
+
+        cid_parts.append(np.full(n_turns, f"conv_{ci:06d}", dtype=object))
+        turn_parts.append(t)
+        role_parts.append(role)
+        tool_parts.append(tool)
+        ts_parts.append(BASE_EPOCH + ci * 1000 + t)
+        fill_parts.append(fill_idx)
+
+    cid = pd.Series(np.concatenate(cid_parts))
+    turn = np.concatenate(turn_parts)
+    role = pd.Series(np.concatenate(role_parts))
+    fill = np.concatenate(fill_parts)
+    words = filler_arr[fill]
+    filler = pd.Series(
+        [" ".join(w) for w in words]  # 6 short words; the only row loop left
+    )
+    text = cid + ":" + pd.Series(turn).astype(str) + ":" + role + " " + filler
+    return pd.DataFrame(
+        {
+            "conv_id": cid,
+            "turn_idx": turn.astype("int32"),
+            "role": role,
+            "text": text,
+            "tool": pd.Series(np.concatenate(tool_parts)),
+            "ts": pd.to_datetime(np.concatenate(ts_parts), unit="s", utc=True),
+        }
+    )
 
 
 def _sample_rows() -> list[tuple]:
@@ -120,15 +159,9 @@ def generate_transcripts(
 
     def gen(batches):
         for pdf in batches:
-            rows = list(
-                itertools.chain.from_iterable(
-                    _conv_rows(seed, int(i), n_tools, min_turns, max_turns)
-                    for i in pdf["id"]
-                )
-            )
-            yield pd.DataFrame(
-                rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-            )
+            if len(pdf):
+                yield _conv_batch(seed, pdf["id"].to_numpy(), n_tools,
+                                  min_turns, max_turns)
 
     df = conv_ids.mapInPandas(gen, TRANSCRIPT_SCHEMA)
     if embed_samples:

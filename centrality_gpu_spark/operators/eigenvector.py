@@ -54,9 +54,9 @@ def eigenvector_centrality(
 
     own_blocked = False
     if mode == "csr" and blocked is None:
-        import tempfile
+        from centrality_gpu_spark.operators.superstep import default_block_store
 
-        blocked = block_edges(graph, scratch_dir=tempfile.mkdtemp(prefix="cgs_blk_"))
+        blocked = default_block_store(graph)
         own_blocked = True
 
     x = ckpt.truncate(verts.select("id", F.lit(1.0 / math.sqrt(n)).alias("score")))
@@ -151,6 +151,118 @@ def eigenvector_oracle_sql(
         )
     final = (
         f"SELECT id, ROUND(score, {round_digits}) AS score "
+        f"FROM x{iterations} ORDER BY id"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+# ---------------------------------------------------------------- Katz
+
+def katz_centrality(
+    graph: Graph,
+    alpha: float = 0.01,
+    beta: float = 1.0,
+    fixed_iterations: int | None = None,
+    tol: float = 1e-8,
+    max_iterations: int = 200,
+    mode: str = "csr",
+    weighted: bool = False,
+    blocked: BlockedEdges | None = None,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Katz centrality: (id:long, katz:double), x_{k+1} = α·A·x_k + β.
+
+    Converges for α < 1/λ_max (caller's contract, as in networkx);
+    unlike eigenvector centrality the β teleport term keeps bipartite
+    graphs (the events conv↔tool graph) from oscillating. x_0 = β —
+    matches an unrolled truncation of Σ_k α^k A^k · β1. No final
+    normalization (raw Katz scores), so the unrolled DuckDB oracle
+    (``katz_oracle_sql``) replays fixed-iteration mode bit-for-bit.
+    """
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    verts = ckpt.truncate(graph.vertices())
+
+    own_blocked = False
+    if mode == "csr" and blocked is None:
+        from centrality_gpu_spark.operators.superstep import default_block_store
+
+        blocked = default_block_store(graph)
+        own_blocked = True
+
+    x = ckpt.truncate(verts.select("id", F.lit(float(beta)).alias("katz")))
+    n_iter = fixed_iterations if fixed_iterations is not None else max_iterations
+
+    import contextlib
+    import time
+
+    from centrality_gpu_spark.plans.checkpoint import (
+        ITERATIVE_CONF_MIN_EDGES,
+        iterative_conf,
+    )
+
+    cm = (
+        iterative_conf(graph.spark)
+        if graph.num_edges() >= ITERATIVE_CONF_MIN_EDGES
+        else contextlib.nullcontext()
+    )
+    with cm:
+        for it in range(n_iter):
+            t0 = time.time()
+            vals = x.select("id", F.col("katz").alias("val"))
+            if mode == "csr":
+                msgs = spmv(blocked, vals, weighted=weighted)
+            else:
+                msgs = spmv_sql(graph, vals, weighted=weighted)
+            new_x = ckpt.truncate(
+                verts.join(msgs, "id", "left").select(
+                    "id",
+                    (F.lit(alpha) * F.coalesce("msg", F.lit(0.0))
+                     + F.lit(float(beta))).alias("katz"),
+                )
+            )
+            if fixed_iterations is None:
+                delta = (
+                    new_x.alias("a")
+                    .join(x.alias("b"), "id")
+                    .agg(F.max(F.abs(F.col("a.katz") - F.col("b.katz"))).alias("d"))
+                    .collect()[0]["d"]
+                )
+            else:
+                delta = None
+            ckpt.record(op="katz", iteration=it, delta=delta, secs=time.time() - t0)
+            x = new_x
+            if delta is not None and delta < tol:
+                break
+
+    if own_blocked:
+        blocked.unpersist()
+    return x.select("id", "katz")
+
+
+def katz_oracle_sql(
+    edges_cte: str, alpha: float = 0.01, beta: float = 1.0,
+    iterations: int = 8, round_digits: int = 8, weighted: bool = False,
+) -> str:
+    """Unrolled DuckDB twin of fixed-iteration ``katz_centrality``."""
+    contrib = "x.katz * e.weight" if weighted else "x.katz"
+    parts = [
+        edges_cte.replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)",
+        f"x0 AS (SELECT id, CAST({beta} AS DOUBLE) AS katz FROM verts)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""x{k + 1} AS MATERIALIZED (
+  SELECT v.id, CAST({alpha} AS DOUBLE) * COALESCE(m.msg, 0.0)
+         + CAST({beta} AS DOUBLE) AS katz
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM({contrib}) AS msg
+    FROM edges e JOIN x{k} x ON e.src = x.id GROUP BY e.dst
+  ) m ON v.id = m.id
+)"""
+        )
+    final = (
+        f"SELECT id, ROUND(katz, {round_digits}) AS katz "
         f"FROM x{iterations} ORDER BY id"
     )
     return "WITH " + ",\n".join(parts) + "\n" + final

@@ -68,9 +68,9 @@ def pagerank(
 
     own_blocked = False
     if mode == "csr" and blocked is None:
-        import tempfile
+        from centrality_gpu_spark.operators.superstep import default_block_store
 
-        blocked = block_edges(graph, scratch_dir=tempfile.mkdtemp(prefix="cgs_blk_"))
+        blocked = default_block_store(graph)
         own_blocked = True
 
     name = "pagerank"
@@ -246,9 +246,9 @@ def personalized_pagerank(
 
     own_blocked = False
     if mode == "csr" and blocked is None:
-        import tempfile
+        from centrality_gpu_spark.operators.superstep import default_block_store
 
-        blocked = block_edges(graph, scratch_dir=tempfile.mkdtemp(prefix="cgs_blk_"))
+        blocked = default_block_store(graph)
         own_blocked = True
 
     import contextlib

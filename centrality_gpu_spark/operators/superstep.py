@@ -65,6 +65,7 @@ class BlockedEdges:
     path: str | None = None
     n_hubs: int = 0
     dense: object = None
+    partition_by: str = "src"
 
     @property
     def spark(self):
@@ -82,6 +83,7 @@ def block_edges(
     hub_threshold: int | None = None,
     scratch_dir: str | None = None,
     reuse_existing: bool = False,
+    partition_by: str = "src",
 ) -> BlockedEdges:
     """Bucket + cache the edge table for repeated supersteps.
 
@@ -101,6 +103,20 @@ def block_edges(
     ``n_blocks`` is independent of core count: more blocks than cores
     just means finer tasks, and a store built once can serve runs at
     any parallelism.
+
+    ``partition_by``: ``"src"`` (default) buckets by source — values
+    route to their single bucket and per-block partials overlap on dst
+    (cross-block combine required). ``"dst"`` buckets by destination —
+    per-block output dst sets are DISJOINT, so a broadcast-value
+    superstep (``spmv`` detects the store kind) emits its result with
+    NO combine shuffle at all; this is the dense-iteration regime
+    (PageRank/Katz/eigenvector, every vertex active) for graphs whose
+    O(V) value vector fits a broadcast, mirroring the reference's
+    value-vector-in-device-memory design (``kernels_free.cu:43-79``).
+    No salting in dst mode: a high-in-degree vertex only fattens its
+    one block (the kernel is vectorized; skew shows as task-time
+    variance, bounded by max in-degree), exactly like the reference's
+    per-dst atomicAdd contention.
     """
     spark = graph.spark
     if n_blocks is None:
@@ -108,6 +124,8 @@ def block_edges(
     if hub_threshold is None:
         # a vertex is a hub if its edges alone would fill ~1/4 of a block
         hub_threshold = 10_000
+    if partition_by not in ("src", "dst"):
+        raise ValueError(f"partition_by must be 'src' or 'dst', got {partition_by!r}")
 
     hubs = (
         graph.degrees()
@@ -122,23 +140,39 @@ def block_edges(
         F.sum("weight").alias("src_wdeg"),
     )
     e = graph.edges.join(deg, "src")
-    is_hub = F.col("src_degree") > hub_threshold
-    block = F.when(
-        is_hub, F.pmod(F.xxhash64("src", "dst"), F.lit(n_blocks))
-    ).otherwise(F.pmod(F.xxhash64("src"), F.lit(n_blocks))).cast("int")
+    if partition_by == "dst":
+        block = F.pmod(F.xxhash64("dst"), F.lit(n_blocks)).cast("int")
+        n_hubs_eff = 0  # no salting; value side is broadcast, not routed
+    else:
+        is_hub = F.col("src_degree") > hub_threshold
+        block = F.when(
+            is_hub, F.pmod(F.xxhash64("src", "dst"), F.lit(n_blocks))
+        ).otherwise(F.pmod(F.xxhash64("src"), F.lit(n_blocks))).cast("int")
+        n_hubs_eff = n_hubs
     blocked_plan = e.select(
         block.alias("block"), "src", "dst", "weight", "src_degree", "src_wdeg"
     ).repartition(n_blocks, "block")
 
     if scratch_dir is not None:
         path = os.path.join(scratch_dir, "edges_blocked")
-        if not (reuse_existing and _store_version(path) >= 3):
-            _write_coded_blocks(blocked_plan, path)  # single pass, no persist
-        return BlockedEdges(None, hubs, n_blocks, path, n_hubs)
+        if not (
+            reuse_existing
+            and _store_version(path) >= 3
+            and _store_partition_by(path) == partition_by
+        ):
+            _write_coded_blocks(blocked_plan, path, partition_by)
+        return BlockedEdges(
+            None, hubs, n_blocks, path, n_hubs_eff, partition_by=partition_by
+        )
 
+    if partition_by == "dst":
+        raise ValueError(
+            "partition_by='dst' requires a disk store (scratch_dir): the "
+            "broadcast-value superstep reads worker-resident CSR blocks"
+        )
     blocked = blocked_plan.persist()
     blocked.count()  # materialize cache
-    return BlockedEdges(blocked, hubs, n_blocks, None, n_hubs)
+    return BlockedEdges(blocked, hubs, n_blocks, None, n_hubs_eff)
 
 
 def _store_version(path: str) -> int:
@@ -155,7 +189,21 @@ def _store_version(path: str) -> int:
     return raw.get("version", 1) if isinstance(raw, dict) else 1
 
 
-def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
+def _store_partition_by(path: str) -> str:
+    """Bucketing key of an on-disk block store ('src' for legacy v3)."""
+    import json
+
+    mpath = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(mpath):
+        return ""
+    with open(mpath) as f:
+        raw = json.load(f)
+    return raw.get("partition_by", "src") if isinstance(raw, dict) else "src"
+
+
+def _write_coded_blocks(
+    blocked_df: DataFrame, path: str, partition_by: str = "src"
+) -> None:
     """Materialize each block with PRE-COMPUTED dense codes, so a cold
     cache load is a pure columnar read (no per-worker np.unique sort —
     the counting-sort CSR build, O2, runs exactly once per block here).
@@ -226,7 +274,12 @@ def _write_coded_blocks(blocked_df: DataFrame, path: str) -> None:
     # per-unique-src degree factors (see write_block).
     with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
         json.dump(
-            {"version": 3, "blocks": sorted(int(r["block"]) for r in written)}, f
+            {
+                "version": 3,
+                "partition_by": partition_by,
+                "blocks": sorted(int(r["block"]) for r in written),
+            },
+            f,
         )
 
 
@@ -364,6 +417,88 @@ def _route_values(blocked: BlockedEdges, values: DataFrame) -> DataFrame:
 DENSE_COMBINE_MAX_VERTICES = 64_000_000
 DENSE_CHUNK = 1 << 18  # 262144 float64 = 2 MiB per emitted chunk row
 
+# value-vector broadcast guard for dst-partitioned stores: 64M ids
+# (~1 GB of (id,val) pairs) per executor — the same ceiling as the
+# dense-combine id map. Past it, use a src store + routed values.
+BROADCAST_VALUES_MAX_VERTICES = 64_000_000
+
+
+def _spmv_broadcast_values(
+    blocked: BlockedEdges,
+    values: DataFrame,
+    weighted: bool,
+    divide_by_src_degree: bool,
+    divide_by_src_wdegree: bool,
+) -> DataFrame:
+    """Superstep over a dst-partitioned store: broadcast the O(V) value
+    vector; each block computes final sums for its OWN disjoint dst set
+    (no routing shuffle in, no combine shuffle out — one map-only job).
+
+    Measured motivation (306M-edge scaling graph, 8 cores): the routed
+    src-store superstep spent ~5 of its 6.5 s wall moving the combine —
+    every src block touches nearly every dst, so both sparse
+    (n_blocks × V rows) and dense (n_blocks × V × 8B chunks) combines
+    shuffle ~0.7 GB/superstep. Disjoint dst blocks delete that term
+    entirely; the remaining per-superstep fixed cost is one 8B·V
+    broadcast + task scheduling.
+    """
+    spark = blocked.spark
+    path = blocked.path
+    # static structures, broadcast ONCE per store: the sorted global
+    # vertex-id map (same structure the dense combine uses) and, cached
+    # per worker, each block's src positions in it. Per ITERATION only
+    # the 8B·V aligned value array crosses the wire — half the bytes of
+    # re-broadcasting (id, val) pairs, and no per-task searchsorted.
+    dense = _dense_map(blocked)
+    if dense is None:
+        raise ValueError(
+            "vertex count exceeds the broadcast-value guard "
+            f"({BROADCAST_VALUES_MAX_VERTICES}); rebuild the block store "
+            "with partition_by='src' for the routed superstep"
+        )
+    ids, ids_bc = dense
+    pdf = values.select("id", "val").toPandas()
+    vid = pdf["id"].to_numpy(dtype="int64")
+    vval = pdf["val"].to_numpy(dtype="float64")
+    pos = np.searchsorted(ids, vid)
+    safe = np.minimum(pos, len(ids) - 1)
+    ok = (pos < len(ids)) & (ids[safe] == vid)
+    dense_vals = np.zeros(len(ids))
+    dense_vals[safe[ok]] = vval[ok]
+    vec_bc = spark.sparkContext.broadcast(dense_vals)
+    nb = blocked.n_blocks
+    blocks_df = (
+        spark.range(nb)
+        .select(F.col("id").cast("int").alias("block"))
+        .repartition(nb, "block")
+    )
+
+    def kern(batches):
+        vec = vec_bc.value
+        for p in batches:
+            for b in p["block"]:
+                blk = _load_csr_block(path, int(b))
+                if blk.get("empty"):
+                    continue
+                g, g_ok = _block_src_gcodes(path, int(b), ids_bc)
+                lookup = np.where(g_ok, vec[g], 0.0)
+                if divide_by_src_wdegree:
+                    lookup = lookup * blk["src_inv_wdeg"]
+                elif divide_by_src_degree:
+                    lookup = lookup * blk["src_inv_deg"]
+                msg = lookup[blk["src_inv"]]
+                if weighted or divide_by_src_wdegree:
+                    msg = msg * blk["w"]
+                partial = np.add.reduceat(msg, np.asarray(blk["dst_indptr"][:-1]))
+                # no zero-filter: blocks are dst-disjoint, so this IS
+                # the final result — emitting every dst row lets dense
+                # clients (pagerank) skip their vertex left-join
+                yield pd.DataFrame(
+                    {"id": np.asarray(blk["dst_u"]), "msg": partial}
+                )
+
+    return blocks_df.mapInPandas(kern, "id long, msg double")
+
 
 def _dense_map(blocked: BlockedEdges):
     """Build (once per store per session) the sorted global dst-id array
@@ -409,6 +544,24 @@ def _block_gcodes(path: str, block: int, ids_bc) -> np.ndarray:
     g = np.searchsorted(ids_bc.value, np.asarray(blk["dst_u"]))
     _CSR_CACHE[key] = g
     return g
+
+
+def _block_src_gcodes(path: str, block: int, ids_bc):
+    """(positions, valid_mask) of the block's unique srcs in the global
+    id map — cached per worker process (broadcast-value superstep)."""
+    key = (path, block, "src_gcode", id(ids_bc))
+    hit = _CSR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    blk = _load_csr_block(path, block)
+    ids = ids_bc.value
+    src_u = np.asarray(blk["src_u"])
+    pos = np.searchsorted(ids, src_u)
+    safe = np.minimum(pos, len(ids) - 1)
+    ok = (pos < len(ids)) & (ids[safe] == src_u)
+    out = (safe, ok)
+    _CSR_CACHE[key] = out
+    return out
 
 
 def _spmv_kernel(key, edge_pdf: pd.DataFrame, val_pdf: pd.DataFrame,
@@ -488,6 +641,12 @@ def spmv(
     reduction is the plan that survives a real network between
     executors.
     """
+    if blocked.partition_by == "dst":
+        # disjoint-dst store: broadcast-value map-only superstep
+        return _spmv_broadcast_values(
+            blocked, values, weighted, divide_by_src_degree,
+            divide_by_src_wdegree,
+        )
     routed = _route_values(blocked, values)
     if blocked.path is not None:
         path = blocked.path
@@ -665,4 +824,20 @@ def spmv_sql(
         .select("dst", (F.col("val") * w).alias("m"))
         .groupBy(F.col("dst").alias("id"))
         .agg(F.sum("m").alias("msg"))
+    )
+
+
+def default_block_store(graph: Graph, prefix: str = "cgs_blk_") -> BlockedEdges:
+    """Build the store an iterative dense-superstep operator should use:
+    dst-partitioned (broadcast-value, combine-free supersteps) when the
+    vertex count fits the broadcast guard, else the routed src store."""
+    import tempfile
+
+    pb = (
+        "dst"
+        if graph.num_vertices() <= BROADCAST_VALUES_MAX_VERTICES
+        else "src"
+    )
+    return block_edges(
+        graph, scratch_dir=tempfile.mkdtemp(prefix=prefix), partition_by=pb
     )

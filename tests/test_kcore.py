@@ -54,3 +54,20 @@ def test_k_core_round_cap_raises(spark):
     g = Graph.from_undirected_edges(df)
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(g, 2, max_rounds=2)
+
+
+def test_core_numbers_copurchase_vs_networkx(spark):
+    """Real power-law graph with a deep core structure — the star-forest
+    driver oracle can't catch peel-order bugs; this can (VERDICT r1 #4)."""
+    from centrality_gpu_spark.sources.testdata_graphs import copurchase_graph
+
+    from tests.conftest import SF_SMALL
+
+    g = copurchase_graph(spark, SF_SMALL)
+    nxg = nx.Graph()
+    nxg.add_edges_from(
+        (r.src, r.dst) for r in g.edges.where("src < dst").collect()
+    )
+    got = {r.id: r.core for r in core_numbers(g).collect()}
+    exp = nx.core_number(nxg)
+    assert got == exp

@@ -97,3 +97,46 @@ def test_spmv_dense_requires_store(spark, g, values):
     with pytest.raises(ValueError, match="dense combine"):
         spmv(cogrouped, values, combine="dense").collect()
     cogrouped.unpersist()
+
+
+@pytest.mark.parametrize("kw", [
+    dict(weighted=False),
+    dict(weighted=True),
+    dict(weighted=False, divide_by_src_degree=True),
+    dict(weighted=True, divide_by_src_wdegree=True),
+])
+def test_spmv_dst_store_agrees(spark, g, values, kw):
+    """dst-partitioned store (broadcast-value, combine-free superstep)
+    must equal the SQL and src-store paths for every flag combination.
+    dst output additionally covers EVERY vertex with in-edges (dense
+    clients rely on it to skip their vertex join)."""
+    expected = as_map(spmv_sql(g, values, **kw))
+    dst_st = block_edges(
+        g, scratch_dir=tempfile.mkdtemp(prefix="t_dstblk_"), partition_by="dst"
+    )
+    got = as_map(spmv(dst_st, values, **kw))
+    all_dsts = {r.dst for r in g.edges.select("dst").distinct().collect()}
+    assert set(got) == all_dsts
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+    for k in set(got) - set(expected):
+        assert got[k] == 0.0
+    dst_st.unpersist()
+
+
+def test_dst_store_requires_disk(spark, g):
+    with pytest.raises(ValueError, match="scratch_dir"):
+        block_edges(g, partition_by="dst")
+
+
+def test_store_partition_mismatch_rebuilds(spark, g, values):
+    """reuse_existing must not reuse a store built with the other
+    bucketing key."""
+    d = tempfile.mkdtemp(prefix="t_pbmix_")
+    src_st = block_edges(g, scratch_dir=d)
+    expected = as_map(spmv_sql(g, values, weighted=False))
+    dst_st = block_edges(g, scratch_dir=d, reuse_existing=True, partition_by="dst")
+    got = as_map(spmv(dst_st, values, weighted=False))
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+    src_st.unpersist(); dst_st.unpersist()

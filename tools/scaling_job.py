@@ -72,9 +72,14 @@ def main() -> None:
     # fixed n_blocks (independent of cores) + content-keyed store path:
     # the store is built once and reused across parallelism levels —
     # it is the same input either way
-    store = os.environ.get("SCALE_STORE", f"/tmp/cgs_scale_store_c{copies}")
+    pb = os.environ.get("SCALE_PARTITION_BY", "dst")
+    store = os.environ.get(
+        "SCALE_STORE", f"/tmp/cgs_scale_store_c{copies}_{pb}"
+    )
     t0 = time.time()
-    blocked = block_edges(g, n_blocks=32, scratch_dir=store, reuse_existing=True)
+    blocked = block_edges(
+        g, n_blocks=32, scratch_dir=store, reuse_existing=True, partition_by=pb
+    )
     out["jobs"]["block_build"] = round(time.time() - t0, 3)
     # 2 untimed warmup iterations fault the mmap'd blocks into the OS
     # page cache (one-time I/O, amortized in production), then time 10
