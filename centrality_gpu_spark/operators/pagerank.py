@@ -121,6 +121,20 @@ def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
                    blocked, fixed_iterations, tol, ckpt, name, weighted=False):
     import time
 
+    if (
+        mode == "csr"
+        and blocked is not None
+        and blocked.path is not None
+        and blocked.partition_by.startswith("dst")
+    ):
+        from centrality_gpu_spark.operators.superstep import _dense_map
+
+        if _dense_map(blocked) is not None:
+            return _pagerank_dense_loop(
+                ranks, start_iter, n_iter, base, alpha, blocked,
+                fixed_iterations, tol, ckpt, name, weighted,
+            )
+
     for it in range(start_iter, n_iter):
         t0 = time.time()
         # contribution r(u)/deg(u): the 1/deg factor is pre-folded into
@@ -159,6 +173,51 @@ def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
             break
 
     return ranks
+
+
+def _pagerank_dense_loop(ranks, start_iter, n_iter, base, alpha, blocked,
+                         fixed_iterations, tol, ckpt, name, weighted):
+    """Dense-regime hot loop: the rank vector lives on the driver as a
+    numpy array aligned to the store's global id map; each iteration is
+    exactly one map-only Spark job (``spmv_dense``) plus an O(V) 8B
+    broadcast out / 12B collect back. Same recurrence, same results
+    (equivalence-tested vs the sql mode); the DataFrame plumbing
+    (localCheckpoint job + Arrow round-trip per iteration) is deleted.
+    Epoch saves and per-iteration metrics are unchanged."""
+    import time
+
+    import numpy as np
+
+    from centrality_gpu_spark.operators.superstep import (
+        dense_vector_from_df,
+        dense_vector_to_df,
+        spmv_dense,
+    )
+
+    vec = dense_vector_from_df(
+        blocked, ranks.select("id", F.col("rank").alias("val"))
+    )
+    for it in range(start_iter, n_iter):
+        t0 = time.time()
+        msgs = spmv_dense(
+            blocked,
+            vec,
+            divide_by_src_degree=not weighted,
+            divide_by_src_wdegree=weighted,
+        )
+        new_vec = base + alpha * msgs
+        delta = (
+            float(np.max(np.abs(new_vec - vec)))
+            if fixed_iterations is None and len(vec)
+            else None
+        )
+        ckpt.record(op=name, iteration=it, delta=delta, secs=time.time() - t0)
+        vec = new_vec
+        if ckpt.should_save(it):
+            ckpt.save_epoch(dense_vector_to_df(blocked, vec), name, it)
+        if delta is not None and delta < tol:
+            break
+    return dense_vector_to_df(blocked, vec)
 
 
 def pagerank_oracle_sql(

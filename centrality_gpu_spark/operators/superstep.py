@@ -124,8 +124,10 @@ def block_edges(
     if hub_threshold is None:
         # a vertex is a hub if its edges alone would fill ~1/4 of a block
         hub_threshold = 10_000
-    if partition_by not in ("src", "dst"):
-        raise ValueError(f"partition_by must be 'src' or 'dst', got {partition_by!r}")
+    if partition_by not in ("src", "dst", "dst_range"):
+        raise ValueError(
+            f"partition_by must be 'src', 'dst', or 'dst_range', got {partition_by!r}"
+        )
 
     hubs = (
         graph.degrees()
@@ -140,7 +142,22 @@ def block_edges(
         F.sum("weight").alias("src_wdeg"),
     )
     e = graph.edges.join(deg, "src")
-    if partition_by == "dst":
+    if partition_by == "dst_range":
+        # locality-preserving variant of the dst store: blocks hold
+        # CONTIGUOUS dst-id ranges, balanced by EDGE count (quantiles of
+        # the edge table's dst column). When vertex ids carry locality
+        # (crawl order, dense relabeling, per-shard offsets) a block's
+        # src set concentrates in the same id range, so the per-block
+        # gather from the broadcast value vector hits a narrow, cache-
+        # resident slice instead of random DRAM — the Gemini/GraphX-
+        # EdgePartition1D chunking idea. Semantics identical to 'dst'.
+        qs = [i / n_blocks for i in range(1, n_blocks)]
+        bounds = sorted(set(graph.edges.stat.approxQuantile("dst", qs, 0.001)))
+        block = sum(
+            (F.col("dst") >= F.lit(float(b))).cast("int") for b in bounds
+        ).cast("int") if bounds else F.lit(0)
+        n_hubs_eff = 0  # no salting; value side is broadcast, not routed
+    elif partition_by == "dst":
         block = F.pmod(F.xxhash64("dst"), F.lit(n_blocks)).cast("int")
         n_hubs_eff = 0  # no salting; value side is broadcast, not routed
     else:
@@ -165,10 +182,11 @@ def block_edges(
             None, hubs, n_blocks, path, n_hubs_eff, partition_by=partition_by
         )
 
-    if partition_by == "dst":
+    if partition_by.startswith("dst"):
         raise ValueError(
-            "partition_by='dst' requires a disk store (scratch_dir): the "
-            "broadcast-value superstep reads worker-resident CSR blocks"
+            f"partition_by={partition_by!r} requires a disk store "
+            "(scratch_dir): the broadcast-value superstep reads "
+            "worker-resident CSR blocks"
         )
     blocked = blocked_plan.persist()
     blocked.count()  # materialize cache
@@ -500,6 +518,142 @@ def _spmv_broadcast_values(
     return blocks_df.mapInPandas(kern, "id long, msg double")
 
 
+def spmv_dense(
+    blocked: BlockedEdges,
+    vec: np.ndarray,
+    weighted: bool = False,
+    divide_by_src_degree: bool = False,
+    divide_by_src_wdegree: bool = False,
+) -> np.ndarray:
+    """One superstep over a dst-partitioned store with DRIVER-RESIDENT
+    dense vectors: y[i] = Σ_{(u, ids[i])∈E} x[code(u)]·factor.
+
+    ``vec`` is aligned to the sorted global id map (``_dense_map``);
+    returns the result in the same alignment. This is the allreduce
+    shape of a dense iterative algorithm (PageRank/Katz/eigenvector —
+    every vertex active every iteration): per superstep exactly ONE
+    map-only Spark job, one O(V)·8B broadcast out, one O(V)·12B collect
+    back (int32 positions + float64 partials, dst-disjoint across
+    blocks). The edges never move — they stay in the worker-resident
+    mmap CSR blocks — and the O(V) vector transits the driver, which is
+    the same ceiling the broadcast guard already imposes
+    (BROADCAST_VALUES_MAX_VERTICES). The reference keeps exactly this
+    split: CSR resident on the device, the value/result vectors crossing
+    host↔device once per phase (``kernels_free.cu:43-85``).
+
+    Compared to the DataFrame superstep (``_spmv_broadcast_values``)
+    this deletes the per-iteration localCheckpoint job, the Arrow
+    DF→pandas round-trip, and the result-DF scan — the fixed costs that
+    dominate once the kernel is fast.
+    """
+    spark = blocked.spark
+    path = blocked.path
+    dense = _dense_map(blocked)
+    if dense is None:
+        raise ValueError(
+            "spmv_dense requires a dst-partitioned disk store within the "
+            f"broadcast guard ({BROADCAST_VALUES_MAX_VERTICES} vertices)"
+        )
+    if not blocked.partition_by.startswith("dst"):
+        raise ValueError("spmv_dense requires a dst-partitioned store")
+    ids, ids_bc = dense
+    if len(vec) != len(ids):
+        raise ValueError(f"vec length {len(vec)} != id map length {len(ids)}")
+    vec_bc = spark.sparkContext.broadcast(np.ascontiguousarray(vec, dtype=np.float64))
+    nb = blocked.n_blocks
+    blocks_df = (
+        spark.range(nb)
+        .select(F.col("id").cast("int").alias("block"))
+        .repartition(nb, "block")
+    )
+
+    def kern(batches):
+        v = vec_bc.value
+        for p in batches:
+            for b in p["block"]:
+                blk = _load_csr_block(path, int(b))
+                if blk.get("empty"):
+                    continue
+                g, g_ok = _block_src_gcodes(path, int(b), ids_bc)
+                lookup = np.where(g_ok, v[g], 0.0)
+                if divide_by_src_wdegree:
+                    lookup = lookup * blk["src_inv_wdeg"]
+                elif divide_by_src_degree:
+                    lookup = lookup * blk["src_inv_deg"]
+                msg = lookup[blk["src_inv"]]
+                if weighted or divide_by_src_wdegree:
+                    msg = msg * blk["w"]
+                partial = np.add.reduceat(msg, np.asarray(blk["dst_indptr"][:-1]))
+                gd = _block_gcodes(path, int(b), ids_bc)
+                yield pd.DataFrame(
+                    {
+                        "pos": [np.asarray(gd, dtype=np.int32).tobytes()],
+                        "vals": [np.asarray(partial, dtype=np.float64).tobytes()],
+                    }
+                )
+
+    rows = blocks_df.mapInPandas(kern, "pos binary, vals binary").collect()
+    out = np.zeros(len(ids))
+    for r in rows:
+        # blocks own disjoint dst sets → plain assignment is the combine
+        out[np.frombuffer(r["pos"], dtype=np.int32)] = np.frombuffer(
+            r["vals"], dtype=np.float64
+        )
+    vec_bc.destroy()
+    return out
+
+
+def dense_vector_from_df(blocked: BlockedEdges, values: DataFrame,
+                         col: str = "val", default: float = 0.0) -> np.ndarray:
+    """Align a (id, <col>) DataFrame to the store's sorted global id map."""
+    dense = _dense_map(blocked)
+    if dense is None:
+        raise ValueError("store has no dense id map (over guard or no path)")
+    ids, _ = dense
+    pdf = values.select("id", col).toPandas()
+    vid = pdf["id"].to_numpy(dtype="int64")
+    vval = pdf[col].to_numpy(dtype="float64")
+    pos = np.searchsorted(ids, vid)
+    safe = np.minimum(pos, len(ids) - 1)
+    ok = (pos < len(ids)) & (ids[safe] == vid)
+    out = np.full(len(ids), default, dtype=np.float64)
+    out[safe[ok]] = vval[ok]
+    return out
+
+
+def dense_vector_to_df(blocked: BlockedEdges, vec: np.ndarray,
+                       col: str = "rank") -> DataFrame:
+    """Materialize a dense driver vector back to a (id, <col>) DataFrame,
+    distributed via the store's blocks (each block emits its own dst
+    rows) so no single createDataFrame batch holds all V rows."""
+    spark = blocked.spark
+    path = blocked.path
+    ids, ids_bc = _dense_map(blocked)
+    vec_bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(vec, dtype=np.float64)
+    )
+    nb = blocked.n_blocks
+    blocks_df = (
+        spark.range(nb)
+        .select(F.col("id").cast("int").alias("block"))
+        .repartition(nb, "block")
+    )
+
+    def emit(batches):
+        v = vec_bc.value
+        for p in batches:
+            for b in p["block"]:
+                blk = _load_csr_block(path, int(b))
+                if blk.get("empty"):
+                    continue
+                gd = _block_gcodes(path, int(b), ids_bc)
+                yield pd.DataFrame(
+                    {"id": np.asarray(blk["dst_u"]), col: v[gd]}
+                )
+
+    return blocks_df.mapInPandas(emit, f"id long, {col} double")
+
+
 def _dense_map(blocked: BlockedEdges):
     """Build (once per store per session) the sorted global dst-id array
     + its broadcast. Returns None when over the size guard."""
@@ -641,7 +795,7 @@ def spmv(
     reduction is the plan that survives a real network between
     executors.
     """
-    if blocked.partition_by == "dst":
+    if blocked.partition_by.startswith("dst"):
         # disjoint-dst store: broadcast-value map-only superstep
         return _spmv_broadcast_values(
             blocked, values, weighted, divide_by_src_degree,

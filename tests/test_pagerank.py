@@ -176,3 +176,24 @@ def test_ppr_empty_seeds_raises(spark):
     g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test1.txt")
     with pytest.raises(ValueError):
         personalized_pagerank(g, spark.createDataFrame([], "id long"))
+
+
+def test_pagerank_dense_loop_convergence_matches_sql(spark):
+    """The driver-resident dense loop (csr mode + dst store) must reach
+    the same fixpoint as the sql mode under tol-based convergence."""
+    import tempfile
+
+    from centrality_gpu_spark.sources.testdata_graphs import events_graph
+
+    g = events_graph(spark, SF_SMALL)
+    blocked = block_edges(
+        g, scratch_dir=tempfile.mkdtemp(prefix="t_prdense_"),
+        partition_by="dst_range",
+    )
+    a = {r.id: r["rank"] for r in pagerank(g, mode="sql", tol=1e-9).collect()}
+    b = {r.id: r["rank"]
+         for r in pagerank(g, mode="csr", tol=1e-9, blocked=blocked).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert b[k] == pytest.approx(a[k], abs=1e-7)
+    blocked.unpersist()

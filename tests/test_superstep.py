@@ -140,3 +140,80 @@ def test_store_partition_mismatch_rebuilds(spark, g, values):
     for k in expected:
         assert got[k] == pytest.approx(expected[k], abs=1e-12)
     src_st.unpersist(); dst_st.unpersist()
+
+
+@pytest.mark.parametrize("pb", ["dst", "dst_range"])
+@pytest.mark.parametrize("kw", [
+    dict(weighted=False),
+    dict(weighted=True),
+    dict(weighted=False, divide_by_src_degree=True),
+    dict(weighted=True, divide_by_src_wdegree=True),
+])
+def test_spmv_dense_driver_vector_agrees(spark, g, values, pb, kw):
+    """The driver-resident dense superstep (spmv_dense) must equal the
+    SQL path for every flag combination, on both dst bucketings (hash
+    and locality-preserving range)."""
+    from centrality_gpu_spark.operators.superstep import (
+        _dense_map,
+        dense_vector_from_df,
+        dense_vector_to_df,
+        spmv_dense,
+    )
+
+    expected = as_map(spmv_sql(g, values, **kw))
+    st = block_edges(
+        g, scratch_dir=tempfile.mkdtemp(prefix=f"t_{pb}_"), partition_by=pb
+    )
+    vec = dense_vector_from_df(st, values)
+    out = spmv_dense(st, vec, **kw)
+    ids, _ = _dense_map(st)
+    got = dict(zip(ids.tolist(), out.tolist()))
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+    for k in set(got) - set(expected):
+        assert got[k] == 0.0
+    # round-trip back to a DataFrame preserves values and covers all dsts
+    rt = {r.id: r.v for r in dense_vector_to_df(st, out, col="v").collect()}
+    assert rt == got
+    st.unpersist()
+
+
+def test_dst_range_store_spmv_agrees(spark, g, values):
+    """DataFrame-superstep parity on the range-bucketed store, plus
+    contiguity: each block's dst ids must form a contiguous id range."""
+    import os
+
+    expected = as_map(spmv_sql(g, values, weighted=True))
+    st = block_edges(
+        g, scratch_dir=tempfile.mkdtemp(prefix="t_rng_"), partition_by="dst_range"
+    )
+    got = as_map(spmv(st, values, weighted=True))
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-12)
+    # contiguous, non-overlapping dst ranges across blocks
+    from centrality_gpu_spark.operators.superstep import _load_csr_block
+
+    spans = []
+    for b in range(st.n_blocks):
+        blk = _load_csr_block(st.path, b)
+        if blk.get("empty"):
+            continue
+        d = np.asarray(blk["dst_u"])
+        spans.append((d.min(), d.max()))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    st.unpersist()
+
+
+def test_spmv_dense_requires_dst_store(spark, g, values):
+    from centrality_gpu_spark.operators.superstep import (
+        dense_vector_from_df,
+        spmv_dense,
+    )
+
+    src_st = block_edges(g, scratch_dir=tempfile.mkdtemp(prefix="t_srcst_"))
+    vec = dense_vector_from_df(src_st, values)
+    with pytest.raises(ValueError, match="dst-partitioned"):
+        spmv_dense(src_st, vec)
+    src_st.unpersist()
