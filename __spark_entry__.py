@@ -90,10 +90,18 @@ from centrality_gpu_spark.operators.text import (
     token_stats,
     token_stats_sql,
 )
+from centrality_gpu_spark.operators.hits import (
+    adamic_adar,
+    adamic_adar_oracle_sql,
+    hits,
+    hits_oracle_sql,
+)
 from centrality_gpu_spark.sources.testdata_graphs import (
     COPURCHASE_EDGES_CTE,
+    EVENTS_DIRECTED_CTE,
     EVENTS_EDGES_CTE,
     copurchase_graph,
+    events_directed_edges,
     events_graph,
 )
 
@@ -266,6 +274,23 @@ def _q_eigenvector_copurchase(spark: SparkSession, sf: str) -> DataFrame:
 # customer↔order graph every component is a star, so BC and closeness
 # have exact SQL forms — this is what lets the driver hash-check the
 # flagship Brandes/closeness kernels (both physical strategies)
+
+HITS_ITERS = 10
+
+
+def _q_hits_events(spark: SparkSession, sf: str) -> DataFrame:
+    h = hits(events_directed_edges(spark, sf), fixed_iterations=HITS_ITERS)
+    return h.select(
+        "id",
+        F.round("hub", PR_ROUND).alias("hub"),
+        F.round("auth", PR_ROUND).alias("auth"),
+    )
+
+
+def _q_adamic_adar_events(spark: SparkSession, sf: str) -> DataFrame:
+    aa = adamic_adar(events_graph(spark, sf), min_common=1)
+    return aa.select("u", "v", "cn", F.round("score", PR_ROUND).alias("score"))
+
 
 def _q_betweenness_custorder(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
@@ -440,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_copurchase": _q_eigenvector_copurchase,
         "katz_events": _q_katz_events,
         "harmonic_events": _q_harmonic_events,
+        "hits_events": _q_hits_events,
+        "adamic_adar_events": _q_adamic_adar_events,
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
         "sssp_events": _q_sssp_events,
@@ -564,6 +591,12 @@ FROM orders ORDER BY id
         "betweenness_decomposed_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "closeness_events": closeness_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "harmonic_events": harmonic_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "hits_events": hits_oracle_sql(
+            EVENTS_DIRECTED_CTE, iterations=HITS_ITERS, round_digits=PR_ROUND
+        ),
+        "adamic_adar_events": adamic_adar_oracle_sql(
+            EVENTS_EDGES_CTE, min_common=1, round_digits=PR_ROUND
+        ),
         "ppr_events": ppr_oracle_sql(
             EVENTS_EDGES_CTE,
             "seeds AS (SELECT DISTINCT src AS id FROM edges ORDER BY id "

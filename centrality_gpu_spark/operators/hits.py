@@ -1,0 +1,234 @@
+"""HITS (hubs & authorities) and link-prediction scores.
+
+Two more link-analysis clients of the same physical idioms the engine
+already runs everywhere:
+
+- **HITS** (Kleinberg): the directed-graph twin of eigenvector
+  centrality (``operators/eigenvector.py``) — an alternating power
+  iteration, auth ← Aᵀ·hub, hub ← A·auth, each L2-normalized. On the
+  transcript data model the directed edge is conv→tool (invocation),
+  so hubs rank conversations by how many authoritative tools they
+  touch and authorities rank tools by how many strong conversations
+  invoke them. Per iteration: two SpMVs (one on A, one on Aᵀ) — at
+  scale these reuse the blocked-store superstep with a src- and a
+  dst-partitioned store of the SAME edge table (the transpose is a
+  role swap, not a second dataset); here the per-iteration joins run
+  against two pre-partitioned persisted copies so only the O(V) score
+  vector shuffles each superstep.
+
+- **Adamic–Adar link prediction**: for non-adjacent (u, v),
+  score = Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg w) — the standard
+  common-neighbor score. Physically a wedge join (the same two-hop
+  self-join as triangle counting, J6/`operators/triangles.py`) with
+  the per-wedge degree weight joined in; ``max_neighbor_degree`` caps
+  the quadratic hub blow-up exactly like the transcript builder's
+  ``max_tool_degree`` (a wedge through a degree-d hub contributes
+  d² pairs, and ubiquitous hubs carry ~0 Adamic–Adar weight anyway —
+  1/ln d — so the cap loses almost nothing and bounds the shuffle).
+
+Both are fixed-budget deterministic and carry unrolled/static DuckDB
+oracles (``hits_oracle_sql``, ``adamic_adar_oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+
+def hits(
+    edges: DataFrame,
+    fixed_iterations: int = 10,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """HITS over a DIRECTED edge DF (src, dst). Returns
+    (id:long, hub:double, auth:double), each vector L2-normalized.
+
+    Classic unweighted semantics (edge multiplicity must already be
+    collapsed by the caller — the builders' edge tables are deduped).
+    Fixed iterations so the unrolled oracle replays it exactly; both
+    score vectors cover every vertex (src or dst side), with 0 for a
+    role the vertex never plays.
+    """
+    ckpt = checkpoint or CheckpointManager(edges.sparkSession)
+    e = edges.select("src", "dst")
+    # two pre-partitioned persisted copies: the forward superstep joins
+    # on src, the transpose superstep on dst — neither re-shuffles the
+    # edge table after this (only the O(V) score vector moves)
+    e_src = e.repartition("src").persist()
+    e_dst = e.repartition("dst").persist()
+    e_src.count()
+    verts = ckpt.truncate(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+    hub = verts.select("id", F.lit(1.0).alias("s"))
+    auth = None
+    for _ in range(fixed_iterations):
+        raw_a = (
+            e_dst.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        auth = _l2_normalized(verts, raw_a, ckpt)
+        raw_h = (
+            e_src.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        hub = _l2_normalized(verts, raw_h, ckpt)
+
+    out = (
+        verts.join(hub.withColumnRenamed("s", "hub"), "id", "left")
+        .join(auth.withColumnRenamed("s", "auth"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out
+
+
+def _l2_normalized(verts: DataFrame, raw: DataFrame, ckpt) -> DataFrame:
+    full = ckpt.truncate(
+        verts.join(raw, "id", "left").select(
+            "id", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+    )
+    norm = full.agg(
+        F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n")
+    ).collect()[0]["n"]
+    if not norm:
+        return full.select("id", F.col("raw").alias("s"))
+    return ckpt.truncate(
+        full.select("id", (F.col("raw") / F.lit(float(norm))).alias("s"))
+    )
+
+
+def hits_oracle_sql(
+    dedges_cte: str, iterations: int = 10, round_digits: int = 8
+) -> str:
+    """Unrolled DuckDB twin of ``hits`` (``dedges_cte`` must define a
+    CTE ``dedges(src, dst)`` with the DIRECTED deduped edges)."""
+    parts = [
+        dedges_cte,
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM dedges UNION SELECT dst FROM dedges))",
+        "h0 AS (SELECT id, 1.0 AS s FROM verts)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(m.raw, 0.0) AS raw
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(h.s) AS raw
+    FROM dedges e JOIN h{k} h ON e.src = h.id GROUP BY e.dst
+  ) m ON v.id = m.id
+)"""
+        )
+        parts.append(
+            f"a{k + 1} AS MATERIALIZED (SELECT id, "
+            f"raw / (SELECT SQRT(SUM(raw*raw)) FROM ar{k}) AS s FROM ar{k})"
+        )
+        parts.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(m.raw, 0.0) AS raw
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, SUM(a.s) AS raw
+    FROM dedges e JOIN a{k + 1} a ON e.dst = a.id GROUP BY e.src
+  ) m ON v.id = m.id
+)"""
+        )
+        parts.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT id, "
+            f"raw / (SELECT SQRT(SUM(raw*raw)) FROM hr{k}) AS s FROM hr{k})"
+        )
+    final = (
+        f"SELECT h.id, ROUND(h.s, {round_digits}) AS hub, "
+        f"ROUND(a.s, {round_digits}) AS auth "
+        f"FROM h{iterations} h JOIN a{iterations} a ON h.id = a.id "
+        "ORDER BY h.id"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+# ----------------------------------------------------------- Adamic–Adar
+
+def adamic_adar(
+    graph: Graph,
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar scores for NON-adjacent pairs: returns
+    (u:long, v:long, cn:long, score:double) with u < v,
+    cn = |Γ(u)∩Γ(v)| ≥ ``min_common``, score = Σ_w 1/ln(deg w).
+
+    ``max_neighbor_degree``: drop wedges through hubs above the cap
+    (see module docstring — bounds the d² wedge blow-up; a capped hub's
+    1/ln d contribution is near the floor anyway). None = exact.
+    Common neighbors necessarily have degree ≥ 2, so ln(deg) > 0.
+    """
+    adj = graph.edges.select("src", "dst")
+    degw = graph.degrees().select(
+        F.col("id").alias("w"), F.col("degree").alias("deg_w")
+    )
+    if max_neighbor_degree is not None:
+        degw = degw.where(F.col("deg_w") <= max_neighbor_degree)
+    left = adj.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    right = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = (
+        left.join(degw, "w")
+        .join(right, "w")
+        .where(F.col("u") < F.col("v"))
+    )
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("cn"),
+        F.sum(1.0 / F.log(F.col("deg_w").cast("double"))).alias("score"),
+    )
+    non_adjacent = pairs.join(
+        adj,
+        (pairs.u == adj.src) & (pairs.v == adj.dst),
+        "left_anti",
+    )
+    return non_adjacent.where(F.col("cn") >= min_common)
+
+
+def adamic_adar_oracle_sql(
+    edges_cte: str,
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+    round_digits: int = 8,
+) -> str:
+    """DuckDB twin of ``adamic_adar`` (``edges_cte`` defines
+    ``edges(src, dst, weight)``, both directions)."""
+    cap = (
+        f"AND d.deg_w <= {max_neighbor_degree}"
+        if max_neighbor_degree is not None
+        else ""
+    )
+    return f"""WITH {edges_cte},
+deg AS (SELECT src AS w, COUNT(*) AS deg_w FROM edges GROUP BY src),
+wedges AS (
+  SELECT l.src AS u, r.dst AS v, d.deg_w
+  FROM edges l
+  JOIN deg d ON l.dst = d.w {cap}
+  JOIN edges r ON r.src = l.dst
+  WHERE l.src < r.dst
+),
+pairs AS (
+  SELECT u, v, COUNT(*) AS cn, SUM(1.0 / LN(deg_w)) AS score
+  FROM wedges GROUP BY u, v
+)
+SELECT p.u, p.v, p.cn, ROUND(p.score, {round_digits}) AS score
+FROM pairs p
+LEFT JOIN edges e ON p.u = e.src AND p.v = e.dst
+WHERE e.src IS NULL AND p.cn >= {min_common}
+ORDER BY p.u, p.v"""

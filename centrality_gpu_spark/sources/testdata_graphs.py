@@ -60,6 +60,46 @@ def events_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return Graph.from_undirected_edges(base, weight_col="weight")
 
 
+def events_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIRECTED user→event_type invocation arrow (deduped), before
+    symmetrization — the conv→tool edge of the transcript model. Input
+    for direction-sensitive operators (HITS)."""
+    ev = load(spark, sf_dir, "events")
+    tid = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "tvid",
+            F.lit(TOOL_VERTEX_OFFSET)
+            + F.dense_rank().over(Window.orderBy("event_type")),
+        )
+    )
+    return (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .join(F.broadcast(tid), "event_type")
+        .select(
+            F.col("user_id").cast("long").alias("src"),
+            F.col("tvid").cast("long").alias("dst"),
+        )
+    )
+
+
+# Directed twin in DuckDB SQL; final CTE is `dedges(src, dst)`.
+EVENTS_DIRECTED_CTE = """
+tid AS (
+  SELECT event_type,
+         1000000 + DENSE_RANK() OVER (ORDER BY event_type) AS tvid
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+dedges AS (
+  SELECT DISTINCT CAST(ev.user_id AS BIGINT) AS src,
+                  CAST(tid.tvid AS BIGINT)   AS dst
+  FROM events ev JOIN tid USING (event_type)
+)
+""".strip()
+
+
 # The same edge set in DuckDB SQL: prefix for oracle queries, final CTE
 # is named `edges` with columns (src, dst, weight), both directions.
 EVENTS_EDGES_CTE = """
