@@ -95,9 +95,17 @@ from centrality_gpu_spark.operators.hits import (
     adamic_adar_oracle_sql,
     hits,
     hits_oracle_sql,
+    jaccard_oracle_sql,
 )
+from centrality_gpu_spark.operators.community import modularity_sql
+from centrality_gpu_spark.operators.stats import (
+    assortativity_oracle_sql,
+    graph_summary_oracle_sql,
+)
+from centrality_gpu_spark.operators.truss import EDGE_SUPPORT_SQL
 from centrality_gpu_spark.sources.testdata_graphs import (
     COPURCHASE_EDGES_CTE,
+    CUSTORDER_EDGES_CTE,
     EVENTS_DIRECTED_CTE,
     EVENTS_EDGES_CTE,
     copurchase_graph,
@@ -292,6 +300,52 @@ def _q_adamic_adar_events(spark: SparkSession, sf: str) -> DataFrame:
     return aa.select("u", "v", "cn", F.round("score", PR_ROUND).alias("score"))
 
 
+def _q_jaccard_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.hits import jaccard_link_prediction
+
+    return jaccard_link_prediction(events_graph(spark, sf), min_common=1)
+
+
+def _q_assortativity_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.stats import degree_assortativity
+
+    return degree_assortativity(copurchase_graph(spark, sf))
+
+
+def _q_graph_summary_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.stats import graph_summary
+
+    return graph_summary(copurchase_graph(spark, sf))
+
+
+def _q_edge_support_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.truss import edge_support
+
+    return edge_support(copurchase_graph(spark, sf))
+
+
+def _q_modularity_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    # composition check: modularity objective over the connected-
+    # components partition of the star forest (thousands of communities
+    # with non-trivial in/tot terms; closed-form SQL twin below)
+    from centrality_gpu_spark.operators.community import modularity
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    g = custorder_graph(spark, sf)
+    comp = connected_components(g).withColumnRenamed("component", "community")
+    return modularity(g, comp)
+
+
+def _q_louvain_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    # on a star forest Louvain provably converges to one community per
+    # star (leaf→center merge always gains; stars are disjoint), and the
+    # canonical min-member label is the customer key — closed-form SQL
+    from centrality_gpu_spark.operators.community import louvain
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    return louvain(custorder_graph(spark, sf))
+
+
 def _q_betweenness_custorder(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
 
@@ -346,6 +400,26 @@ SELECT id, ROUND(CAST(k * (k - 1) AS DOUBLE), 6) AS bc FROM k
 UNION ALL
 SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id, 0.0 AS bc FROM orders
 ORDER BY id
+""".strip()
+
+# star-forest community closed forms: each star IS its community; the
+# canonical (min-member) label is the customer key (order vertices are
+# offset by 10,000,000, so the customer id is always the minimum)
+CUSTORDER_COMMUNITIES_CTE = """
+communities AS (
+  SELECT CAST(o_custkey AS BIGINT) AS id,
+         CAST(o_custkey AS BIGINT) AS community
+  FROM (SELECT DISTINCT o_custkey FROM orders)
+  UNION ALL
+  SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id,
+         CAST(o_custkey AS BIGINT) AS community
+  FROM orders
+)
+""".strip()
+
+LOUVAIN_CUSTORDER_SQL = f"""
+WITH {CUSTORDER_COMMUNITIES_CTE}
+SELECT id, community FROM communities ORDER BY id
 """.strip()
 
 CLOSENESS_CUSTORDER_SQL = """
@@ -467,6 +541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_events": _q_harmonic_events,
         "hits_events": _q_hits_events,
         "adamic_adar_events": _q_adamic_adar_events,
+        "jaccard_events": _q_jaccard_events,
+        "assortativity_copurchase": _q_assortativity_copurchase,
+        "graph_summary_copurchase": _q_graph_summary_copurchase,
+        "edge_support_copurchase": _q_edge_support_copurchase,
+        "modularity_custorder": _q_modularity_custorder,
+        "louvain_custorder": _q_louvain_custorder,
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
         "sssp_events": _q_sssp_events,
@@ -610,6 +690,20 @@ FROM orders ORDER BY id
             EVENTS_EDGES_CTE, alpha=KATZ_ALPHA, iterations=KATZ_ITERS,
             round_digits=PR_ROUND,
         ),
+        "jaccard_events": jaccard_oracle_sql(EVENTS_EDGES_CTE, min_common=1),
+        "assortativity_copurchase": assortativity_oracle_sql(
+            COPURCHASE_EDGES_CTE
+        ),
+        "graph_summary_copurchase": graph_summary_oracle_sql(
+            COPURCHASE_EDGES_CTE
+        ),
+        "edge_support_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
+        f"{EDGE_SUPPORT_SQL}\n"
+        "SELECT u, v, support FROM esup ORDER BY u, v",
+        "modularity_custorder": modularity_sql(
+            CUSTORDER_EDGES_CTE, CUSTORDER_COMMUNITIES_CTE
+        ),
+        "louvain_custorder": LOUVAIN_CUSTORDER_SQL,
         "betweenness_custorder": BETWEENNESS_CUSTORDER_SQL,
         "betweenness_bsp_custorder": BETWEENNESS_CUSTORDER_SQL,
         "betweenness_decomposed_custorder": BETWEENNESS_CUSTORDER_SQL,

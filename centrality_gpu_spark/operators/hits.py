@@ -232,3 +232,94 @@ FROM pairs p
 LEFT JOIN edges e ON p.u = e.src AND p.v = e.dst
 WHERE e.src IS NULL AND p.cn >= {min_common}
 ORDER BY p.u, p.v"""
+
+
+# ------------------------------------------------------ Jaccard similarity
+
+def jaccard_link_prediction(
+    graph: Graph,
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Jaccard link-prediction scores for NON-adjacent pairs: returns
+    (u:long, v:long, cn:long, score:double) with u < v,
+    score = |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)|.
+
+    Same wedge join as ``adamic_adar`` (and the same optional hub cap
+    on the SHARED neighbor w — the d² wedge bound); the union size
+    comes from a broadcast-joined degree table:
+    |Γ(u)∪Γ(v)| = deg(u) + deg(v) − cn. With a hub cap the cn in the
+    numerator is the capped count while degrees stay exact — recall on
+    hub-mediated pairs is traded for the shuffle bound, disclosed, same
+    contract as ``adamic_adar``.
+    """
+    adj = graph.edges.select("src", "dst")
+    degw = graph.degrees().select(
+        F.col("id").alias("w"), F.col("degree").alias("deg_w")
+    )
+    if max_neighbor_degree is not None:
+        degw = degw.where(F.col("deg_w") <= max_neighbor_degree)
+    left = adj.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    right = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = (
+        left.join(degw.select("w"), "w")
+        .join(right, "w")
+        .where(F.col("u") < F.col("v"))
+    )
+    pairs = wedges.groupBy("u", "v").agg(F.count("*").alias("cn"))
+    deg = graph.degrees()
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("dv"))
+    scored = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "cn",
+            (
+                F.col("cn")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double")
+            ).alias("score"),
+        )
+    )
+    non_adjacent = scored.join(
+        adj,
+        (scored.u == adj.src) & (scored.v == adj.dst),
+        "left_anti",
+    )
+    return non_adjacent.where(F.col("cn") >= min_common).select(
+        "u", "v", "cn", F.round("score", 8).alias("score")
+    )
+
+
+def jaccard_oracle_sql(
+    edges_cte: str,
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+    round_digits: int = 8,
+) -> str:
+    """DuckDB twin of ``jaccard_link_prediction`` (``edges_cte``
+    defines ``edges(src, dst, weight)``, both directions)."""
+    cap = (
+        f"JOIN deg dc ON l.dst = dc.w AND dc.deg_w <= {max_neighbor_degree}"
+        if max_neighbor_degree is not None
+        else ""
+    )
+    return f"""WITH {edges_cte},
+deg AS (SELECT src AS w, COUNT(*) AS deg_w FROM edges GROUP BY src),
+wedges AS (
+  SELECT l.src AS u, r.dst AS v
+  FROM edges l
+  {cap}
+  JOIN edges r ON r.src = l.dst
+  WHERE l.src < r.dst
+),
+pairs AS (SELECT u, v, COUNT(*) AS cn FROM wedges GROUP BY u, v)
+SELECT p.u, p.v, p.cn,
+       ROUND(CAST(p.cn AS DOUBLE) / (du.deg_w + dv.deg_w - p.cn),
+             {round_digits}) AS score
+FROM pairs p
+JOIN deg du ON p.u = du.w
+JOIN deg dv ON p.v = dv.w
+LEFT JOIN edges e ON p.u = e.src AND p.v = e.dst
+WHERE e.src IS NULL AND p.cn >= {min_common}
+ORDER BY p.u, p.v"""
