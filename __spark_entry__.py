@@ -42,8 +42,10 @@ from centrality_gpu_spark.operators.pagerank import (
 )
 from centrality_gpu_spark.operators.betweenness import (
     betweenness_broadcast,
+    betweenness_sampled_oracle_sql,
     brandes_apsp_oracle_sql,
 )
+from centrality_gpu_spark.operators.walks import random_walks_oracle_sql
 from centrality_gpu_spark.operators.closeness import (
     closeness_apsp_oracle_sql,
     closeness_broadcast,
@@ -189,6 +191,29 @@ def _q_lpa_events(spark: SparkSession, sf: str) -> DataFrame:
 def _q_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
     bc = betweenness_broadcast(events_graph(spark, sf))
     return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+BC_SAMPLES = 32
+
+
+def _q_betweenness_sampled_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.betweenness import betweenness_sampled
+
+    bc = betweenness_sampled(events_graph(spark, sf), n_samples=BC_SAMPLES)
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+RW_LEN, RW_PER_VERTEX = 3, 2
+
+
+def _q_random_walks_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.walks import random_walks
+
+    return random_walks(
+        events_graph(spark, sf),
+        walk_length=RW_LEN,
+        walks_per_vertex=RW_PER_VERTEX,
+    )
 
 
 def _q_betweenness_decomposed_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -570,7 +595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pair-dependency BC / wf closeness; also networkx goldens):
         "betweenness_events": _q_betweenness_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
+        "betweenness_sampled_events": _q_betweenness_sampled_events,
         "closeness_events": _q_closeness_events,
+        "random_walks_events": _q_random_walks_events,
     }
 
 
@@ -668,6 +695,12 @@ FROM orders ORDER BY id
         # sigma unroll + pair-dependency sum; diameter(sf0.01 events)=2,
         # unrolled to 8 for margin):
         "betweenness_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "betweenness_sampled_events": betweenness_sampled_oracle_sql(
+            EVENTS_EDGES_CTE, n_samples=BC_SAMPLES
+        ),
+        "random_walks_events": random_walks_oracle_sql(
+            EVENTS_EDGES_CTE, walk_length=RW_LEN, walks_per_vertex=RW_PER_VERTEX
+        ),
         "betweenness_decomposed_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "closeness_events": closeness_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "harmonic_events": harmonic_apsp_oracle_sql(EVENTS_EDGES_CTE),

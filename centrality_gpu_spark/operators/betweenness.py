@@ -390,3 +390,64 @@ bcsum AS (
 )
 SELECT v.id, ROUND(COALESCE(b.bc, 0.0), 6) AS bc
 FROM verts v LEFT JOIN bcsum b ON v.id = b.id ORDER BY v.id"""
+
+
+def betweenness_sampled(
+    graph: Graph,
+    n_samples: int,
+    seed: str = "bcs",
+) -> DataFrame:
+    """(id, bc) — Brandes-estimator betweenness from a deterministic
+    source sample: bĉ(v) = (n / s)·Σ_{src ∈ S} δ_src(v).
+
+    This is THE scale path for betweenness on graphs where all-source
+    Brandes (O(V·E)) is unaffordable: s sources bound the work at
+    O(s·E) with the estimator unbiased over the sample distribution
+    (Brandes & Pich 2007 pivot sampling). The sample is pseudo-random
+    but deterministic — vertices ordered by the engine's md5→int64
+    hash of (seed, id) — so results are reproducible AND the DuckDB
+    oracle (``betweenness_sampled_oracle_sql``) replays the identical
+    sample. s = n degenerates to exact ``betweenness_broadcast``.
+    """
+    verts = graph.vertices()
+    n = verts.count()
+    s = min(n_samples, n)
+    hkey = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col("id"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    sample = verts.orderBy(hkey, "id").limit(s)
+    srcs = [r.id for r in sample.collect()]  # bounded by n_samples
+    part = betweenness_broadcast(graph, sources=srcs)
+    scale = float(n) / float(s)
+    return part.select("id", (F.col("bc") * F.lit(scale)).alias("bc"))
+
+
+def betweenness_sampled_oracle_sql(
+    edges_cte: str, n_samples: int, seed: str = "bcs", max_depth: int = 8
+) -> str:
+    """DuckDB twin of ``betweenness_sampled``: the same md5-ordered
+    source sample over the unrolled-APSP pair-dependency sum, scaled by
+    n/s. Output (id, bc) rounded to 6, ordered by id."""
+    return f"""WITH {apsp_oracle_cte(edges_cte, max_depth)},
+samp AS (
+  SELECT id FROM verts
+  ORDER BY CAST(('0x' || substr(md5(concat('{seed}', ':', id)), 1, 15))
+                AS BIGINT), id
+  LIMIT {n_samples}
+),
+scale AS (
+  SELECT CAST((SELECT COUNT(*) FROM verts) AS DOUBLE)
+         / LEAST({n_samples}, (SELECT COUNT(*) FROM verts)) AS f
+),
+bcsum AS (
+  SELECT sv.v AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS bc
+  FROM ds st
+  JOIN samp ON st.s = samp.id
+  JOIN ds sv ON sv.s = st.s AND sv.v <> st.s AND sv.v <> st.v
+  JOIN ds vt ON vt.s = sv.v AND vt.v = st.v AND sv.d + vt.d = st.d
+  WHERE st.s <> st.v
+  GROUP BY sv.v
+)
+SELECT v.id, ROUND(COALESCE(b.bc, 0.0) * (SELECT f FROM scale), 6) AS bc
+FROM verts v LEFT JOIN bcsum b ON v.id = b.id ORDER BY v.id"""
