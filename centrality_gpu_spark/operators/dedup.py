@@ -68,19 +68,77 @@ def with_shingles(documents: DataFrame, n: int = DEFAULT_NGRAM) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5, n: int = DEFAULT_NGRAM
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = DEFAULT_NGRAM,
+    method: str = "prefix",
 ) -> DataFrame:
     """All pairs with Jaccard(shingles) ≥ threshold:
-    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    (doc_a, doc_b, jaccard) with doc_a < doc_b. Both methods are EXACT
+    (same output); they differ only in the candidate-generation plan:
 
-    Exact (inverted-index join on shared shingles — only pairs sharing
-    ≥1 shingle are ever materialized, the standard all-pairs pruning),
-    used as the verifier behind MinHash and as its own oracle-checked
-    operator.
+    - ``"prefix"`` (default, the scale path): PPJoin/AllPairs prefix
+      filtering. Each doc indexes only its first
+      ``|sh| - ceil(t·|sh|) + 1`` shingles under a global
+      rarest-first order (document frequency ascending) — any pair with
+      J ≥ t must share a prefix shingle, and ubiquitous shingles sort
+      to the never-indexed suffix, so no single hot shingle can make a
+      bucket quadratic. Candidates are then verified with the full
+      shingle arrays.
+    - ``"index"``: plain inverted-index join on ALL shared shingles,
+      counting intersections directly. Fewer passes on small corpora,
+      but one shingle shared by k docs costs k² join rows.
     """
     sh = with_shingles(documents, n)
     sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if method == "prefix":
+        from pyspark.sql import Window
+
+        dfc = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        pref = (
+            inv.join(dfc, "shingle")
+            .withColumn("rnk", F.row_number().over(w))
+            .join(sizes, "doc_id")
+            .where(
+                # prefix length |sh| - ceil(t·|sh|) + 1; the 1e-9 guards
+                # fp noise from rounding an exactly-integer t·|sh| UP
+                # (which would shorten the prefix and could miss pairs —
+                # rounding down only lengthens it, which is safe)
+                F.col("rnk")
+                <= F.col("sz")
+                - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+                + 1
+            )
+            .select("doc_id", "shingle")
+        )
+        a = pref.select("shingle", F.col("doc_id").alias("doc_a"))
+        b = pref.select("shingle", F.col("doc_id").alias("doc_b"))
+        cand = (
+            a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        out = (
+            cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                                F.col("shingles").alias("shA")), "doc_a")
+            .join(sh.select(F.col("doc_id").alias("doc_b"),
+                            F.col("shingles").alias("shB")), "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.size(F.array_intersect("shA", "shB"))
+                    / F.size(F.array_union("shA", "shB"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    if method != "index":
+        raise ValueError(f"method must be 'prefix' or 'index', got {method!r}")
     a = inv.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
     b = inv.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
     inter = (

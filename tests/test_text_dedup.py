@@ -92,6 +92,19 @@ def test_ngram_jaccard_exact(near_dups):
     assert 0.3 < got[(1, 3)] < 1.0
 
 
+def test_ngram_jaccard_prefix_equals_index(documents):
+    """PPJoin prefix filtering is EXACT: identical pair set + values as
+    the full inverted-index join on the real sf0.01 documents table."""
+    got_prefix = {(r.doc_a, r.doc_b): r.jaccard
+                  for r in ngram_jaccard_pairs(
+                      documents, threshold=0.4, method="prefix").collect()}
+    got_index = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in ngram_jaccard_pairs(
+                     documents, threshold=0.4, method="index").collect()}
+    assert got_prefix == got_index
+    assert len(got_prefix) > 0
+
+
 def test_minhash_finds_near_dups(near_dups):
     # identical docs share every band in any hash family
     for mode in ("md5", "xx64"):
