@@ -45,7 +45,10 @@ from centrality_gpu_spark.operators.betweenness import (
     betweenness_sampled_oracle_sql,
     brandes_apsp_oracle_sql,
 )
-from centrality_gpu_spark.operators.walks import random_walks_oracle_sql
+from centrality_gpu_spark.operators.walks import (
+    node2vec_oracle_sql,
+    random_walks_oracle_sql,
+)
 from centrality_gpu_spark.operators.closeness import (
     closeness_apsp_oracle_sql,
     closeness_broadcast,
@@ -204,6 +207,7 @@ def _q_betweenness_sampled_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 RW_LEN, RW_PER_VERTEX = 3, 2
+N2V_P, N2V_Q = 0.5, 2.0  # exact binary fractions: float cumsums match DuckDB
 
 
 def _q_random_walks_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -213,6 +217,18 @@ def _q_random_walks_events(spark: SparkSession, sf: str) -> DataFrame:
         events_graph(spark, sf),
         walk_length=RW_LEN,
         walks_per_vertex=RW_PER_VERTEX,
+    )
+
+
+def _q_node2vec_walks_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        events_graph(spark, sf),
+        walk_length=RW_LEN,
+        walks_per_vertex=RW_PER_VERTEX,
+        p=N2V_P,
+        q=N2V_Q,
     )
 
 
@@ -598,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sampled_events": _q_betweenness_sampled_events,
         "closeness_events": _q_closeness_events,
         "random_walks_events": _q_random_walks_events,
+        "node2vec_walks_events": _q_node2vec_walks_events,
     }
 
 
@@ -700,6 +717,10 @@ FROM orders ORDER BY id
         ),
         "random_walks_events": random_walks_oracle_sql(
             EVENTS_EDGES_CTE, walk_length=RW_LEN, walks_per_vertex=RW_PER_VERTEX
+        ),
+        "node2vec_walks_events": node2vec_oracle_sql(
+            EVENTS_EDGES_CTE, walk_length=RW_LEN,
+            walks_per_vertex=RW_PER_VERTEX, p=N2V_P, q=N2V_Q,
         ),
         "betweenness_decomposed_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "closeness_events": closeness_apsp_oracle_sql(EVENTS_EDGES_CTE),

@@ -13,7 +13,7 @@ from centrality_gpu_spark.operators.betweenness import (
     betweenness_broadcast,
     betweenness_sampled,
 )
-from centrality_gpu_spark.operators.walks import random_walks
+from centrality_gpu_spark.operators.walks import node2vec_walks, random_walks
 
 
 def _graph_from_nx(spark, g: nx.Graph) -> Graph:
@@ -75,6 +75,74 @@ def test_random_walks_seed_changes_corpus(spark):
     a = {tuple(r) for r in random_walks(sg, 3, 1, seed="a").collect()}
     b = {tuple(r) for r in random_walks(sg, 3, 1, seed="b").collect()}
     assert a != b
+
+
+def _python_n2v(g: nx.Graph, walk_length: int, walks_per_vertex: int,
+                p: float, q: float, seed: str = "n2v"):
+    """Exact float64 mirror of node2vec_walks' inverse-CDF sampling."""
+    adj = {v: sorted(g.neighbors(v)) for v in g.nodes()}
+    aset = {v: set(ns) for v, ns in adj.items()}
+    rows = set()
+    for start in g.nodes():
+        for walk in range(walks_per_vertex):
+            v, prev = start, None
+            rows.add((start, walk, 0, v))
+            for t in range(1, walk_length + 1):
+                nbrs = adj[v]
+                if t == 1:
+                    nxt = nbrs[_h60(f"{seed}:{start}:{walk}:{t}") % len(nbrs)]
+                else:
+                    wgts = [
+                        (1.0 / p) if x == prev
+                        else 1.0 if x in aset[prev]
+                        else (1.0 / q)
+                        for x in nbrs
+                    ]
+                    u = (_h60(f"{seed}:{start}:{walk}:{t}") / 2 ** 60) * sum(wgts)
+                    cw, nxt = 0.0, nbrs[-1]
+                    for x, wt in zip(nbrs, wgts):
+                        cw += wt
+                        if u < cw:
+                            nxt = x
+                            break
+                prev, v = v, nxt
+                rows.add((start, walk, t, v))
+    return rows
+
+
+@pytest.mark.parametrize("p,q", [(0.5, 2.0), (2.0, 0.25)])
+def test_node2vec_walks_match_python_golden(spark, p, q):
+    g = nx.gnp_random_graph(22, 0.25, seed=11)
+    g.remove_nodes_from(list(nx.isolates(g)))
+    got = {
+        (r.start, r.walk, r.step, r.vertex)
+        for r in node2vec_walks(
+            _graph_from_nx(spark, g), walk_length=4, walks_per_vertex=2,
+            p=p, q=q,
+        ).collect()
+    }
+    assert got == _python_n2v(g, 4, 2, p, q)
+
+
+def test_node2vec_low_p_returns_more(spark):
+    """p≪1 makes the return edge dominate: walkers bounce back to the
+    predecessor far more often than under p≫1."""
+    g = nx.connected_watts_strogatz_graph(40, 6, 0.3, seed=5)
+    sg = _graph_from_nx(spark, g)
+
+    def return_rate(p, q):
+        pos = {
+            (r.start, r.walk, r.step): r.vertex
+            for r in node2vec_walks(sg, walk_length=4, p=p, q=q).collect()
+        }
+        rets = tot = 0
+        for (s, w, t), v in pos.items():
+            if t >= 2:
+                tot += 1
+                rets += v == pos[(s, w, t - 2)]
+        return rets / tot
+
+    assert return_rate(0.25, 1.0) > return_rate(4.0, 1.0) + 0.2
 
 
 def test_sampled_betweenness_full_sample_is_exact(spark):
