@@ -45,6 +45,9 @@ from centrality_gpu_spark.operators.betweenness import (
     betweenness_sampled_oracle_sql,
     brandes_apsp_oracle_sql,
 )
+from centrality_gpu_spark.operators.sampling import (
+    sample_neighbors_oracle_sql,
+)
 from centrality_gpu_spark.operators.walks import (
     node2vec_oracle_sql,
     random_walks_oracle_sql,
@@ -207,7 +210,8 @@ def _q_betweenness_sampled_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 RW_LEN, RW_PER_VERTEX = 3, 2
-N2V_P, N2V_Q = 0.5, 2.0  # exact binary fractions: float cumsums match DuckDB
+N2V_P, N2V_Q = 0.5, 2.0
+GS_FANOUTS = [3, 2]  # exact binary fractions: float cumsums match DuckDB
 
 
 def _q_random_walks_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -230,6 +234,12 @@ def _q_node2vec_walks_events(spark: SparkSession, sf: str) -> DataFrame:
         p=N2V_P,
         q=N2V_Q,
     )
+
+
+def _q_sample_neighbors_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.sampling import sample_neighbors
+
+    return sample_neighbors(events_graph(spark, sf), fanouts=GS_FANOUTS)
 
 
 def _q_betweenness_decomposed_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -615,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_events": _q_closeness_events,
         "random_walks_events": _q_random_walks_events,
         "node2vec_walks_events": _q_node2vec_walks_events,
+        "sample_neighbors_events": _q_sample_neighbors_events,
     }
 
 
@@ -717,6 +728,9 @@ FROM orders ORDER BY id
         ),
         "random_walks_events": random_walks_oracle_sql(
             EVENTS_EDGES_CTE, walk_length=RW_LEN, walks_per_vertex=RW_PER_VERTEX
+        ),
+        "sample_neighbors_events": sample_neighbors_oracle_sql(
+            EVENTS_EDGES_CTE, fanouts=GS_FANOUTS
         ),
         "node2vec_walks_events": node2vec_oracle_sql(
             EVENTS_EDGES_CTE, walk_length=RW_LEN,
