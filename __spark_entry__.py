@@ -105,6 +105,18 @@ from centrality_gpu_spark.operators.hits import (
     hits_oracle_sql,
     jaccard_oracle_sql,
 )
+from centrality_gpu_spark.operators.anf import (
+    anf_oracle_sql,
+    effective_diameter,
+    effective_diameter_oracle_sql,
+    neighborhood_function,
+)
+from centrality_gpu_spark.operators.mis import (
+    jp_coloring,
+    jp_coloring_oracle_sql,
+    maximal_independent_set,
+    mis_oracle_sql,
+)
 from centrality_gpu_spark.operators.community import modularity_sql
 from centrality_gpu_spark.operators.stats import (
     assortativity_oracle_sql,
@@ -240,6 +252,25 @@ def _q_sample_neighbors_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.sampling import sample_neighbors
 
     return sample_neighbors(events_graph(spark, sf), fanouts=GS_FANOUTS)
+
+
+ANF_HOPS = 3
+
+
+def _q_mis_events(spark: SparkSession, sf: str) -> DataFrame:
+    return maximal_independent_set(events_graph(spark, sf))
+
+
+def _q_coloring_events(spark: SparkSession, sf: str) -> DataFrame:
+    return jp_coloring(events_graph(spark, sf))
+
+
+def _q_anf_reach_events(spark: SparkSession, sf: str) -> DataFrame:
+    return neighborhood_function(events_graph(spark, sf), max_hops=ANF_HOPS)
+
+
+def _q_eff_diameter_events(spark: SparkSession, sf: str) -> DataFrame:
+    return effective_diameter(events_graph(spark, sf), max_hops=ANF_HOPS)
 
 
 def _q_betweenness_decomposed_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -626,6 +657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_events": _q_random_walks_events,
         "node2vec_walks_events": _q_node2vec_walks_events,
         "sample_neighbors_events": _q_sample_neighbors_events,
+        # symmetry breaking (Luby MIS / Jones-Plassmann coloring) and
+        # ANF/HADI FM-sketch distance statistics — md5-deterministic,
+        # whole unrolled run replicated in DuckDB:
+        "mis_events": _q_mis_events,
+        "coloring_events": _q_coloring_events,
+        "anf_reach_events": _q_anf_reach_events,
+        "eff_diameter_events": _q_eff_diameter_events,
     }
 
 
@@ -777,6 +815,12 @@ FROM orders ORDER BY id
         "betweenness_decomposed_custorder": BETWEENNESS_CUSTORDER_SQL,
         "closeness_custorder": CLOSENESS_CUSTORDER_SQL,
         "closeness_bsp_custorder": CLOSENESS_CUSTORDER_SQL,
+        "mis_events": mis_oracle_sql(EVENTS_EDGES_CTE),
+        "coloring_events": jp_coloring_oracle_sql(EVENTS_EDGES_CTE),
+        "anf_reach_events": anf_oracle_sql(EVENTS_EDGES_CTE, max_hops=ANF_HOPS),
+        "eff_diameter_events": effective_diameter_oracle_sql(
+            EVENTS_EDGES_CTE, max_hops=ANF_HOPS
+        ),
         "sssp_events": f"WITH RECURSIVE {EVENTS_EDGES_CTE},\n"
         "walk(vertex, dist) AS (\n"
         "  SELECT (SELECT MIN(src) FROM edges), 0\n"
