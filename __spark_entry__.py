@@ -117,6 +117,12 @@ from centrality_gpu_spark.operators.mis import (
     maximal_independent_set,
     mis_oracle_sql,
 )
+from centrality_gpu_spark.operators.scc import (
+    condensation_oracle_sql,
+    condensation_summary,
+    scc_oracle_sql,
+    strongly_connected_components,
+)
 from centrality_gpu_spark.operators.community import modularity_sql
 from centrality_gpu_spark.operators.stats import (
     assortativity_oracle_sql,
@@ -128,6 +134,7 @@ from centrality_gpu_spark.sources.testdata_graphs import (
     CUSTORDER_EDGES_CTE,
     EVENTS_DIRECTED_CTE,
     EVENTS_EDGES_CTE,
+    LINEITEM_CYCLE_CTE,
     copurchase_graph,
     events_directed_edges,
     events_graph,
@@ -252,6 +259,19 @@ def _q_sample_neighbors_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.sampling import sample_neighbors
 
     return sample_neighbors(events_graph(spark, sf), fanouts=GS_FANOUTS)
+
+
+def _q_scc_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.sources.testdata_graphs import lineitem_cycle_edges
+
+    return strongly_connected_components(lineitem_cycle_edges(spark, sf))
+
+
+def _q_condensation_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.sources.testdata_graphs import lineitem_cycle_edges
+
+    de = lineitem_cycle_edges(spark, sf).persist()
+    return condensation_summary(de, strongly_connected_components(de))
 
 
 ANF_HOPS = 3
@@ -664,6 +684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_events": _q_coloring_events,
         "anf_reach_events": _q_anf_reach_events,
         "eff_diameter_events": _q_eff_diameter_events,
+        # directed decomposition on the lineitem cycle graph (trim +
+        # coloring SCC vs a recursive mutual-reachability oracle):
+        "scc_lineitem": _q_scc_lineitem,
+        "condensation_lineitem": _q_condensation_lineitem,
     }
 
 
@@ -815,6 +839,8 @@ FROM orders ORDER BY id
         "betweenness_decomposed_custorder": BETWEENNESS_CUSTORDER_SQL,
         "closeness_custorder": CLOSENESS_CUSTORDER_SQL,
         "closeness_bsp_custorder": CLOSENESS_CUSTORDER_SQL,
+        "scc_lineitem": scc_oracle_sql(LINEITEM_CYCLE_CTE),
+        "condensation_lineitem": condensation_oracle_sql(LINEITEM_CYCLE_CTE),
         "mis_events": mis_oracle_sql(EVENTS_EDGES_CTE),
         "coloring_events": jp_coloring_oracle_sql(EVENTS_EDGES_CTE),
         "anf_reach_events": anf_oracle_sql(EVENTS_EDGES_CTE, max_hops=ANF_HOPS),

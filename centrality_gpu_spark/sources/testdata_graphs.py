@@ -198,3 +198,61 @@ edges AS (
   SELECT dst AS src, src AS dst, CAST(1.0 AS DOUBLE) AS weight FROM pairs
 )
 """.strip()
+
+
+# ------------------------------------------------------- lineitem cycles
+
+CYCLE_SUPP_OFFSET = 4_000_000
+CYCLE_ORDER_OFFSET = 8_000_000
+CYCLE_MAX_ORDERKEY = 300
+
+
+def lineitem_cycle_edges(
+    spark: SparkSession, sf_dir: str, max_orderkey: int = CYCLE_MAX_ORDERKEY
+) -> DataFrame:
+    """DIRECTED cyclic graph from lineitem: every row spins the 3-cycle
+    part → supplier → order → part (offset id spaces keep the roles
+    disjoint); shared parts/suppliers chain the little cycles into
+    non-trivial SCCs. The orderkey cutoff keeps the mutual-reachability
+    oracle tractable. Input for SCC / condensation."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") <= max_orderkey
+    )
+    p = F.col("l_partkey").cast("long")
+    s = (F.col("l_suppkey") + CYCLE_SUPP_OFFSET).cast("long")
+    o = (F.col("l_orderkey") + CYCLE_ORDER_OFFSET).cast("long")
+    # line-number gates break full strong connectivity: only the first
+    # lineitem closes supp→order and the first two close order→part, so
+    # the graph has one giant SCC, several mid-size ones, and a large
+    # trimmed periphery (the shape trim + coloring must both handle)
+    return (
+        li.select(p.alias("src"), s.alias("dst"))
+        .unionByName(
+            li.where(F.col("l_linenumber") == 1)
+            .select(s.alias("src"), o.alias("dst"))
+        )
+        .unionByName(
+            li.where(F.col("l_linenumber") <= 2)
+            .select(o.alias("src"), p.alias("dst"))
+        )
+        .distinct()
+    )
+
+
+LINEITEM_CYCLE_CTE = f"""
+li AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem
+       WHERE l_orderkey <= {CYCLE_MAX_ORDERKEY}),
+dedges AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                  CAST(l_suppkey + {CYCLE_SUPP_OFFSET} AS BIGINT) AS dst
+  FROM li
+  UNION
+  SELECT DISTINCT CAST(l_suppkey + {CYCLE_SUPP_OFFSET} AS BIGINT),
+                  CAST(l_orderkey + {CYCLE_ORDER_OFFSET} AS BIGINT)
+  FROM li WHERE l_linenumber = 1
+  UNION
+  SELECT DISTINCT CAST(l_orderkey + {CYCLE_ORDER_OFFSET} AS BIGINT),
+                  CAST(l_partkey AS BIGINT)
+  FROM li WHERE l_linenumber <= 2
+)
+""".strip()

@@ -52,6 +52,36 @@ def scale_graph(spark, sf_dir: str, copies: int) -> Graph:
     return Graph.from_symmetric_edges(e)
 
 
+def _control_task(seed: int) -> float:
+    """One fixed work unit of the hardware control: a pure-numpy random
+    gather + stream, the same memory-access shape as the SpMV kernel but
+    with ZERO Spark/engine code. Used to measure the machine's own
+    strong-scaling ceiling at each core count."""
+    import numpy as np
+    import time
+
+    idx = np.random.RandomState(seed % 7).randint(0, 1_000_000, 5_000_000)
+    tbl = np.arange(1_000_000, dtype=np.float64)
+    t0 = time.time()
+    for _ in range(5):
+        tbl[idx].sum()
+    return time.time() - t0
+
+
+def hardware_control(cores: int, n_tasks: int = 32) -> float:
+    """Wall seconds for a FIXED total amount of raw numpy gather work
+    split across ``cores`` processes (multiprocessing, no JVM). On this
+    one box the 8→32 efficiency of this control is ~0.1 — shared DRAM
+    bandwidth / virtualized-CPU contention — which calibrates how much
+    of the ENGINE's 8→32 falloff is hardware, not plan quality."""
+    import multiprocessing as mp
+
+    with mp.Pool(cores) as pool:
+        t0 = time.time()
+        pool.map(_control_task, range(n_tasks))
+        return round(time.time() - t0, 3)
+
+
 def main() -> None:
     cores = int(os.environ["SCALE_CORES"])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,6 +153,8 @@ def main() -> None:
     dt = time.time() - t0
     out["jobs"]["bfs_bcast_1024src"] = round(dt, 3)
     out["bfs_bcast_sources_per_sec"] = round(1024 / dt, 2)
+
+    out["jobs"]["hw_control_gather"] = hardware_control(cores)
 
     print(json.dumps(out))
     spark.stop()
