@@ -90,6 +90,16 @@ from centrality_gpu_spark.operators.similarity import (
     lsh_oracle_sql,
     lsh_topk,
 )
+from centrality_gpu_spark.operators.sessions import (
+    session_stats,
+    session_stats_oracle_sql,
+)
+from centrality_gpu_spark.operators.relevance import (
+    bm25_oracle_sql,
+    bm25_topk,
+    tfidf_oracle_sql,
+    tfidf_topk_terms,
+)
 from centrality_gpu_spark.operators.text import (
     language_id,
     language_id_sql,
@@ -585,6 +595,21 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf), threshold=0.5)
 
 
+def _q_session_stats_events(spark: SparkSession, sf: str) -> DataFrame:
+    return session_stats(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+BM25_QUERY = ["spark", "join", "vector"]
+
+
+def _q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return tfidf_topk_terms(_docs(spark, sf), k=5)
+
+
+def _q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return bm25_topk(_docs(spark, sf), BM25_QUERY, k=10)
+
+
 def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_gemm(_embs(spark, sf), k=5)
 
@@ -615,6 +640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "dedup_exact": _q_dedup_exact,
+        "tfidf_topk": _q_tfidf_topk,
+        "bm25_topk": _q_bm25_topk,
+        "session_stats_events": _q_session_stats_events,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_topk": _q_ann_topk,
         # md5-mode LSH pipelines — the whole shingle→signature→band→
@@ -701,6 +729,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"WITH {EXACT_DUP_SQL}\n"
         "SELECT fp, COUNT(*) AS n_docs FROM fp GROUP BY fp "
         "HAVING COUNT(*) > 1 ORDER BY fp",
+        "session_stats_events": session_stats_oracle_sql(),
+        "tfidf_topk": tfidf_oracle_sql(k=5),
+        "bm25_topk": bm25_oracle_sql(BM25_QUERY, k=10),
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
         "minhash_dedup": minhash_oracle_sql(threshold=0.5),
         "simhash_near_dups": simhash_oracle_sql(max_hamming=8),
