@@ -76,6 +76,13 @@ def eigenvector_centrality(
         else contextlib.nullcontext()
     )
     with cm:
+        if _dense_ready(mode, blocked):
+            x = _eigen_dense_loop(
+                x, blocked, n_iter, fixed_iterations, tol, ckpt, weighted
+            )
+            if own_blocked:
+                blocked.unpersist()
+            return x.select("id", "score")
         for it in range(n_iter):
             t0 = time.time()
             vals = x.select("id", F.col("score").alias("val"))
@@ -158,6 +165,93 @@ def eigenvector_oracle_sql(
 
 # ---------------------------------------------------------------- Katz
 
+def _dense_ready(mode: str, blocked) -> bool:
+    """True when the driver-resident dense power loop applies: a
+    dst-partitioned disk store within the broadcast guard (the same
+    dispatch ``pagerank`` uses for its dense loop)."""
+    from centrality_gpu_spark.operators.superstep import _dense_map
+
+    return (
+        mode == "csr"
+        and blocked is not None
+        and blocked.path is not None
+        and blocked.partition_by.startswith("dst")
+        and _dense_map(blocked) is not None
+    )
+
+
+def _eigen_dense_loop(x, blocked, n_iter, fixed_iterations, tol, ckpt, weighted):
+    """Power iteration with the vector driver-resident: ONE map-only
+    Spark job per iteration (``spmv_dense``); norm and delta are O(V)
+    numpy on the driver. Deletes the per-iteration localCheckpoint +
+    norm-collect jobs of the DataFrame loop (measured 2.8 s/iter → the
+    pagerank dense loop's ~0.9 s/iter on the sf0.1 bench graph). Same
+    recurrence; equivalence covered by the csr-vs-sql allclose tests."""
+    import time
+
+    import numpy as np
+
+    from centrality_gpu_spark.operators.superstep import (
+        dense_vector_from_df,
+        dense_vector_to_df,
+        spmv_dense,
+    )
+
+    vec = dense_vector_from_df(blocked, x.select("id", F.col("score").alias("val")))
+    for it in range(n_iter):
+        t0 = time.time()
+        y = spmv_dense(blocked, vec, weighted=weighted)
+        norm = float(np.sqrt(np.sum(y * y)))
+        if norm == 0.0:
+            vec = y
+            ckpt.record(op="eigenvector", iteration=it, delta=None,
+                        secs=time.time() - t0)
+            break
+        new_vec = y / norm
+        delta = (
+            float(np.max(np.abs(new_vec - vec)))
+            if fixed_iterations is None and len(vec)
+            else None
+        )
+        ckpt.record(op="eigenvector", iteration=it, delta=delta,
+                    secs=time.time() - t0)
+        vec = new_vec
+        if delta is not None and delta < tol:
+            break
+    return dense_vector_to_df(blocked, vec, col="score")
+
+
+def _katz_dense_loop(x, blocked, alpha, beta, n_iter, fixed_iterations, tol,
+                     ckpt, weighted):
+    """Katz recurrence x ← α·Aᵀx + β with the vector driver-resident —
+    same one-job-per-iteration shape as ``_eigen_dense_loop``."""
+    import time
+
+    import numpy as np
+
+    from centrality_gpu_spark.operators.superstep import (
+        dense_vector_from_df,
+        dense_vector_to_df,
+        spmv_dense,
+    )
+
+    vec = dense_vector_from_df(blocked, x.select("id", F.col("katz").alias("val")))
+    for it in range(n_iter):
+        t0 = time.time()
+        msgs = spmv_dense(blocked, vec, weighted=weighted)
+        new_vec = alpha * msgs + float(beta)
+        delta = (
+            float(np.max(np.abs(new_vec - vec)))
+            if fixed_iterations is None and len(vec)
+            else None
+        )
+        ckpt.record(op="katz", iteration=it, delta=delta, secs=time.time() - t0)
+        vec = new_vec
+        if delta is not None and delta < tol:
+            break
+    return dense_vector_to_df(blocked, vec, col="katz")
+
+
 def katz_centrality(
     graph: Graph,
     alpha: float = 0.01,
@@ -206,6 +300,14 @@ def katz_centrality(
         else contextlib.nullcontext()
     )
     with cm:
+        if _dense_ready(mode, blocked):
+            x = _katz_dense_loop(
+                x, blocked, alpha, beta, n_iter, fixed_iterations, tol,
+                ckpt, weighted,
+            )
+            if own_blocked:
+                blocked.unpersist()
+            return x.select("id", "katz")
         for it in range(n_iter):
             t0 = time.time()
             vals = x.select("id", F.col("katz").alias("val"))
