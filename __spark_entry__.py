@@ -58,6 +58,12 @@ from centrality_gpu_spark.operators.closeness import (
     harmonic,
     harmonic_apsp_oracle_sql,
 )
+from centrality_gpu_spark.operators.eccentricity import (
+    eccentricity,
+    eccentricity_apsp_oracle_sql,
+    extent_apsp_oracle_sql,
+    graph_extent,
+)
 from centrality_gpu_spark.operators.eigenvector import (
     eigenvector_centrality,
     eigenvector_oracle_sql,
@@ -105,6 +111,8 @@ from centrality_gpu_spark.operators.text import (
     language_id_sql,
     quality_score,
     quality_score_sql,
+    repetition_stats,
+    repetition_stats_sql,
     token_stats,
     token_stats_sql,
 )
@@ -567,6 +575,23 @@ def _q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return token_stats(_docs(spark, sf))
 
 
+def _q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return repetition_stats(_docs(spark, sf))
+
+
+def _q_eccentricity_events(spark: SparkSession, sf: str) -> DataFrame:
+    return eccentricity(events_graph(spark, sf))
+
+
+def _q_eccentricity_bsp_events(spark: SparkSession, sf: str) -> DataFrame:
+    # same answer through the distributed frontier-join path
+    return eccentricity(events_graph(spark, sf), strategy="bsp")
+
+
+def _q_graph_extent_events(spark: SparkSession, sf: str) -> DataFrame:
+    return graph_extent(events_graph(spark, sf))
+
+
 def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
     return quality_score(_docs(spark, sf))
 
@@ -637,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- training-data pipeline ops (documents/embeddings) ---
         "token_stats": _q_token_stats,
+        "repetition_stats": _q_repetition_stats,
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "dedup_exact": _q_dedup_exact,
@@ -702,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "betweenness_sampled_events": _q_betweenness_sampled_events,
         "closeness_events": _q_closeness_events,
+        "eccentricity_events": _q_eccentricity_events,
+        "eccentricity_bsp_events": _q_eccentricity_bsp_events,
+        "graph_extent_events": _q_graph_extent_events,
         "random_walks_events": _q_random_walks_events,
         "node2vec_walks_events": _q_node2vec_walks_events,
         "sample_neighbors_events": _q_sample_neighbors_events,
@@ -724,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "token_stats": token_stats_sql(),
+        "repetition_stats": repetition_stats_sql(),
         "quality_score": quality_score_sql(),
         "language_id": language_id_sql(),
         "dedup_exact": f"WITH {EXACT_DUP_SQL}\n"
@@ -831,6 +861,9 @@ FROM orders ORDER BY id
         ),
         "betweenness_decomposed_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "closeness_events": closeness_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "eccentricity_events": eccentricity_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "eccentricity_bsp_events": eccentricity_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "graph_extent_events": extent_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "harmonic_events": harmonic_apsp_oracle_sql(EVENTS_EDGES_CTE),
         "hits_events": hits_oracle_sql(
             EVENTS_DIRECTED_CTE, iterations=HITS_ITERS, round_digits=PR_ROUND

@@ -147,6 +147,128 @@ FROM documents ORDER BY doc_id
 """.strip()
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, top_bigram_frac, dup_trigram_frac)
+
+    Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    documents dominated by duplicated lines or a single repeated n-gram
+    are low-quality training data. All ratios in [0,1], rounded to 6.
+
+    - dup_line_frac: fraction of non-empty lines that are duplicates;
+    - top_bigram_frac: occurrences of the most common word 2-gram over
+      all 2-grams (0 when the doc has < 2 tokens);
+    - dup_trigram_frac: fraction of word 3-grams that are duplicates.
+
+    Line/trigram ratios are pure array expressions (JVM, zero shuffle);
+    the bigram mode needs one explode + two-level groupBy on
+    (doc_id, gram) — hash-partitioned on the doc, scale-safe.
+    """
+    t = F.col("text")
+    lines_expr = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    lines = F.col("lines")
+    n_lines = F.size(lines)
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0, n_dup_lines.cast("double") / n_lines
+    ).otherwise(F.lit(0.0))
+
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != F.lit(""))
+    w = F.col("w")
+
+    def grams(k: int):
+        # element_at is 1-based; sequence guarded against size < k
+        # (Spark's sequence(1, 0) counts *down*, so the guard is load-bearing)
+        idx = F.sequence(F.lit(1), F.size(w) - F.lit(k - 1))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + j) for j in range(k)]
+        )
+        return F.when(F.size(w) >= k, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    base = documents.select(
+        "doc_id", words.alias("w"), lines_expr.alias("lines")
+    ).select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        grams(2).alias("bg"),
+        grams(3).alias("tg"),
+    )
+    n_tg = F.size(F.col("tg"))
+    dup_tg = F.when(
+        n_tg > 0,
+        (n_tg - F.size(F.array_distinct(F.col("tg")))).cast("double") / n_tg,
+    ).otherwise(F.lit(0.0))
+
+    top_bg = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("tot"))
+    )
+    return (
+        base.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            "dup_line_frac",
+            F.round(
+                F.coalesce(
+                    F.col("top_cnt").cast("double") / F.col("tot"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(dup_tg, 6).alias("dup_trigram_frac"),
+        )
+    )
+
+
+def repetition_stats_sql() -> str:
+    """DuckDB twin of ``repetition_stats`` — formulas kept term-for-term
+    (same filter-empty, same division order) so ROUND(.,6) hash-matches."""
+    return r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+arrs AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(generate_series(1, len(w) - 2),
+                                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+              ELSE CAST([] AS VARCHAR[]) END AS tg
+  FROM base
+),
+bgx AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS g FROM arrs)
+  GROUP BY doc_id, g
+),
+bga AS (SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS tot FROM bgx GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(len(a.lines) AS BIGINT) AS n_lines,
+       ROUND(CASE WHEN len(a.lines) > 0
+             THEN CAST(len(a.lines) - len(list_distinct(a.lines)) AS DOUBLE)
+                  / len(a.lines)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(COALESCE(CAST(b.top_cnt AS DOUBLE) / b.tot, 0.0), 6)
+           AS top_bigram_frac,
+       ROUND(CASE WHEN len(a.tg) > 0
+             THEN CAST(len(a.tg) - len(list_distinct(a.tg)) AS DOUBLE)
+                  / len(a.tg)
+             ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM arrs a LEFT JOIN bga b USING (doc_id) ORDER BY a.doc_id
+""".strip()
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fp) — 64-bit content fingerprint of normalized text
     (lowercased, whitespace collapsed) via xxhash64. Normalization means

@@ -57,6 +57,59 @@ def test_token_stats(spark):
     assert got[2] == (0, 0)
 
 
+def test_repetition_stats_hand_computed(spark):
+    from centrality_gpu_spark.operators.text import repetition_stats
+
+    rows = [
+        # 4 non-empty lines, 2 are "a b" dups -> dup_line_frac=0.25;
+        # words: a b c a b d -> bigrams [a b, b c, c a, a b, b d]
+        # top=2/5; trigrams all distinct -> 0
+        (1, "a b\nc\n\na b\nd", "en", "s", 0),
+        # one word: no bigrams/trigrams, one line, no dups
+        (2, "word", "en", "s", 0),
+        # empty doc: everything 0
+        (3, "", "en", "s", 0),
+        # "x x x x": bigrams [x x]*3 -> top=1.0; trigrams [x x x]*2 ->
+        # dup 0.5; single line
+        (4, "x x x x", "en", "s", 0),
+    ]
+    got = {
+        r.doc_id: (r.n_lines, r.dup_line_frac, r.top_bigram_frac, r.dup_trigram_frac)
+        for r in repetition_stats(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    assert got[1] == (4, 0.25, 0.4, 0.0)
+    assert got[2] == (1, 0.0, 0.0, 0.0)
+    assert got[3] == (0, 0.0, 0.0, 0.0)
+    assert got[4] == (1, 0.0, 1.0, 0.5)
+
+
+def test_repetition_stats_oracle_parity(documents):
+    """Spark vs the DuckDB twin on the real documents table."""
+    import duckdb
+
+    from centrality_gpu_spark.operators.text import (
+        repetition_stats,
+        repetition_stats_sql,
+    )
+
+    spark_pdf = (
+        repetition_stats(documents).orderBy("doc_id").toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_MED}/documents.parquet')"
+    )
+    oracle_pdf = con.execute(repetition_stats_sql()).df()
+    assert len(spark_pdf) == len(oracle_pdf)
+    for col in ("n_lines", "dup_line_frac", "top_bigram_frac", "dup_trigram_frac"):
+        assert (
+            abs(spark_pdf[col].to_numpy() - oracle_pdf[col].to_numpy()) < 1e-9
+        ).all(), col
+
+
 def test_quality_and_langid(near_dups):
     q = {r.doc_id: r.quality for r in quality_score(near_dups).collect()}
     assert q[1] > q[5]  # english prose beats junk
