@@ -58,6 +58,14 @@ from centrality_gpu_spark.operators.closeness import (
     harmonic,
     harmonic_apsp_oracle_sql,
 )
+from centrality_gpu_spark.operators.corpus import (
+    ngram_contamination,
+    ngram_contamination_sql,
+    stratified_sample,
+    stratified_sample_sql,
+    strip_boilerplate,
+    strip_boilerplate_sql,
+)
 from centrality_gpu_spark.operators.eccentricity import (
     eccentricity,
     eccentricity_apsp_oracle_sql,
@@ -579,6 +587,21 @@ def _q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf))
 
 
+def _q_strip_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    return strip_boilerplate(_docs(spark, sf), min_docs=2)
+
+
+CONTAM_EVAL_SOURCE = "src0"
+
+
+def _q_ngram_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    return ngram_contamination(_docs(spark, sf), CONTAM_EVAL_SOURCE, n=3)
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return stratified_sample(_docs(spark, sf), fraction=0.3)
+
+
 def _q_eccentricity_events(spark: SparkSession, sf: str) -> DataFrame:
     return eccentricity(events_graph(spark, sf))
 
@@ -663,6 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline ops (documents/embeddings) ---
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
+        "strip_boilerplate": _q_strip_boilerplate,
+        "ngram_contamination": _q_ngram_contamination,
+        "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality,
         "language_id": _q_langid,
         "dedup_exact": _q_dedup_exact,
@@ -754,6 +780,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "token_stats": token_stats_sql(),
         "repetition_stats": repetition_stats_sql(),
+        "strip_boilerplate": strip_boilerplate_sql(min_docs=2),
+        "ngram_contamination": ngram_contamination_sql(CONTAM_EVAL_SOURCE, n=3),
+        "stratified_sample": stratified_sample_sql(fraction=0.3),
         "quality_score": quality_score_sql(),
         "language_id": language_id_sql(),
         "dedup_exact": f"WITH {EXACT_DUP_SQL}\n"

@@ -1,0 +1,283 @@
+"""Corpus-level training-data pipeline operators.
+
+Three ops a 100 TB pretraining pipeline runs between ingestion and
+tokenization (all public techniques; cf. Rae et al. 2021, Brown et al.
+2020 appendix C on decontamination):
+
+- boilerplate line removal: lines repeated across >= min_docs distinct
+  documents (nav bars, cookie banners, license headers) are stripped
+  from every document;
+- n-gram decontamination: training documents sharing a word n-gram
+  with a held-out evaluation split are flagged so they can be dropped;
+- exact stratified sampling: a deterministic per-stratum top-fraction
+  sample (md5-ranked, no RNG) for building eval slices and ablations.
+
+Everything is built-in ``pyspark.sql.functions`` (JVM, codegen) and
+each op has a term-for-term DuckDB twin for the driver's hash gate.
+
+Scale notes (100 TB): the line/gram shuffles here group by the raw
+string so the DuckDB twin can reproduce them bit-for-bit; at petabyte
+scale you group by ``xxhash64(line)`` instead to shuffle 8-byte keys
+(collisions only ever *merge* boilerplate candidates, never lose one).
+The frequent-line and eval-gram sets are tiny relative to the corpus
+and are broadcast; the per-document reassembly groups by ``doc_id``,
+the natural partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lines(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, line) — non-empty lines with original position."""
+    return (
+        documents.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+        )
+        .where(F.col("line") != "")
+    )
+
+
+def boilerplate_lines(documents: DataFrame, min_docs: int = 2) -> DataFrame:
+    """(line, n_docs) — non-empty lines occurring in >= min_docs
+    distinct documents, i.e. the boilerplate candidate set.
+
+    One explode + one groupBy(line) with map-side partial aggregation;
+    the result is orders of magnitude smaller than the corpus.
+    """
+    return (
+        _lines(documents)
+        .groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(documents: DataFrame, min_docs: int = 2) -> DataFrame:
+    """(doc_id, text_clean, n_lines_removed) — every document with its
+    boilerplate lines (per ``boilerplate_lines``) removed.
+
+    Cleaned text = the remaining non-empty lines joined by ``\\n`` in
+    original order (empty lines are dropped by definition — they carry
+    no content and keeping them would make "line removed" ambiguous).
+    Documents that lose every line stay in the output with
+    ``text_clean = ''``. The frequent-line set is broadcast; the
+    reassembly is one groupBy(doc_id) with an array_sort on (pos, line)
+    structs — no window, no per-row Python.
+    """
+    lines = _lines(documents)
+    frequent = boilerplate_lines(documents, min_docs=min_docs).select("line")
+    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    n_orig = lines.groupBy("doc_id").agg(F.count("*").alias("n_orig"))
+    return (
+        documents.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .join(n_orig, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            (
+                F.coalesce("n_orig", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_lines_removed"),
+        )
+    )
+
+
+def strip_boilerplate_sql(min_docs: int = 2) -> str:
+    """DuckDB twin of ``strip_boilerplate`` (1-based positions — only
+    used for ordering, so parity with posexplode's 0-based is exact)."""
+    return f"""
+WITH splits AS (
+  SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+),
+lines0 AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos FROM splits
+),
+lines AS (
+  SELECT doc_id, pos, l[pos] AS line FROM lines0 WHERE l[pos] <> ''
+),
+freq AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+norig AS (SELECT doc_id, COUNT(*) AS n_orig FROM lines GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(COALESCE(n.n_orig, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+           AS n_lines_removed
+FROM documents d
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN norig n USING (doc_id)
+ORDER BY d.doc_id
+""".strip()
+
+
+def _word_ngrams(n: int):
+    """Array expression: word n-grams of column ``w`` (lowercased,
+    whitespace-split, empties dropped — same tokenization as
+    ``repetition_stats``)."""
+    w = F.col("w")
+    idx = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)]
+    )
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    documents: DataFrame, eval_source: str, n: int = 3
+) -> DataFrame:
+    """(doc_id, n_shared_ngrams, contaminated) for every TRAINING doc
+    (``source != eval_source``): how many of its distinct word n-grams
+    also occur in the held-out ``source == eval_source`` split.
+
+    The eval split's distinct gram set is broadcast (eval sets are
+    tiny next to the corpus); the training side is one explode +
+    distinct + broadcast-join + groupBy(doc_id) — linear in corpus
+    grams, no train×eval pair blowup.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    based = documents.select(
+        "doc_id", "source", words.alias("w")
+    ).select("doc_id", "source", _word_ngrams(n).alias("grams"))
+    train = based.where(F.col("source") != eval_source)
+    eval_grams = (
+        based.where(F.col("source") == eval_source)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        train.select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_ngrams", F.lit(0)).cast("long").alias(
+                "n_shared_ngrams"
+            ),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def ngram_contamination_sql(eval_source: str, n: int = 3) -> str:
+    """DuckDB twin of ``ngram_contamination``."""
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= {n}
+              THEN list_transform(generate_series(1, len(w) - {n - 1}),
+                                  i -> {gram})
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM base
+),
+eg AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE source = '{eval_source}'
+),
+tg AS (
+  SELECT DISTINCT doc_id, unnest(g) AS gram FROM grams
+  WHERE source <> '{eval_source}'
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared FROM tg
+  WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM grams WHERE source <> '{eval_source}') t
+LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+""".strip()
+
+
+def stratified_sample(
+    documents: DataFrame, fraction: float, seed: str = "corpus"
+) -> DataFrame:
+    """(doc_id, source) — EXACT deterministic stratified sample: within
+    every ``source`` stratum, rank docs by the engine-standard
+    md5→int64 uniform (salted with ``seed``) and keep the top
+    ``ceil(fraction * stratum_size)``.
+
+    Exact per-stratum counts (unlike hash-threshold sampling, which
+    only hits the fraction in expectation) and reproducible across
+    runs/engines — no RNG. One window per stratum (the shuffle is on
+    ``source``; at scale strata are large and few, so this is the
+    cheapest possible partitioning) plus a broadcast of per-stratum
+    counts.
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"sample:{seed}:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(u.asc(), F.col("doc_id").asc())
+    counts = documents.groupBy("source").agg(F.count("*").alias("n_src"))
+    return (
+        documents.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(F.broadcast(counts), "source")
+        .where(F.col("rnk") <= F.ceil(F.lit(fraction) * F.col("n_src")))
+        .select("doc_id", "source")
+    )
+
+
+def stratified_sample_sql(fraction: float, seed: str = "corpus") -> str:
+    """DuckDB twin of ``stratified_sample`` — identical md5 uniforms,
+    identical rank/ceil cut."""
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('sample:{seed}:'
+                     || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                    doc_id ASC
+         ) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+)
+SELECT doc_id, source FROM ranked
+WHERE rnk <= CEIL({fraction} * n_src)
+ORDER BY doc_id
+""".strip()
