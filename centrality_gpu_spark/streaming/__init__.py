@@ -7,6 +7,11 @@ table → warm-started PageRank snapshots (``pagerank(init_ranks=...)``,
 the delta-iteration pattern). Windowed per-tool counts demonstrate the
 watermark + tumbling-window append-mode idiom.
 
+``streaming.sessions`` adds the stateful gap-session operator:
+``streaming_session_stats`` (native ``session_window`` merging state,
+watermark-bounded) provably equals the batch ``session_stats`` on the
+same rows (tests/test_streaming.py).
+
 The reference engine is strictly batch (SURVEY.md §2.8); this module is
 the Spark-native extension its transcript source implies at
 10¹²-turn scale, where ingestion never finishes. The batch operators
@@ -16,6 +21,9 @@ and the streamed edge table provably converges to the batch
 count over distinct turns; tested in tests/test_streaming.py).
 """
 
+from centrality_gpu_spark.streaming.sessions import (  # noqa: F401
+    streaming_session_stats,
+)
 from centrality_gpu_spark.streaming.transcripts import (  # noqa: F401
     compact_edge_deltas,
     dedup_turns,

@@ -130,3 +130,38 @@ def test_windowed_counts_and_schema(spark, dirs, tmp_path):
     for r in res.groupBy("tool").agg(F.sum("n").alias("n")).collect():
         assert r.n <= batch_totals[r.tool]
     tr.unpersist()
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    """session_window streaming aggregation converges to exactly the
+    batch gap-based session_stats on the same rows (the +1ms gap pad
+    reconciles `> gap` batch breaks with `< gap` window merges)."""
+    from centrality_gpu_spark.operators.sessions import session_stats
+    from centrality_gpu_spark.streaming import streaming_session_stats
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev_in")
+    # two out-of-order chunks, like a replayed backfill
+    events.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    events.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    assert stream.isStreaming
+    stats = streaming_session_stats(stream, gap_ms=30 * 60 * 1000)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.start_ms, r.duration_ms, r.n_events, r.n_types)
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    exp = {
+        (r.user_id, r.start_ms, r.duration_ms, r.n_events, r.n_types)
+        for r in session_stats(events, gap_ms=30 * 60 * 1000).collect()
+    }
+    assert got == exp
