@@ -21,8 +21,10 @@ count (``lpa_oracle_sql``), and the events-graph centralities use the
 unrolled-APSP oracle (``brandes_apsp_oracle_sql``: recursive-walk
 distances, per-level sigma unroll, pair-dependency BC). The star-forest
 (custorder) centralities additionally check against independent
-closed forms. The only rows-only query left is ``ann_ivf``, whose
-iterative k-means quantizer is not SQL-expressible (pytest-verified).
+closed forms. ``ann_ivf`` unrolls its fixed-budget spherical k-means
+the same way (``ivf_oracle_sql``: md5-ordered sample, five Lloyd CTE
+pairs, nprobe-cell probe, exact re-rank) — every query is
+oracle-checked.
 """
 
 from __future__ import annotations
@@ -101,6 +103,7 @@ from centrality_gpu_spark.operators.similarity import (
     cosine_topk_oracle_sql,
     embedding_near_duplicates,
     embedding_near_dups_oracle_sql,
+    ivf_oracle_sql,
     lsh_oracle_sql,
     lsh_topk,
 )
@@ -667,9 +670,6 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # rows-only by design: the spherical-k-means quantizer is iterative
-    # numpy (not SQL-expressible); recall + determinism are pytest-
-    # verified (tests/test_similarity.py)
     from centrality_gpu_spark.operators.similarity import ivf_topk
 
     return ivf_topk(_embs(spark, sf), k=5, n_cells=8, nprobe=2)
@@ -797,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters_oracle_sql(threshold=0.5),
         "ann_topk": cosine_topk_oracle_sql(k=5, where="vec_id < 200"),
         "ann_lsh": lsh_oracle_sql(k=5, where="vec_id < 200"),
+        "ann_ivf": ivf_oracle_sql(k=5, n_cells=8, nprobe=2, where="vec_id < 200"),
         "embedding_near_dups": embedding_near_dups_oracle_sql(threshold=0.9),
         "edges_events": f"WITH {EVENTS_EDGES_CTE}\n"
         "SELECT src, dst, weight FROM edges ORDER BY src, dst",

@@ -443,11 +443,15 @@ def train_ivf_centroids(
     collected. Deterministic end to end: hash-ordered sample, first
     ``n_cells`` sample vectors as init (k-means|| would add RNG for no
     testability win), fixed Lloyd iteration count, max-dot assignment
-    with min-index tie-break.
+    with min-index tie-break. The sample order hashes with md5 (not
+    xxhash64) so ``ivf_oracle_sql`` can reproduce it in DuckDB — the
+    same trick as the MinHash/SimHash oracles.
     """
     pdf = (
         embeddings.select("vec_id", "embedding")
-        .orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)), "vec_id")
+        .orderBy(
+            F.md5((F.col("vec_id") + F.lit(seed)).cast("string")), "vec_id"
+        )
         .limit(sample_rows)
         .toPandas()
     )
@@ -543,4 +547,138 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+# ------------------------------------------------- IVF oracle (DuckDB)
+
+
+def ivf_oracle_sql(
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iterations: int = 5,
+    seed: int = 7,
+    sample_rows: int = IVF_MAX_TRAIN_ROWS,
+    dim: int = EMBED_DIM,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of ``ivf_topk`` — the full pipeline in SQL: the
+    md5-ordered training sample, first-``n_cells`` init, ``iterations``
+    unrolled Lloyd steps (assign = max-dot / min-cell tie-break; update
+    = per-dim mean renormalized, empty cells keep their previous
+    centroid), nprobe-cell probing, exact-cosine re-rank.
+
+    Float parity note: the engine's training/assignment dots run
+    through numpy BLAS (pairwise summation) while SQL folds
+    sequentially — identical to ~1e-15, which only matters on exact
+    argmax ties; the *scored* cosine uses the same sequential fold as
+    the Spark ``aggregate`` expression (proven by the ann_topk/ann_lsh
+    oracles) and is rounded to 6 dp on both sides.
+    """
+    dot_sv = f"list_sum([s.v[i] * c.v[i] FOR i IN range(1, {dim + 1})])"
+    dot_uv = f"list_sum([u.v[i] * c.v[i] FOR i IN range(1, {dim + 1})])"
+    parts = [
+        f"""
+WITH src AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+  FROM embeddings WHERE {where}
+),
+u AS (
+  SELECT vec_id,
+         [x / sqrt(list_sum([y * y FOR y IN emb])) FOR x IN emb] AS v
+  FROM src
+),
+samp AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, v,
+           ROW_NUMBER() OVER (
+             ORDER BY md5(CAST(vec_id + {seed} AS VARCHAR)), vec_id
+           ) AS rk
+    FROM u
+  ) WHERE rk <= {sample_rows}
+),
+cent0 AS (
+  SELECT rk - 1 AS cell, v FROM (
+    SELECT v, ROW_NUMBER() OVER (
+      ORDER BY md5(CAST(vec_id + {seed} AS VARCHAR)), vec_id
+    ) AS rk FROM u
+  ) WHERE rk <= {n_cells}
+)""".strip()
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f"""assign{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT s.vec_id, s.v, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {dot_sv} DESC, c.cell ASC
+           ) AS r
+    FROM samp s CROSS JOIN cent{p} c
+  ) WHERE r = 1
+),
+sums{i} AS (
+  SELECT cell, pos, SUM(val) AS sv FROM (
+    SELECT cell, UNNEST(v) AS val, UNNEST(range(1, {dim + 1})) AS pos
+    FROM assign{i}
+  ) GROUP BY cell, pos
+),
+newc{i} AS (
+  SELECT cell, list(sv ORDER BY pos) AS s FROM sums{i} GROUP BY cell
+),
+cent{i} AS (
+  SELECT c.cell,
+         CASE WHEN n.cell IS NULL THEN c.v
+              ELSE [x / greatest(sqrt(list_sum([y * y FOR y IN n.s])), 1e-12)
+                    FOR x IN n.s]
+         END AS v
+  FROM cent{p} c LEFT JOIN newc{i} n ON c.cell = n.cell
+)"""
+        )
+    parts.append(
+        f"""corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY {dot_uv} DESC, c.cell ASC
+           ) AS r
+    FROM u CROSS JOIN cent{iterations} c
+  ) WHERE r = 1
+),
+query_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY {dot_uv} DESC, c.cell ASC
+           ) AS r
+    FROM u CROSS JOIN cent{iterations} c
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM query_cells q
+  JOIN corpus_cells b ON q.cell = b.cell AND q.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum([q.v[i] * n.v[i] FOR i IN range(1, {dim + 1})]) AS cos
+  FROM cand c
+  JOIN u q ON c.query_id = q.vec_id
+  JOIN u n ON c.neighbor_id = n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM scored
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rk"
+        f"\nFROM ranked WHERE rk <= {k} ORDER BY query_id, rk"
     )

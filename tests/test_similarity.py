@@ -169,3 +169,32 @@ def test_ivf_deterministic_and_bounded(spark):
     cent = train_ivf_centroids(df, n_cells=8)
     assert cent.shape == (8, 64)
     assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+
+
+def test_ivf_oracle_parity(spark):
+    """ivf_topk vs its DuckDB twin (ivf_oracle_sql) on the real
+    embeddings table — the full pipeline: md5-ordered sample,
+    first-n init, unrolled Lloyd, nprobe probing, exact re-rank."""
+    import duckdb
+
+    from centrality_gpu_spark.operators.similarity import (
+        ivf_oracle_sql,
+        ivf_topk,
+    )
+
+    df = spark.read.parquet(f"{SF_MED}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    got = sorted(tuple(r) for r in ivf_topk(df, k=5, n_cells=8, nprobe=2).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_MED}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            ivf_oracle_sql(k=5, n_cells=8, nprobe=2, where="vec_id < 200")
+        ).fetchall()
+    )
+    assert got == want
