@@ -120,6 +120,8 @@ from centrality_gpu_spark.operators.relevance import (
 from centrality_gpu_spark.operators.text import (
     language_id,
     language_id_sql,
+    pii_scrub,
+    pii_scrub_sql,
     quality_score,
     quality_score_sql,
     repetition_stats,
@@ -582,6 +584,39 @@ def _embs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/embeddings.parquet").where(F.col("vec_id") < 200)
 
 
+PII_INJECT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0
+            THEN text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com or +1 555-000-1234 at 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.7, ssn 123-45-6789'
+            ELSE text END AS text
+FROM documents
+""".strip()
+
+
+def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    # the synthetic documents carry no PII, so inject a deterministic
+    # payload into every 7th doc (same expression as the oracle CTE) —
+    # the green row then proves real redactions, not a no-op pass
+    t, d = F.col("text"), F.col("doc_id")
+    injected = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                t,
+                F.lit(" reach me: user"),
+                d.cast("string"),
+                F.lit("@example.com or +1 555-000-1234 at 10.0."),
+                (d % 256).cast("string"),
+                F.lit(".7, ssn 123-45-6789"),
+            ),
+        ).otherwise(t).alias("text"),
+    )
+    return pii_scrub(injected)
+
+
 def _q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return token_stats(_docs(spark, sf))
 
@@ -685,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- training-data pipeline ops (documents/embeddings) ---
         "token_stats": _q_token_stats,
+        "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "strip_boilerplate": _q_strip_boilerplate,
         "ngram_contamination": _q_ngram_contamination,
@@ -779,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "token_stats": token_stats_sql(),
+        "pii_scrub": f"WITH injected AS ({PII_INJECT_SQL})\n"
+        + pii_scrub_sql(source="injected"),
         "repetition_stats": repetition_stats_sql(),
         "strip_boilerplate": strip_boilerplate_sql(min_docs=2),
         "ngram_contamination": ngram_contamination_sql(CONTAM_EVAL_SOURCE, n=3),

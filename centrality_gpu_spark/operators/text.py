@@ -276,3 +276,58 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     pass before MinHash."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return documents.select("doc_id", F.xxhash64(norm).alias("fp"))
+
+
+# --------------------------------------------------------------- PII
+
+# Redaction patterns restricted to the Java-regex ∩ RE2 dialect so the
+# same pattern strings run in both Spark and DuckDB. Order matters and
+# is part of the contract: emails first (their domains would otherwise
+# be chewed up by the IP pattern), then SSN-style ids (so the phone
+# pattern can't nibble their digit runs), then phones, then IPv4 last.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{1,2}[- ]\d{3}[- ]?\d{3,4}[- ]?\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """(doc_id, clean_text, n_email, n_ssn, n_phone, n_ipv4) — redact
+    PII-shaped spans and report per-kind match counts (counted on the
+    ORIGINAL text, independently per pattern; replacement is the
+    sequential pipeline above).
+
+    Training-data pipelines scrub before tokenization; everything here
+    is built-in regexp expressions (whole-stage codegen, no Python), so
+    at 100 TB this is a pure map stage — no shuffle, predicate/column
+    pruning intact underneath.
+    """
+    t = F.col("text")
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = t
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return documents.select("doc_id", clean.alias("clean_text"), *counts)
+
+
+def pii_scrub_sql(source: str = "documents") -> str:
+    """DuckDB twin of ``pii_scrub`` — same patterns, same replacement
+    order ('g' flag ≡ Spark's replace-all default)."""
+    clean = "text"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+SELECT doc_id,
+       {clean} AS clean_text,
+       {counts}
+FROM {source} ORDER BY doc_id
+""".strip()

@@ -235,3 +235,41 @@ def test_dedup_clusters_matches_oracle(documents):
     assert len(merged) == len(res) == len(ora)
     assert (merged.cluster_s != merged.cluster_o).sum() == 0
     assert (merged.keep_s != merged.keep_o).sum() == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Each PII kind is redacted with its token; counts are per-kind
+    on the original text; clean docs pass through untouched."""
+    from centrality_gpu_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail jo.doe+x@site.org or 10.1.2.3 ssn 123-45-6789 call +1 555-000-1234"),
+            (2, "no pii here, just v1.2 and 42-17"),
+            (3, "two mails a@b.io c@d.net one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[1].clean_text == "mail <EMAIL> or <IP> ssn <SSN> call <PHONE>"
+    assert (got[1].n_email, got[1].n_ssn, got[1].n_phone, got[1].n_ipv4) == (1, 1, 1, 1)
+    assert got[2].clean_text == "no pii here, just v1.2 and 42-17"
+    assert (got[2].n_email, got[2].n_ssn, got[2].n_phone, got[2].n_ipv4) == (0, 0, 0, 0)
+    assert got[3].clean_text == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    assert got[3].n_email == 2 and got[3].n_ipv4 == 1
+
+
+def test_pii_scrub_oracle_parity(documents):
+    """Spark vs the DuckDB twin on the real documents table."""
+    import duckdb
+
+    from centrality_gpu_spark.operators.text import pii_scrub, pii_scrub_sql
+
+    spark_pdf = pii_scrub(documents).orderBy("doc_id").toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_MED}/documents.parquet')"
+    )
+    oracle_pdf = con.execute(pii_scrub_sql()).df()
+    assert spark_pdf.reset_index(drop=True).equals(oracle_pdf.reset_index(drop=True))
