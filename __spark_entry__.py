@@ -338,6 +338,31 @@ def _q_bcc_histogram_custorder(spark: SparkSession, sf: str) -> DataFrame:
     return bcc_size_histogram(custorder_graph(spark, sf))
 
 
+def _q_bridges_events(spark: SparkSession, sf: str) -> DataFrame:
+    # the dense events graph has no natural bridges, so attach one
+    # deterministic pendant vertex (u + 2_000_000) to each user u < 50:
+    # the operator must separate those 50 true bridges from the 750
+    # cycle edges (same injected-payload pattern as pii_scrub)
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.bcc import bridges
+
+    g = events_graph(spark, sf)
+    pend = (
+        g.edges.select(F.col("src").alias("u"))
+        .where(F.col("u") < 50)
+        .distinct()
+        .select(
+            F.col("u").alias("src"),
+            (F.col("u") + F.lit(2_000_000)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    sym = g.edges.unionByName(pend).unionByName(
+        pend.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return bridges(Graph.from_symmetric_edges(sym)).orderBy("src", "dst")
+
+
 def _q_articulation_custorder(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.bcc import articulation_points
     from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
@@ -575,6 +600,33 @@ ORDER BY id
 """.strip()
 
 
+BRIDGES_EVENTS_ORACLE = f"""
+WITH RECURSIVE {EVENTS_EDGES_CTE},
+pend AS (SELECT DISTINCT src AS u FROM edges WHERE src < 50),
+alledges AS (
+  SELECT src, dst FROM edges
+  UNION ALL SELECT u AS src, u + 2000000 AS dst FROM pend
+  UNION ALL SELECT u + 2000000 AS src, u AS dst FROM pend
+),
+cand AS (
+  SELECT src, dst, ROW_NUMBER() OVER (ORDER BY src, dst) AS eid
+  FROM (SELECT DISTINCT src, dst FROM alledges WHERE src < dst)
+),
+reach AS (
+  SELECT c.eid, c.src AS v FROM cand c
+  UNION
+  SELECT r.eid, e.dst AS v
+  FROM reach r
+  JOIN alledges e ON e.src = r.v
+  JOIN cand c ON c.eid = r.eid
+  WHERE NOT (LEAST(e.src, e.dst) = c.src AND GREATEST(e.src, e.dst) = c.dst)
+)
+SELECT c.src, c.dst FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = c.eid AND r.v = c.dst)
+ORDER BY src, dst
+""".strip()
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet")
 
@@ -773,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # customer an articulation point, every order a pendant)
         "bcc_histogram_custorder": _q_bcc_histogram_custorder,
         "articulation_custorder": _q_articulation_custorder,
+        "bridges_events": _q_bridges_events,
         "pendant_peel_custorder": _q_pendant_peel_custorder,
         "clustering_copurchase": _q_clustering_copurchase,
         "core_numbers_custorder": _q_core_numbers_custorder,
@@ -877,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM verts v LEFT JOIN cnt c ON v.id = c.id ORDER BY v.id",
         "bcc_histogram_custorder": "SELECT CAST(2 AS BIGINT) AS size, "
         "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders",
+        "bridges_events": BRIDGES_EVENTS_ORACLE,
         "articulation_custorder": "SELECT CAST(o_custkey AS BIGINT) AS id "
         "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY id",
         "pendant_peel_custorder": """

@@ -170,6 +170,27 @@ def articulation_points(graph: Graph) -> DataFrame:
     )
 
 
+def bridges(graph: Graph) -> DataFrame:
+    """(src, dst) with src<dst — cut edges (bridges).
+
+    An edge is a bridge iff it is its own biconnected component: the
+    Tarjan labeling (`bicc.cpp:28-51` semantics) already isolates such
+    edges as 2-vertex blocks, so bridges = the 1-edge bcc groups. One
+    groupBy over the edge labels; no extra graph pass.
+    """
+    bcc = biconnected_components(graph)
+    return (
+        bcc.groupBy("bcc")
+        .agg(
+            F.count("*").alias("ne"),
+            F.min("src").alias("src"),
+            F.min("dst").alias("dst"),
+        )
+        .where(F.col("ne") == 1)
+        .select("src", "dst")
+    )
+
+
 def bcc_size_histogram(graph: Graph) -> DataFrame:
     """S4 sink (``bicc.cpp:53-79``): BCC sizes (vertex counts) →
     (size, cnt), ordered by size desc."""

@@ -131,3 +131,30 @@ def test_pendant_peel_round_cap(spark):
     assert peeled.count() == 10
     assert peeled.agg(F.max("round")).collect()[0][0] == 4
     assert remaining.edges.count() > 0
+
+
+def test_bridges_vs_nx(spark, sample_name):
+    from centrality_gpu_spark.operators.bcc import bridges
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    nxg = sample_nx(sample_name)
+    got = {(r.src, r.dst) for r in bridges(g).collect()}
+    want = {(min(u, v), max(u, v)) for u, v in nx.bridges(nxg)}
+    assert got == want
+
+
+def test_bridges_random_vs_nx(spark):
+    """Random sparse graphs (pendants + cycles) vs networkx."""
+    from centrality_gpu_spark.operators.bcc import bridges
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        nxg = nx.gnm_random_graph(40, 45, seed=int(rng.integers(1 << 30)))
+        edges = list(nxg.edges())
+        df = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+        )
+        g = Graph.from_undirected_edges(df, weight_col="weight")
+        got = {(r.src, r.dst) for r in bridges(g).collect()}
+        want = {(min(u, v), max(u, v)) for u, v in nx.bridges(nxg)}
+        assert got == want, trial
