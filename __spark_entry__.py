@@ -338,13 +338,12 @@ def _q_bcc_histogram_custorder(spark: SparkSession, sf: str) -> DataFrame:
     return bcc_size_histogram(custorder_graph(spark, sf))
 
 
-def _q_bridges_events(spark: SparkSession, sf: str) -> DataFrame:
+def _events_with_pendants(spark: SparkSession, sf: str):
     # the dense events graph has no natural bridges, so attach one
     # deterministic pendant vertex (u + 2_000_000) to each user u < 50:
-    # the operator must separate those 50 true bridges from the 750
+    # the operators must separate those 50 true bridges from the 750
     # cycle edges (same injected-payload pattern as pii_scrub)
     from centrality_gpu_spark.graph import Graph
-    from centrality_gpu_spark.operators.bcc import bridges
 
     g = events_graph(spark, sf)
     pend = (
@@ -360,7 +359,21 @@ def _q_bridges_events(spark: SparkSession, sf: str) -> DataFrame:
     sym = g.edges.unionByName(pend).unionByName(
         pend.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    return bridges(Graph.from_symmetric_edges(sym)).orderBy("src", "dst")
+    return Graph.from_symmetric_edges(sym)
+
+
+def _q_bridges_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.bcc import bridges
+
+    return bridges(_events_with_pendants(spark, sf)).orderBy("src", "dst")
+
+
+def _q_two_edge_components_events(spark: SparkSession, sf: str) -> DataFrame:
+    # same pendant-injected graph as bridges_events: pendants become
+    # singleton blocks, the dense core stays one 2-edge-connected block
+    from centrality_gpu_spark.operators.bcc import two_edge_components
+
+    return two_edge_components(_events_with_pendants(spark, sf)).orderBy("id")
 
 
 def _q_articulation_custorder(spark: SparkSession, sf: str) -> DataFrame:
@@ -626,6 +639,30 @@ WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = c.eid AND r.v = c.dst)
 ORDER BY src, dst
 """.strip()
 
+_BRIDGES_CHAIN = BRIDGES_EVENTS_ORACLE.rsplit("SELECT c.src", 1)[0].rstrip().rstrip(")") + ")"
+
+TWO_EDGE_COMPONENTS_ORACLE = f"""
+{_BRIDGES_CHAIN},
+bridge_set AS (
+  SELECT c.src, c.dst FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = c.eid AND r.v = c.dst)
+),
+nb AS (
+  SELECT a.src, a.dst FROM alledges a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bridge_set b
+    WHERE LEAST(a.src, a.dst) = b.src AND GREATEST(a.src, a.dst) = b.dst
+  )
+),
+verts AS (SELECT DISTINCT src AS id FROM alledges),
+closure(id, l) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, c.l FROM closure c JOIN nb e ON e.src = c.id
+)
+SELECT id, MIN(l) AS component FROM closure GROUP BY id ORDER BY id
+""".strip()
+
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet")
@@ -826,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcc_histogram_custorder": _q_bcc_histogram_custorder,
         "articulation_custorder": _q_articulation_custorder,
         "bridges_events": _q_bridges_events,
+        "two_edge_components_events": _q_two_edge_components_events,
         "pendant_peel_custorder": _q_pendant_peel_custorder,
         "clustering_copurchase": _q_clustering_copurchase,
         "core_numbers_custorder": _q_core_numbers_custorder,
@@ -931,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
         "bcc_histogram_custorder": "SELECT CAST(2 AS BIGINT) AS size, "
         "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders",
         "bridges_events": BRIDGES_EVENTS_ORACLE,
+        "two_edge_components_events": TWO_EDGE_COMPONENTS_ORACLE,
         "articulation_custorder": "SELECT CAST(o_custkey AS BIGINT) AS id "
         "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY id",
         "pendant_peel_custorder": """

@@ -191,6 +191,26 @@ def bridges(graph: Graph) -> DataFrame:
     )
 
 
+def two_edge_components(graph: Graph) -> DataFrame:
+    """(id, component) — 2-edge-connected components: the connected
+    components left after deleting every bridge; component = min vertex
+    id. Vertices attached only by bridges become singleton blocks.
+
+    Pure composition of existing distributed pieces (bridges →
+    anti-join → hash-min CC), so the 100 TB story is the CC one: O(V)
+    label shuffles per round over src-partitioned edges.
+    """
+    br = bridges(graph)
+    both = br.unionByName(
+        br.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    kept = graph.edges.join(both, ["src", "dst"], "left_anti")
+    comp = connected_components(Graph.from_symmetric_edges(kept))
+    return graph.vertices().join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+
+
 def bcc_size_histogram(graph: Graph) -> DataFrame:
     """S4 sink (``bicc.cpp:53-79``): BCC sizes (vertex counts) →
     (size, cnt), ordered by size desc."""

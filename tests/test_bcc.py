@@ -158,3 +158,24 @@ def test_bridges_random_vs_nx(spark):
         got = {(r.src, r.dst) for r in bridges(g).collect()}
         want = {(min(u, v), max(u, v)) for u, v in nx.bridges(nxg)}
         assert got == want, trial
+
+
+def test_two_edge_components_vs_nx(spark):
+    """2-edge-connected blocks (bridge removal) vs nx.k_edge_components."""
+    from centrality_gpu_spark.operators.bcc import two_edge_components
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        nxg = nx.gnm_random_graph(30, 33, seed=int(rng.integers(1 << 30)))
+        edges = list(nxg.edges())
+        df = spark.createDataFrame(
+            [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+        )
+        g = Graph.from_undirected_edges(df, weight_col="weight")
+        got = {}
+        for r in two_edge_components(g).collect():
+            got.setdefault(r.component, set()).add(r.id)
+        # operator only sees vertices with ≥1 edge
+        seen = {u for e in edges for u in e}
+        want = {frozenset(c & seen) for c in nx.k_edge_components(nxg, k=2) if c & seen}
+        assert {frozenset(v) for v in got.values()} == want, trial
