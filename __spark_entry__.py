@@ -46,6 +46,7 @@ from centrality_gpu_spark.operators.betweenness import (
     betweenness_broadcast,
     betweenness_sampled_oracle_sql,
     brandes_apsp_oracle_sql,
+    brandes_weighted_oracle_sql,
 )
 from centrality_gpu_spark.operators.sampling import (
     sample_neighbors_oracle_sql,
@@ -57,6 +58,7 @@ from centrality_gpu_spark.operators.walks import (
 from centrality_gpu_spark.operators.closeness import (
     closeness_apsp_oracle_sql,
     closeness_broadcast,
+    closeness_weighted_oracle_sql,
     harmonic,
     harmonic_apsp_oracle_sql,
 )
@@ -247,6 +249,31 @@ def _q_lpa_events(spark: SparkSession, sf: str) -> DataFrame:
 def _q_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
     bc = betweenness_broadcast(events_graph(spark, sf))
     return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _events_weighted_graph(spark: SparkSession, sf: str):
+    # exact-binary-fraction weights in [1, 11/8]: float sums compare
+    # bit-identically across numpy and DuckDB, and any shortest path is
+    # hop-bounded by 11/8 x the unweighted diameter (oracle unroll = 8)
+    from centrality_gpu_spark.graph import Graph
+
+    g = events_graph(spark, sf)
+    w = F.lit(1.0) + (F.col("weight").cast("long") % 4).cast("double") / F.lit(8.0)
+    return Graph.from_symmetric_edges(g.edges.select("src", "dst", w.alias("weight")))
+
+
+def _q_betweenness_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.betweenness import betweenness_weighted
+
+    bc = betweenness_weighted(_events_weighted_graph(spark, sf))
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_closeness_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.closeness import closeness_weighted
+
+    c = closeness_weighted(_events_weighted_graph(spark, sf))
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
 
 
 BC_SAMPLES = 32
@@ -664,6 +691,16 @@ SELECT id, MIN(l) AS component FROM closure GROUP BY id ORDER BY id
 """.strip()
 
 
+WEVENTS_EDGES_CTE = (
+    EVENTS_EDGES_CTE.replace("edges AS (", "edges_raw AS (")
+    + """,
+edges AS (
+  SELECT src, dst, 1.0 + (CAST(weight AS BIGINT) % 4) / 8.0 AS weight
+  FROM edges_raw
+)"""
+)
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet")
 
@@ -878,9 +915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-checked against the unrolled-APSP DuckDB oracle
         # (pair-dependency BC / wf closeness; also networkx goldens):
         "betweenness_events": _q_betweenness_events,
+        "betweenness_weighted_events": _q_betweenness_weighted_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "betweenness_sampled_events": _q_betweenness_sampled_events,
         "closeness_events": _q_closeness_events,
+        "closeness_weighted_events": _q_closeness_weighted_events,
         "eccentricity_events": _q_eccentricity_events,
         "eccentricity_bsp_events": _q_eccentricity_bsp_events,
         "graph_extent_events": _q_graph_extent_events,
@@ -1007,6 +1046,12 @@ FROM orders ORDER BY id
         # sigma unroll + pair-dependency sum; diameter(sf0.01 events)=2,
         # unrolled to 8 for margin):
         "betweenness_events": brandes_apsp_oracle_sql(EVENTS_EDGES_CTE),
+        "betweenness_weighted_events": brandes_weighted_oracle_sql(
+            WEVENTS_EDGES_CTE
+        ),
+        "closeness_weighted_events": closeness_weighted_oracle_sql(
+            WEVENTS_EDGES_CTE
+        ),
         "betweenness_sampled_events": betweenness_sampled_oracle_sql(
             EVENTS_EDGES_CTE, n_samples=BC_SAMPLES
         ),

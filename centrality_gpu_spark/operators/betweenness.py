@@ -86,6 +86,46 @@ def brandes_kernel(
     return bc
 
 
+def brandes_weighted_kernel(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    sources: np.ndarray,
+    n: int,
+) -> np.ndarray:
+    """Weighted Brandes for a batch of sources → partial bc (ordered-
+    pair counting, same ×2 convention as ``brandes_kernel``).
+
+    Forward = Dijkstra with σ (csrkernels.dijkstra_forward); backward =
+    dependency accumulation over *distance levels*: vertices grouped by
+    exact distance value, processed descending — within a level no
+    vertex can precede another (weights > 0), so each level is one
+    vectorized predecessor-test + np.add.at, the A3/G15 idiom carried
+    over unchanged to weighted paths.
+    """
+    from centrality_gpu_spark.operators.csrkernels import (
+        _flat_neighbors_eidx,
+        dijkstra_forward,
+    )
+
+    bc = np.zeros(n)
+    for s in sources:
+        dist, sigma = dijkstra_forward(indptr, indices, weights, int(s), n)
+        delta = np.zeros(n)
+        finite = np.isfinite(dist)
+        for dval in np.unique(dist[finite])[::-1]:
+            if dval == 0.0:
+                break
+            lvl = np.nonzero(dist == dval)[0]
+            vrep, nbr, eidx = _flat_neighbors_eidx(indptr, indices, lvl)
+            m = dist[nbr] + weights[eidx] == dval
+            v, w = nbr[m], vrep[m]
+            np.add.at(delta, v, sigma[v] / sigma[w] * (1.0 + delta[w]))
+        delta[int(s)] = 0.0
+        bc += delta
+    return bc
+
+
 # ------------------------------------------------------------ broadcast mode
 
 
@@ -134,6 +174,60 @@ def betweenness_broadcast(
                 continue
             srcs = pdf["sid"].to_numpy()
             bc = brandes_kernel(indptr_, indices_, srcs, len(ids_), reach_)
+            nz = np.nonzero(bc)[0]
+            yield pd.DataFrame({"id": ids_[nz], "bc_part": bc[nz]})
+
+    partials = src_df.mapInPandas(run_batch, "id long, bc_part double")
+    bc = partials.groupBy("id").agg(F.sum("bc_part").alias("bc"))
+    return (
+        graph.vertices()
+        .join(bc, "id", "left")
+        .select("id", F.coalesce("bc", F.lit(0.0)).alias("bc"))
+    )
+
+
+def betweenness_weighted(
+    graph: Graph,
+    sources: list[int] | None = None,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """(id, bc) — exact weighted betweenness (ordered-pair counting, =
+    2 × networkx ``weight='weight'`` unnormalized), broadcast regime:
+    weighted CSR broadcast once, sources parallelized across tasks,
+    Dijkstra–Brandes per source, one final groupBy-sum. Size-guarded by
+    ``graph_to_csr_weighted`` like the unweighted front door."""
+    from centrality_gpu_spark.operators.csrkernels import graph_to_csr_weighted
+
+    spark = graph.spark
+    ids, indptr, indices, weights = graph_to_csr_weighted(graph)
+    n = len(ids)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, weights))
+    if sources is None:
+        dense_sources = list(range(n))
+    else:
+        srcs = np.asarray(sources)
+        pos = np.searchsorted(ids, srcs)
+        bad = (pos >= n) | (ids[np.minimum(pos, n - 1)] != srcs)
+        if bad.any():
+            raise ValueError(f"unknown source vertex ids: {srcs[bad][:5].tolist()}")
+        dense_sources = pos.tolist()
+    if num_tasks is None:
+        num_tasks = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            max(1, len(dense_sources)),
+        )
+    src_df = spark.createDataFrame(
+        [(int(x),) for x in dense_sources], "sid long"
+    ).repartition(num_tasks)
+
+    def run_batch(batches):
+        ids_, indptr_, indices_, weights_ = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bc = brandes_weighted_kernel(
+                indptr_, indices_, weights_, pdf["sid"].to_numpy(), len(ids_)
+            )
             nz = np.nonzero(bc)[0]
             yield pd.DataFrame({"id": ids_[nz], "bc_part": bc[nz]})
 
@@ -347,7 +441,7 @@ def apsp_oracle_cte(edges_cte: str, max_depth: int = 8) -> str:
     for k in range(1, max_depth + 1):
         prev = "sig0" if k == 1 else f"sig{k-1}"
         sig.append(
-            f"sig{k} AS (SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma "
+            f"sig{k} AS MATERIALIZED (SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma "
             f"FROM {prev} p JOIN edges e ON e.src = p.v "
             f"JOIN dist dd ON dd.s = p.s AND dd.v = e.dst AND dd.d = {k} "
             f"GROUP BY p.s, e.dst)"
@@ -380,6 +474,74 @@ def brandes_apsp_oracle_sql(edges_cte: str, max_depth: int = 8) -> str:
     Output: (id, bc) rounded to 6 decimals, ordered by id.
     """
     return f"""WITH {apsp_oracle_cte(edges_cte, max_depth)},
+bcsum AS (
+  SELECT sv.v AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS bc
+  FROM ds st
+  JOIN ds sv ON sv.s = st.s AND sv.v <> st.s AND sv.v <> st.v
+  JOIN ds vt ON vt.s = sv.v AND vt.v = st.v AND sv.d + vt.d = st.d
+  WHERE st.s <> st.v
+  GROUP BY sv.v
+)
+SELECT v.id, ROUND(COALESCE(b.bc, 0.0), 6) AS bc
+FROM verts v LEFT JOIN bcsum b ON v.id = b.id ORDER BY v.id"""
+
+
+def weighted_apsp_oracle_cte(edges_cte: str, hops: int = 8) -> str:
+    """DuckDB CTE prefix for exact *weighted* APSP with path counts,
+    valid whenever every shortest path has <= ``hops`` edges.
+
+    Distances: ``hops`` unrolled Bellman–Ford rounds (min over previous
+    dists + one relaxation — no recursion, so aggregation is legal).
+    Sigma: shortest paths partition by exact edge count (every prefix of
+    a shortest path is shortest), so sigk(s,w) = Σ over predecessors v
+    with dist(v) + weight = dist(w) of sig{k-1}(s,v) counts the k-edge
+    shortest paths and sigma = Σ_k sigk. Exactness requires weights to
+    be exact binary fractions (callers transform weights accordingly) —
+    then float '+' and '=' agree bit-for-bit with the engine's Dijkstra.
+    Exposes ``verts(id)``, ``dist(s, v, d)``, ``ds(s, v, d, sigma)``.
+    """
+    bf = []
+    for k in range(1, hops + 1):
+        bf.append(
+            f"d{k} AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM ("
+            f"SELECT s, v, d FROM d{k-1} "
+            f"UNION ALL "
+            f"SELECT p.s, e.dst AS v, p.d + e.weight AS d "
+            f"FROM d{k-1} p JOIN edges e ON e.src = p.v"
+            f") GROUP BY s, v)"
+        )
+    bf_block = ",\n".join(bf)
+    sig = []
+    for k in range(1, hops + 1):
+        sig.append(
+            f"sig{k} AS MATERIALIZED (SELECT p.s, e.dst AS v, SUM(p.sigma) AS sigma "
+            f"FROM sig{k-1} p JOIN edges e ON e.src = p.v "
+            f"JOIN dist du ON du.s = p.s AND du.v = p.v "
+            f"JOIN dist dw ON dw.s = p.s AND dw.v = e.dst "
+            f"AND dw.d = du.d + e.weight "
+            f"GROUP BY p.s, e.dst)"
+        )
+    sig_block = ",\n".join(sig)
+    ds_union = " UNION ALL ".join(
+        f"SELECT s, v, sigma FROM sig{k}" for k in range(0, hops + 1)
+    )
+    return f"""{edges_cte.replace("edges AS (", "edges AS MATERIALIZED (", 1)},
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+d0 AS (SELECT id AS s, id AS v, CAST(0 AS DOUBLE) AS d FROM verts),
+{bf_block},
+dist AS MATERIALIZED (SELECT s, v, d FROM d{hops}),
+sig0 AS (SELECT id AS s, id AS v, CAST(1 AS DOUBLE) AS sigma FROM verts),
+{sig_block},
+sigall AS MATERIALIZED (SELECT s, v, SUM(sigma) AS sigma FROM ({ds_union}) GROUP BY s, v),
+ds AS MATERIALIZED (SELECT di.s, di.v, di.d, sa.sigma FROM dist di
+       JOIN sigall sa ON sa.s = di.s AND sa.v = di.v)"""
+
+
+def brandes_weighted_oracle_sql(edges_cte: str, hops: int = 8) -> str:
+    """DuckDB oracle for ``betweenness_weighted`` — the same pair-
+    dependency sum as ``brandes_apsp_oracle_sql`` over weighted
+    distances. Output (id, bc) rounded to 6, ordered by id."""
+    return f"""WITH {weighted_apsp_oracle_cte(edges_cte, hops)},
 bcsum AS (
   SELECT sv.v AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS bc
   FROM ds st

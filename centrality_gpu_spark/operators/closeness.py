@@ -15,6 +15,7 @@ kernel over the broadcast CSR.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -147,6 +148,67 @@ def closeness_apsp_oracle_sql(edges_cte: str, max_depth: int = 8) -> str:
     from centrality_gpu_spark.operators.betweenness import apsp_oracle_cte
 
     return f"""WITH {apsp_oracle_cte(edges_cte, max_depth)},
+far AS (SELECT s, SUM(d) AS farness, COUNT(*) AS r FROM dist GROUP BY s),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)
+SELECT s AS id,
+       ROUND(CASE WHEN farness > 0 AND r > 1
+             THEN (CAST(r - 1 AS DOUBLE) / farness)
+                  * (CAST(r - 1 AS DOUBLE) / ((SELECT n FROM nn) - 1))
+             ELSE 0.0 END, 6) AS closeness
+FROM far ORDER BY id"""
+
+
+def closeness_weighted(graph: Graph, num_tasks: int | None = None) -> DataFrame:
+    """(id, closeness) — weighted closeness, wf_improved convention
+    with farness = Σ weighted shortest distances (same formula shape as
+    ``closeness``, distances from Dijkstra instead of BFS). Broadcast
+    regime, size-guarded by ``graph_to_csr_weighted``."""
+    from centrality_gpu_spark.operators.csrkernels import (
+        dijkstra_forward,
+        graph_to_csr_weighted,
+    )
+
+    spark = graph.spark
+    ids, indptr, indices, weights = graph_to_csr_weighted(graph)
+    n = len(ids)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, weights))
+    if num_tasks is None:
+        num_tasks = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), max(1, n)
+        )
+    src_df = spark.createDataFrame(
+        [(int(x),) for x in range(n)], "sid long"
+    ).repartition(num_tasks)
+
+    def run_batch(batches):
+        ids_, indptr_, indices_, weights_ = bcast.value
+        nn = len(ids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for s_ in pdf["sid"].to_numpy():
+                dist, _ = dijkstra_forward(indptr_, indices_, weights_, int(s_), nn)
+                fin = np.isfinite(dist)
+                out.append(
+                    (int(ids_[int(s_)]), float(dist[fin].sum()), int(fin.sum()))
+                )
+            yield pd.DataFrame(out, columns=["source", "farness", "reachable"])
+
+    far = src_df.mapInPandas(
+        run_batch, "source long, farness double, reachable long"
+    )
+    return _closeness_from_farness(far, n)
+
+
+def closeness_weighted_oracle_sql(edges_cte: str, hops: int = 8) -> str:
+    """DuckDB oracle for ``closeness_weighted`` — wf_improved over the
+    weighted-APSP distances. Output (id, closeness) rounded to 6."""
+    from centrality_gpu_spark.operators.betweenness import (
+        weighted_apsp_oracle_cte,
+    )
+
+    return f"""WITH {weighted_apsp_oracle_cte(edges_cte, hops)},
 far AS (SELECT s, SUM(d) AS farness, COUNT(*) AS r FROM dist GROUP BY s),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)
 SELECT s AS id,

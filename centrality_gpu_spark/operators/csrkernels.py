@@ -141,3 +141,89 @@ def bfs_forward(
         d += 1
     levels.pop()  # last level is empty
     return dist, sigma, levels
+
+
+# ------------------------------------------------------------ weighted path
+
+def _flat_neighbors_eidx(indptr: np.ndarray, indices: np.ndarray, verts: np.ndarray):
+    """Like ``_flat_neighbors`` but also returns the flat CSR slot index
+    of each emitted edge, so callers can gather a parallel weights
+    array."""
+    starts = indptr[verts]
+    counts = indptr[verts + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    offs = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    flat = np.arange(total, dtype=np.int64) + offs
+    return np.repeat(verts, counts), indices[flat], flat
+
+
+def graph_to_csr_weighted(graph, max_edges: int | None = DEFAULT_BROADCAST_MAX_EDGES):
+    """``graph_to_csr`` plus the per-slot edge weights (float64), kept
+    parallel to ``indices`` by the same counting sort — the ``weights``
+    array of the reference CSR (`graph_ear_decompos.h:36-101`)."""
+    if max_edges is not None:
+        directed = graph.num_edges() * 2
+        if directed > max_edges:
+            raise ValueError(
+                f"graph has {directed} directed edges > broadcast limit "
+                f"{max_edges}; weighted centralities currently require "
+                "the broadcast regime (raise max_edges deliberately, or "
+                "sample sources via betweenness_sampled semantics)"
+            )
+    pdf = graph.edges.select("src", "dst", "weight").toPandas()
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    wt = pdf["weight"].to_numpy().astype(np.float64)
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    t = np.searchsorted(ids, dst)
+    n = len(ids)
+    order = np.lexsort((t, s))
+    s, t, wt = s[order], t[order], wt[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    indptr = np.cumsum(indptr)
+    return ids, indptr, t.astype(np.int64), wt
+
+
+def dijkstra_forward(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    weights: np.ndarray,
+    s: int,
+    n: int,
+):
+    """Single-source Dijkstra with shortest-path counting (σ merged on
+    exact float distance equality — callers keep weights in exact
+    binary fractions when cross-engine determinism matters).
+
+    Returns (dist float64 with inf for unreachable, sigma float64).
+    The ☠ Dijkstra intent of the reference (`dijkstra_apsp.cpp`),
+    extended with the σ accumulation Brandes needs.
+    """
+    import heapq
+
+    dist = np.full(n, np.inf)
+    sigma = np.zeros(n)
+    done = np.zeros(n, dtype=bool)
+    dist[s] = 0.0
+    sigma[s] = 1.0
+    heap = [(0.0, s)]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if done[v] or d > dist[v]:
+            continue
+        done[v] = True
+        for e in range(indptr[v], indptr[v + 1]):
+            w = int(indices[e])
+            nd = d + weights[e]
+            if nd < dist[w]:
+                dist[w] = nd
+                sigma[w] = sigma[v]
+                heapq.heappush(heap, (nd, w))
+            elif nd == dist[w] and not done[w]:
+                sigma[w] += sigma[v]
+    return dist, sigma

@@ -329,3 +329,102 @@ def test_harmonic_disconnected(spark):
     exp = nx.harmonic_centrality(nxg)
     for k in exp:
         assert got[k] == pytest.approx(exp[k], abs=1e-9), k
+
+
+# --------------------------- round 2: weighted betweenness / closeness
+
+
+def _weighted_random_graph(spark, n=40, m=90, seed=11):
+    rng = np.random.default_rng(seed)
+    nxg = nx.gnm_random_graph(n, m, seed=seed)
+    nxg.remove_nodes_from([v for v, d in dict(nxg.degree()).items() if d == 0])
+    for u, v in nxg.edges():
+        # exact binary fractions so float sums are deterministic
+        nxg[u][v]["weight"] = 1.0 + float(rng.integers(0, 4)) / 8.0
+    df = spark.createDataFrame(
+        [(u, v, nxg[u][v]["weight"]) for u, v in nxg.edges()],
+        "src long, dst long, weight double",
+    )
+    return Graph.from_undirected_edges(df, weight_col="weight"), nxg
+
+
+def test_betweenness_weighted_vs_networkx(spark):
+    from centrality_gpu_spark.operators.betweenness import betweenness_weighted
+
+    g, nxg = _weighted_random_graph(spark)
+    got = {r.id: r.bc for r in betweenness_weighted(g).collect()}
+    exp = nx.betweenness_centrality(nxg, normalized=False, weight="weight")
+    assert set(got) == set(nxg.nodes)
+    for v in nxg.nodes:
+        assert got[v] == pytest.approx(2 * exp[v], abs=1e-6), v
+
+
+def test_betweenness_weighted_sources_subset(spark):
+    from centrality_gpu_spark.operators.betweenness import (
+        betweenness_weighted,
+        brandes_weighted_kernel,
+    )
+    from centrality_gpu_spark.operators.csrkernels import graph_to_csr_weighted
+
+    g, _ = _weighted_random_graph(spark, seed=12)
+    ids, indptr, indices, weights = graph_to_csr_weighted(g)
+    srcs = [0, 3, 7]
+    got = {r.id: r.bc for r in betweenness_weighted(g, sources=srcs).collect()}
+    exp = brandes_weighted_kernel(
+        indptr, indices, weights, np.asarray(srcs), len(ids)
+    )
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == pytest.approx(exp[i], abs=1e-9)
+    with pytest.raises(ValueError, match="unknown source"):
+        betweenness_weighted(g, sources=[99999]).collect()
+
+
+def test_closeness_weighted_vs_networkx(spark):
+    from centrality_gpu_spark.operators.closeness import closeness_weighted
+
+    g, nxg = _weighted_random_graph(spark, seed=13)
+    got = {r.id: r.closeness for r in closeness_weighted(g).collect()}
+    exp = nx.closeness_centrality(nxg, distance="weight", wf_improved=True)
+    for v in nxg.nodes:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), v
+
+
+def test_closeness_weighted_disconnected(spark):
+    from centrality_gpu_spark.operators.closeness import closeness_weighted
+
+    edges = [(0, 1, 1.0), (1, 2, 1.5), (10, 11, 2.0)]
+    g = Graph.from_undirected_edges(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        weight_col="weight",
+    )
+    got = {r.id: r.closeness for r in closeness_weighted(g).collect()}
+    nxg = nx.Graph()
+    nxg.add_weighted_edges_from(edges)
+    exp = nx.closeness_centrality(nxg, distance="weight", wf_improved=True)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9), k
+
+
+def test_dijkstra_forward_sigma(spark):
+    """σ from the Dijkstra kernel == number of shortest weighted paths."""
+    from centrality_gpu_spark.operators.csrkernels import (
+        dijkstra_forward,
+        graph_to_csr_weighted,
+    )
+
+    g, nxg = _weighted_random_graph(spark, seed=14)
+    ids, indptr, indices, weights = graph_to_csr_weighted(g)
+    s = 5
+    dist, sigma = dijkstra_forward(indptr, indices, weights, s, len(ids))
+    exp_dist = nx.single_source_dijkstra_path_length(nxg, s, weight="weight")
+    for i, vid in enumerate(ids):
+        if int(vid) in exp_dist:
+            assert dist[i] == pytest.approx(exp_dist[int(vid)], abs=1e-12)
+        else:
+            assert np.isinf(dist[i])
+    # path counts vs brute enumeration on the nx side
+    allsp = {t: len(list(nx.all_shortest_paths(nxg, s, t, weight="weight")))
+             for t in exp_dist}
+    for i, vid in enumerate(ids):
+        if int(vid) in allsp:
+            assert sigma[i] == pytest.approx(allsp[int(vid)]), vid
