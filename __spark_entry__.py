@@ -47,6 +47,7 @@ from centrality_gpu_spark.operators.betweenness import (
     betweenness_sampled_oracle_sql,
     brandes_apsp_oracle_sql,
     brandes_weighted_oracle_sql,
+    edge_betweenness_oracle_sql,
 )
 from centrality_gpu_spark.operators.sampling import (
     sample_neighbors_oracle_sql,
@@ -59,6 +60,7 @@ from centrality_gpu_spark.operators.closeness import (
     closeness_apsp_oracle_sql,
     closeness_broadcast,
     closeness_weighted_oracle_sql,
+    harmonic_weighted_oracle_sql,
     harmonic,
     harmonic_apsp_oracle_sql,
 )
@@ -267,6 +269,20 @@ def _q_betweenness_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
 
     bc = betweenness_weighted(_events_weighted_graph(spark, sf))
     return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_edge_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.betweenness import edge_betweenness
+
+    ebc = edge_betweenness(events_graph(spark, sf))
+    return ebc.select("src", "dst", F.round("ebc", 6).alias("ebc"))
+
+
+def _q_harmonic_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.closeness import harmonic_weighted
+
+    h = harmonic_weighted(_events_weighted_graph(spark, sf))
+    return h.select("id", F.round("harmonic", 6).alias("harmonic"))
 
 
 def _q_closeness_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -916,10 +932,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pair-dependency BC / wf closeness; also networkx goldens):
         "betweenness_events": _q_betweenness_events,
         "betweenness_weighted_events": _q_betweenness_weighted_events,
+        "edge_betweenness_events": _q_edge_betweenness_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "betweenness_sampled_events": _q_betweenness_sampled_events,
         "closeness_events": _q_closeness_events,
         "closeness_weighted_events": _q_closeness_weighted_events,
+        "harmonic_weighted_events": _q_harmonic_weighted_events,
         "eccentricity_events": _q_eccentricity_events,
         "eccentricity_bsp_events": _q_eccentricity_bsp_events,
         "graph_extent_events": _q_graph_extent_events,
@@ -1049,9 +1067,11 @@ FROM orders ORDER BY id
         "betweenness_weighted_events": brandes_weighted_oracle_sql(
             WEVENTS_EDGES_CTE
         ),
+        "edge_betweenness_events": edge_betweenness_oracle_sql(EVENTS_EDGES_CTE),
         "closeness_weighted_events": closeness_weighted_oracle_sql(
             WEVENTS_EDGES_CTE
         ),
+        "harmonic_weighted_events": harmonic_weighted_oracle_sql(WEVENTS_EDGES_CTE),
         "betweenness_sampled_events": betweenness_sampled_oracle_sql(
             EVENTS_EDGES_CTE, n_samples=BC_SAMPLES
         ),

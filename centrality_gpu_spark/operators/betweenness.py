@@ -126,6 +126,131 @@ def brandes_weighted_kernel(
     return bc
 
 
+def brandes_edge_kernel(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    sources: np.ndarray,
+    n: int,
+) -> np.ndarray:
+    """Edge betweenness for a batch of sources → partial per-CSR-slot
+    accumulator (ordered-pair counting like the vertex kernel: the sum
+    of a slot and its reverse slot = 2 × networkx unnormalized edge BC).
+
+    Same forward pass as ``brandes_kernel``; the backward sweep credits
+    each tree/DAG edge (v, w) with σ_v/σ_w · (1 + δ_w) **before**
+    folding it into δ_v — the per-edge view of A3/G15
+    (``kernels_free.cu:377-426`` accumulates the identical product, it
+    just adds it to the vertex cell instead of the edge slot).
+    """
+    from centrality_gpu_spark.operators.csrkernels import _flat_neighbors_eidx
+
+    ebc = np.zeros(len(indices))
+    for s in sources:
+        dist, sigma, levels = bfs_forward(indptr, indices, int(s), n)
+        delta = np.zeros(n)
+        for lvl in range(len(levels) - 1, 0, -1):
+            vrep, nbr, eidx = _flat_neighbors_eidx(
+                indptr, indices, levels[lvl - 1]
+            )
+            m = dist[nbr] == lvl
+            v, w, e = vrep[m], nbr[m], eidx[m]
+            contrib = sigma[v] / sigma[w] * (1.0 + delta[w])
+            np.add.at(ebc, e, contrib)
+            np.add.at(delta, v, contrib)
+    return ebc
+
+
+def edge_betweenness(
+    graph: Graph,
+    sources: list[int] | None = None,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """(src, dst, ebc) per undirected edge (src < dst) — exact edge
+    betweenness, ordered-pair counting (= 2 × networkx
+    ``edge_betweenness_centrality(normalized=False)``).
+
+    Broadcast regime (size-guarded by ``graph_to_csr``): each task runs
+    ``brandes_edge_kernel`` over its source batch and emits nonzero
+    (u, v, partial) triples keyed by the *undirected* edge; one final
+    groupBy-sum. The per-slot accumulator is the edge-indexed analog of
+    the reference's shared bc vector (``kernels_free.cu:423-426``)."""
+    spark = graph.spark
+    ids, indptr, indices = graph_to_csr(graph)
+    n = len(ids)
+    src_of_slot = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, src_of_slot))
+    if sources is None:
+        dense_sources = list(range(n))
+    else:
+        srcs = np.asarray(sources)
+        pos = np.searchsorted(ids, srcs)
+        bad = (pos >= n) | (ids[np.minimum(pos, n - 1)] != srcs)
+        if bad.any():
+            raise ValueError(f"unknown source vertex ids: {srcs[bad][:5].tolist()}")
+        dense_sources = pos.tolist()
+    if num_tasks is None:
+        num_tasks = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            max(1, len(dense_sources)),
+        )
+    src_df = spark.createDataFrame(
+        [(int(x),) for x in dense_sources], "sid long"
+    ).repartition(num_tasks)
+
+    def run_batch(batches):
+        ids_, indptr_, indices_, srcslot_ = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ebc = brandes_edge_kernel(
+                indptr_, indices_, pdf["sid"].to_numpy(), len(ids_)
+            )
+            nz = np.nonzero(ebc)[0]
+            u = ids_[srcslot_[nz]]
+            v = ids_[indices_[nz]]
+            yield pd.DataFrame(
+                {
+                    "src": np.minimum(u, v),
+                    "dst": np.maximum(u, v),
+                    "ebc_part": ebc[nz],
+                }
+            )
+
+    partials = src_df.mapInPandas(run_batch, "src long, dst long, ebc_part double")
+    ebc = partials.groupBy("src", "dst").agg(F.sum("ebc_part").alias("ebc"))
+    undirected = graph.edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    return (
+        undirected.join(ebc, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("ebc", F.lit(0.0)).alias("ebc"))
+    )
+
+
+def edge_betweenness_oracle_sql(edges_cte: str, max_depth: int = 8) -> str:
+    """DuckDB oracle for ``edge_betweenness`` — the per-edge pair
+    dependency: ebc(v,w) = Σ_{s,t} σ(s,v)·σ(w,t)/σ(s,t) over pairs
+    whose shortest paths use the edge (d(s,v) + 1 + d(w,t) = d(s,t)),
+    summed over both orientations via LEAST/GREATEST. Output
+    (src, dst, ebc) rounded to 6, ordered."""
+    return f"""WITH {apsp_oracle_cte(edges_cte, max_depth)},
+eorient AS (
+  SELECT LEAST(e.src, e.dst) AS u, GREATEST(e.src, e.dst) AS v,
+         SUM(sv.sigma * wt.sigma / st.sigma) AS ebc
+  FROM edges e
+  JOIN ds sv ON sv.v = e.src
+  JOIN ds dw ON dw.s = sv.s AND dw.v = e.dst AND dw.d = sv.d + 1
+  JOIN ds wt ON wt.s = e.dst
+  JOIN ds st ON st.s = sv.s AND st.v = wt.v AND st.d = sv.d + 1 + wt.d
+  WHERE st.s <> st.v
+  GROUP BY 1, 2
+),
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges)
+SELECT und.u AS src, und.v AS dst, ROUND(COALESCE(eo.ebc, 0.0), 6) AS ebc
+FROM und LEFT JOIN eorient eo ON eo.u = und.u AND eo.v = und.v
+ORDER BY src, dst"""
+
+
 # ------------------------------------------------------------ broadcast mode
 
 

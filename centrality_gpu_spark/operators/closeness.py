@@ -219,6 +219,58 @@ SELECT s AS id,
 FROM far ORDER BY id"""
 
 
+def harmonic_weighted(graph: Graph, num_tasks: int | None = None) -> DataFrame:
+    """(id, harmonic) — H(u) = Σ_{v≠u} 1/d_w(u, v) over *weighted*
+    shortest distances (networkx ``harmonic_centrality(distance=
+    'weight')`` convention). Broadcast regime over the weighted CSR,
+    Dijkstra per source — the weighted twin of ``harmonic_broadcast``,
+    behind the same size guard."""
+    from centrality_gpu_spark.operators.csrkernels import (
+        dijkstra_forward,
+        graph_to_csr_weighted,
+    )
+
+    spark = graph.spark
+    ids, indptr, indices, weights = graph_to_csr_weighted(graph)
+    n = len(ids)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, weights))
+    if num_tasks is None:
+        num_tasks = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), max(1, n)
+        )
+    src_df = spark.createDataFrame(
+        [(int(x),) for x in range(n)], "sid long"
+    ).repartition(num_tasks)
+
+    def run_batch(batches):
+        ids_, indptr_, indices_, weights_ = bcast.value
+        nn = len(ids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for s_ in pdf["sid"].to_numpy():
+                dist, _ = dijkstra_forward(indptr_, indices_, weights_, int(s_), nn)
+                fin = np.isfinite(dist) & (dist > 0)
+                out.append((int(ids_[int(s_)]), float((1.0 / dist[fin]).sum())))
+            yield pd.DataFrame(out, columns=["id", "harmonic"])
+
+    return src_df.mapInPandas(run_batch, "id long, harmonic double")
+
+
+def harmonic_weighted_oracle_sql(edges_cte: str, hops: int = 8) -> str:
+    """DuckDB oracle for ``harmonic_weighted`` over the unrolled
+    Bellman–Ford weighted-APSP CTE. Output (id, harmonic) rounded 6."""
+    from centrality_gpu_spark.operators.betweenness import (
+        weighted_apsp_oracle_cte,
+    )
+
+    return f"""WITH {weighted_apsp_oracle_cte(edges_cte, hops)},
+h AS (SELECT s, SUM(1.0 / d) AS harmonic FROM dist WHERE d > 0 GROUP BY s)
+SELECT v.id, ROUND(COALESCE(h.harmonic, 0.0), 6) AS harmonic
+FROM verts v LEFT JOIN h ON v.id = h.s ORDER BY v.id"""
+
+
 # ------------------------------------------------------ harmonic centrality
 
 def harmonic_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:

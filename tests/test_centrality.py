@@ -428,3 +428,56 @@ def test_dijkstra_forward_sigma(spark):
     for i, vid in enumerate(ids):
         if int(vid) in allsp:
             assert sigma[i] == pytest.approx(allsp[int(vid)]), vid
+
+
+# ------------------------------- round 2: edge betweenness + weighted harmonic
+
+
+def test_edge_betweenness_vs_networkx(spark, sample_name):
+    from centrality_gpu_spark.operators.betweenness import edge_betweenness
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    nxg = sample_nx(sample_name)
+    got = {(r.src, r.dst): r.ebc for r in edge_betweenness(g).collect()}
+    exp = nx.edge_betweenness_centrality(nxg, normalized=False)
+    assert set(got) == {(min(u, v), max(u, v)) for u, v in nxg.edges()}
+    for (u, v), e in exp.items():
+        assert got[(min(u, v), max(u, v))] == pytest.approx(2 * e, abs=1e-6), (u, v)
+
+
+def test_edge_betweenness_random_graph(spark):
+    from centrality_gpu_spark.operators.betweenness import edge_betweenness
+
+    nxg = nx.gnm_random_graph(35, 80, seed=21)
+    nxg.remove_nodes_from([v for v, d in dict(nxg.degree()).items() if d == 0])
+    df = spark.createDataFrame(list(nxg.edges()), "src long, dst long")
+    g = Graph.from_undirected_edges(df)
+    got = {(r.src, r.dst): r.ebc for r in edge_betweenness(g).collect()}
+    exp = nx.edge_betweenness_centrality(nxg, normalized=False)
+    for (u, v), e in exp.items():
+        assert got[(min(u, v), max(u, v))] == pytest.approx(2 * e, abs=1e-6)
+
+
+def test_edge_betweenness_sums_to_vertex_farness(spark):
+    """Σ_e ebc(e) = Σ_{s≠t reachable} d(s,t) (each ordered pair s→t
+    contributes total weight 1 to each of the d(s,t) levels it spans)."""
+    from centrality_gpu_spark.operators.betweenness import edge_betweenness
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/test4.txt")
+    nxg = sample_nx("test4")
+    total = edge_betweenness(g).agg({"ebc": "sum"}).collect()[0][0]
+    exp = sum(
+        d for lengths in dict(nx.all_pairs_shortest_path_length(nxg)).values()
+        for d in lengths.values()
+    )
+    assert total == pytest.approx(exp, abs=1e-6)
+
+
+def test_harmonic_weighted_vs_networkx(spark):
+    from centrality_gpu_spark.operators.closeness import harmonic_weighted
+
+    g, nxg = _weighted_random_graph(spark, seed=17)
+    got = {r.id: r.harmonic for r in harmonic_weighted(g).collect()}
+    exp = nx.harmonic_centrality(nxg, distance="weight")
+    for v in nxg.nodes:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), v
