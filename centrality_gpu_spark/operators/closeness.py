@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from centrality_gpu_spark.graph import Graph
 from centrality_gpu_spark.operators.csrkernels import (
     DEFAULT_BROADCAST_MAX_EDGES,
-    bfs_forward,
     graph_to_csr,
 )
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
@@ -66,7 +65,9 @@ def closeness_bsp(
 
 
 def closeness_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:
-    """(id, closeness) — broadcast-CSR fast path, BFS-forward only."""
+    """(id, closeness) — broadcast-CSR fast path: bit-parallel MS-BFS
+    (64 sources per uint64-lane pass, ``msbfs_distance_stats``) — the
+    per-source loop of the reference regime collapsed 64-fold."""
     spark = graph.spark
     ids, indptr, indices = graph_to_csr(graph)
     n = len(ids)
@@ -78,19 +79,24 @@ def closeness_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame
     )
 
     def run_batch(batches):
+        from centrality_gpu_spark.operators.csrkernels import msbfs_distance_stats
+
         ids_, indptr_, indices_ = bcast.value
         n_ = len(ids_)
         for pdf in batches:
-            out_id, out_far, out_reach = [], [], []
-            for s in pdf["sid"].to_numpy():
-                dist, _sigma, _levels = bfs_forward(indptr_, indices_, int(s), n_)
-                reached = dist >= 0
-                out_id.append(ids_[s])
-                out_far.append(int(dist[reached].sum()))
-                out_reach.append(int(reached.sum()))
-            yield pd.DataFrame(
-                {"source": out_id, "farness": out_far, "reachable": out_reach}
-            )
+            sids = pdf["sid"].to_numpy()
+            for c in range(0, len(sids), 64):
+                chunk = sids[c : c + 64]
+                far, reach, _h, _e = msbfs_distance_stats(
+                    indptr_, indices_, chunk, n_
+                )
+                yield pd.DataFrame(
+                    {
+                        "source": ids_[chunk],
+                        "farness": far.astype(np.int64),
+                        "reachable": reach.astype(np.int64),
+                    }
+                )
 
     far = src_df.mapInPandas(run_batch, "source long, farness long, reachable long")
     return _closeness_from_farness(far, n)
@@ -278,7 +284,7 @@ def harmonic_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:
     networkx ``harmonic_centrality`` convention, unnormalized).
 
     Same broadcast-CSR source-parallel plan as ``closeness_broadcast``
-    (one BFS-forward per source per task, reference regime
+    (bit-parallel MS-BFS batches, reference regime
     ``kernels_free.cu:43-79``); only the per-source aggregate differs:
     Σ1/d instead of Σd — harmonic handles disconnected graphs without
     the wf correction factor.
@@ -294,16 +300,18 @@ def harmonic_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:
     )
 
     def run_batch(batches):
+        from centrality_gpu_spark.operators.csrkernels import msbfs_distance_stats
+
         ids_, indptr_, indices_ = bcast.value
         n_ = len(ids_)
         for pdf in batches:
-            out_id, out_h = [], []
-            for s in pdf["sid"].to_numpy():
-                dist, _sigma, _levels = bfs_forward(indptr_, indices_, int(s), n_)
-                pos = dist > 0
-                out_id.append(ids_[s])
-                out_h.append(float((1.0 / dist[pos]).sum()))
-            yield pd.DataFrame({"id": out_id, "harmonic": out_h})
+            sids = pdf["sid"].to_numpy()
+            for c in range(0, len(sids), 64):
+                chunk = sids[c : c + 64]
+                _f, _r, harm, _e = msbfs_distance_stats(
+                    indptr_, indices_, chunk, n_
+                )
+                yield pd.DataFrame({"id": ids_[chunk], "harmonic": harm})
 
     return src_df.mapInPandas(run_batch, "id long, harmonic double")
 

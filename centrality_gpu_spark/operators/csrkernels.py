@@ -227,3 +227,81 @@ def dijkstra_forward(
             elif nd == dist[w] and not done[w]:
                 sigma[w] += sigma[v]
     return dist, sigma
+
+
+# ------------------------------------------------------ bit-parallel MS-BFS
+
+def msbfs_distance_stats(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    sources: np.ndarray,
+    n: int,
+):
+    """Bit-parallel multi-source BFS over up to 64 sources at once
+    (MS-BFS, Then et al. VLDB'14): one uint64 lane per source, so a
+    whole source batch shares each edge traversal instead of re-walking
+    the CSR per source. Distance-only — σ cannot ride a bitmask — so
+    this serves the distance-aggregating centralities (closeness,
+    harmonic, eccentricity), which is exactly the reference's
+    "closeness via the same BFS machinery" split with the per-source
+    loop collapsed 64-fold.
+
+    Per level the frontier propagates in one of two physical forms
+    (the MS-BFS analog of the Beamer switch in ``bfs_forward``):
+
+    - *pull*: every vertex OR-combines its neighbors' frontier words —
+      a full-CSR gather + ``np.bitwise_or.reduceat`` segment reduce
+      (contiguous, branch-free) — right when the frontier is wide;
+    - *push*: only frontier vertices scatter their words with
+      ``np.bitwise_or.at`` — right for the narrow first/last levels.
+
+    Returns per-source float64 arrays (farness Σd, reachable incl.
+    self, harmonic Σ1/d, eccentricity max d) of len(sources).
+    """
+    nb = len(sources)
+    assert nb <= 64
+    lane = np.uint64(1) << np.arange(nb, dtype=np.uint64)
+    frontier = np.zeros(n, dtype=np.uint64)
+    np.bitwise_or.at(frontier, sources, lane)
+    seen = frontier.copy()
+
+    farness = np.zeros(nb)
+    reachable = np.ones(nb)  # self
+    harmonic = np.zeros(nb)
+    ecc = np.zeros(nb)
+
+    deg = np.diff(indptr)
+    nzrow = deg > 0
+    nz_starts = indptr[:-1][nzrow]
+    total_e = int(indptr[-1])
+
+    d = 0
+    active = np.nonzero(frontier)[0]
+    while active.size:
+        d += 1
+        # push costs ~4x per slot (scatter ufunc.at) vs the pull
+        # gather+reduceat sweep of the whole CSR
+        if 4 * int(deg[active].sum()) < total_e:
+            nxt = np.zeros(n, dtype=np.uint64)
+            vrep, nbr = _flat_neighbors(indptr, indices, active)
+            np.bitwise_or.at(nxt, nbr, frontier[vrep])
+        else:
+            gathered = frontier[indices]
+            nxt = np.zeros(n, dtype=np.uint64)
+            nxt[nzrow] = np.bitwise_or.reduceat(gathered, nz_starts)
+        new = nxt & ~seen
+        active = np.nonzero(new)[0]
+        if not active.size:
+            break
+        seen |= new
+        lanes = np.unpackbits(
+            new[active].view(np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        ).sum(axis=0)[:nb].astype(np.float64)
+        farness += d * lanes
+        reachable += lanes
+        harmonic += lanes / d
+        ecc = np.where(lanes > 0, float(d), ecc)
+        frontier = new
+    return farness, reachable, harmonic, ecc

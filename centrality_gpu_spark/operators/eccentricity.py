@@ -19,6 +19,7 @@ closeness/betweenness:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -28,7 +29,6 @@ from centrality_gpu_spark.graph import Graph, union_all
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
 from centrality_gpu_spark.operators.csrkernels import (
     DEFAULT_BROADCAST_MAX_EDGES,
-    bfs_forward,
     graph_to_csr,
 )
 from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterative_conf
@@ -47,15 +47,20 @@ def eccentricity_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFr
     ).repartition(num_tasks)
 
     def run_batch(batches):
+        from centrality_gpu_spark.operators.csrkernels import msbfs_distance_stats
+
         ids_, indptr_, indices_ = bcast.value
         n_ = len(ids_)
         for pdf in batches:
-            out_id, out_ecc = [], []
-            for s in pdf["sid"].to_numpy():
-                dist, _sigma, _levels = bfs_forward(indptr_, indices_, int(s), n_)
-                out_id.append(ids_[s])
-                out_ecc.append(int(dist.max()))
-            yield pd.DataFrame({"id": out_id, "ecc": out_ecc})
+            sids = pdf["sid"].to_numpy()
+            for c in range(0, len(sids), 64):
+                chunk = sids[c : c + 64]
+                _f, _r, _h, ecc = msbfs_distance_stats(
+                    indptr_, indices_, chunk, n_
+                )
+                yield pd.DataFrame(
+                    {"id": ids_[chunk], "ecc": ecc.astype(np.int64)}
+                )
 
     return src_df.mapInPandas(run_batch, "id long, ecc long")
 

@@ -481,3 +481,48 @@ def test_harmonic_weighted_vs_networkx(spark):
     exp = nx.harmonic_centrality(nxg, distance="weight")
     for v in nxg.nodes:
         assert got[v] == pytest.approx(exp[v], abs=1e-9), v
+
+
+# ----------------------------------- round 2: bit-parallel MS-BFS kernel
+
+
+def test_msbfs_equals_bfs_forward(spark, sample_name):
+    """MS-BFS per-lane stats == per-source bfs_forward aggregates."""
+    from centrality_gpu_spark.operators.csrkernels import (
+        bfs_forward,
+        msbfs_distance_stats,
+    )
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    ids, indptr, indices = graph_to_csr(g)
+    n = len(ids)
+    srcs = np.arange(min(n, 64))
+    far, reach, harm, ecc = msbfs_distance_stats(indptr, indices, srcs, n)
+    for i, s in enumerate(srcs):
+        dist, _sigma, _levels = bfs_forward(indptr, indices, int(s), n)
+        fin = dist > 0
+        assert far[i] == dist[fin].sum()
+        assert reach[i] == (dist >= 0).sum()
+        assert harm[i] == pytest.approx((1.0 / dist[fin]).sum(), abs=1e-12)
+        assert ecc[i] == dist.max()
+
+
+def test_msbfs_more_than_64_sources_chunking(spark):
+    """A 100-vertex chain exercises the >64-source chunk loop in the
+    closeness/harmonic/eccentricity broadcast operators, deep levels,
+    and the push/pull switch."""
+    from centrality_gpu_spark.operators.closeness import closeness_broadcast
+    from centrality_gpu_spark.operators.eccentricity import eccentricity_broadcast
+
+    edges = [(i, i + 1) for i in range(100)]
+    g = Graph.from_undirected_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    nxg = nx.Graph(edges)
+    got = {r.id: r.closeness for r in closeness_broadcast(g).collect()}
+    exp = nx.closeness_centrality(nxg)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+    got_e = {r.id: r.ecc for r in eccentricity_broadcast(g).collect()}
+    exp_e = nx.eccentricity(nxg)
+    assert got_e == exp_e
