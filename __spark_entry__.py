@@ -158,6 +158,10 @@ from centrality_gpu_spark.operators.scc import (
     scc_oracle_sql,
     strongly_connected_components,
 )
+from centrality_gpu_spark.operators.butterflies import (
+    butterflies_per_left_oracle_sql,
+    butterfly_oracle_sql,
+)
 from centrality_gpu_spark.operators.community import modularity_sql
 from centrality_gpu_spark.operators.stats import (
     assortativity_oracle_sql,
@@ -269,6 +273,20 @@ def _q_betweenness_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
 
     bc = betweenness_weighted(_events_weighted_graph(spark, sf))
     return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
+def _q_butterflies_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.butterflies import butterfly_count
+
+    return butterfly_count(events_directed_edges(spark, sf))
+
+
+def _q_butterflies_per_user_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.butterflies import (
+        butterflies_per_left_vertex,
+    )
+
+    return butterflies_per_left_vertex(events_directed_edges(spark, sf))
 
 
 def _q_edge_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -707,6 +725,11 @@ SELECT id, MIN(l) AS component FROM closure GROUP BY id ORDER BY id
 """.strip()
 
 
+BIPARTITE_EVENTS_CTE = (
+    EVENTS_DIRECTED_CTE + ",\nbedges AS (SELECT src, dst FROM dedges)"
+)
+
+
 WEVENTS_EDGES_CTE = (
     EVENTS_EDGES_CTE.replace("edges AS (", "edges_raw AS (")
     + """,
@@ -933,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_events": _q_betweenness_events,
         "betweenness_weighted_events": _q_betweenness_weighted_events,
         "edge_betweenness_events": _q_edge_betweenness_events,
+        "butterflies_events": _q_butterflies_events,
+        "butterflies_per_user_events": _q_butterflies_per_user_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "betweenness_sampled_events": _q_betweenness_sampled_events,
         "closeness_events": _q_closeness_events,
@@ -1068,6 +1093,10 @@ FROM orders ORDER BY id
             WEVENTS_EDGES_CTE
         ),
         "edge_betweenness_events": edge_betweenness_oracle_sql(EVENTS_EDGES_CTE),
+        "butterflies_events": butterfly_oracle_sql(BIPARTITE_EVENTS_CTE),
+        "butterflies_per_user_events": butterflies_per_left_oracle_sql(
+            BIPARTITE_EVENTS_CTE
+        ),
         "closeness_weighted_events": closeness_weighted_oracle_sql(
             WEVENTS_EDGES_CTE
         ),
