@@ -59,6 +59,7 @@ from centrality_gpu_spark.operators.walks import (
 from centrality_gpu_spark.operators.closeness import (
     closeness_apsp_oracle_sql,
     closeness_broadcast,
+    closeness_sampled_oracle_sql,
     closeness_weighted_oracle_sql,
     harmonic_weighted_oracle_sql,
     harmonic,
@@ -287,6 +288,13 @@ def _q_butterflies_per_user_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return butterflies_per_left_vertex(events_directed_edges(spark, sf))
+
+
+def _q_closeness_sampled_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.closeness import closeness_sampled
+
+    c = closeness_sampled(events_graph(spark, sf), n_samples=BC_SAMPLES)
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
 
 
 def _q_edge_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -962,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sampled_events": _q_betweenness_sampled_events,
         "closeness_events": _q_closeness_events,
         "closeness_weighted_events": _q_closeness_weighted_events,
+        "closeness_sampled_events": _q_closeness_sampled_events,
         "harmonic_weighted_events": _q_harmonic_weighted_events,
         "eccentricity_events": _q_eccentricity_events,
         "eccentricity_bsp_events": _q_eccentricity_bsp_events,
@@ -1101,6 +1110,9 @@ FROM orders ORDER BY id
             WEVENTS_EDGES_CTE
         ),
         "harmonic_weighted_events": harmonic_weighted_oracle_sql(WEVENTS_EDGES_CTE),
+        "closeness_sampled_events": closeness_sampled_oracle_sql(
+            EVENTS_EDGES_CTE, n_samples=BC_SAMPLES
+        ),
         "betweenness_sampled_events": betweenness_sampled_oracle_sql(
             EVENTS_EDGES_CTE, n_samples=BC_SAMPLES
         ),

@@ -277,6 +277,105 @@ SELECT v.id, ROUND(COALESCE(h.harmonic, 0.0), 6) AS harmonic
 FROM verts v LEFT JOIN h ON v.id = h.s ORDER BY v.id"""
 
 
+def closeness_sampled(
+    graph: Graph,
+    n_samples: int,
+    seed: str = "cls",
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """(id, closeness) — landmark-estimated closeness (Eppstein & Wang
+    2001 pivot sampling): s deterministic landmarks, one MS-BFS sweep
+    each, per-target accumulation.
+
+    ĉ(v) = tcnt(v)·(n-1) / (n·tsum(v)) with tsum(v) = Σ_{l ∈ S} d(l, v)
+    and tcnt(v) = |landmarks reaching v| (self counts, d = 0): at
+    s = n on a connected graph this degenerates to exact (n-1)/farness.
+    O(s·E) work total — THE scale path when all-source closeness is
+    unaffordable. The landmark set is md5-ordered (same scheme as
+    ``betweenness_sampled``) so the DuckDB oracle replays it exactly.
+    """
+    from centrality_gpu_spark.operators.csrkernels import msbfs_target_sums
+
+    spark = graph.spark
+    ids, indptr, indices = graph_to_csr(graph)
+    n = len(ids)
+    verts = graph.vertices()
+    hkey = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col("id"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    s_cnt = min(n_samples, n)
+    sample = [r.id for r in verts.orderBy(hkey, "id").limit(s_cnt).collect()]
+    dense = np.searchsorted(ids, np.asarray(sample))
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices))
+    chunks = [dense[c : c + 64] for c in range(0, len(dense), 64)]
+    if num_tasks is None:
+        num_tasks = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            max(1, len(chunks)),
+        )
+    chunk_df = spark.createDataFrame(
+        [(i, [int(x) for x in ch]) for i, ch in enumerate(chunks)],
+        "cid long, srcs array<long>",
+    ).repartition(num_tasks)
+
+    def run_batch(batches):
+        ids_, indptr_, indices_ = bcast.value
+        nn = len(ids_)
+        for pdf in batches:
+            for srcs_ in pdf["srcs"]:
+                tsum, tcnt = msbfs_target_sums(
+                    indptr_, indices_, np.asarray(srcs_), nn
+                )
+                nz = np.nonzero(tcnt)[0]
+                yield pd.DataFrame(
+                    {"id": ids_[nz], "tsum": tsum[nz], "tcnt": tcnt[nz]}
+                )
+
+    parts = chunk_df.mapInPandas(run_batch, "id long, tsum double, tcnt double")
+    agg = parts.groupBy("id").agg(
+        F.sum("tsum").alias("tsum"), F.sum("tcnt").alias("tcnt")
+    )
+    c = F.when(
+        F.col("tsum") > 0,
+        F.col("tcnt") * F.lit(float(n - 1)) / (F.lit(float(n)) * F.col("tsum")),
+    ).otherwise(F.lit(0.0))
+    return (
+        verts.join(agg, "id", "left")
+        .select("id", F.coalesce(c, F.lit(0.0)).alias("closeness"))
+    )
+
+
+def closeness_sampled_oracle_sql(
+    edges_cte: str, n_samples: int, seed: str = "cls", max_depth: int = 8
+) -> str:
+    """DuckDB twin of ``closeness_sampled``: identical md5-ordered
+    landmark set over the unrolled-APSP distances. Output
+    (id, closeness) rounded to 6, ordered by id."""
+    from centrality_gpu_spark.operators.betweenness import apsp_oracle_cte
+
+    return f"""WITH {apsp_oracle_cte(edges_cte, max_depth)},
+samp AS (
+  SELECT id FROM verts
+  ORDER BY CAST(('0x' || substr(md5(concat('{seed}', ':', id)), 1, 15))
+                AS BIGINT), id
+  LIMIT {n_samples}
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+t AS (
+  SELECT di.v AS id, SUM(CAST(di.d AS DOUBLE)) AS tsum,
+         CAST(COUNT(*) AS DOUBLE) AS tcnt
+  FROM dist di JOIN samp ON di.s = samp.id
+  GROUP BY di.v
+)
+SELECT v.id,
+       ROUND(CASE WHEN COALESCE(t.tsum, 0) > 0
+             THEN t.tcnt * ((SELECT n FROM nn) - 1)
+                  / ((SELECT n FROM nn) * t.tsum)
+             ELSE 0.0 END, 6) AS closeness
+FROM verts v LEFT JOIN t ON t.id = v.id ORDER BY v.id"""
+
+
 # ------------------------------------------------------ harmonic centrality
 
 def harmonic_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:

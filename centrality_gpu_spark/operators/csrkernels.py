@@ -305,3 +305,59 @@ def msbfs_distance_stats(
         ecc = np.where(lanes > 0, float(d), ecc)
         frontier = new
     return farness, reachable, harmonic, ecc
+
+
+def msbfs_target_sums(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    sources: np.ndarray,
+    n: int,
+):
+    """MS-BFS accumulated per *target*: for up to 64 sources at once,
+    returns (tsum, tcnt) with tsum[v] = Σ_{s ∈ sources} d(s, v) over the
+    sources that reach v and tcnt[v] = how many do (d(v, v) = 0 counts).
+    The per-target view the landmark-closeness estimator needs — same
+    lane propagation as ``msbfs_distance_stats``, popcounted per vertex
+    instead of per lane."""
+    nb = len(sources)
+    assert nb <= 64
+    lane = np.uint64(1) << np.arange(nb, dtype=np.uint64)
+    frontier = np.zeros(n, dtype=np.uint64)
+    np.bitwise_or.at(frontier, sources, lane)
+    seen = frontier.copy()
+
+    tsum = np.zeros(n)
+    tcnt = np.zeros(n)
+    np.add.at(tcnt, sources, 1.0)  # self, d=0
+
+    deg = np.diff(indptr)
+    nzrow = deg > 0
+    nz_starts = indptr[:-1][nzrow]
+    total_e = int(indptr[-1])
+
+    d = 0
+    active = np.nonzero(frontier)[0]
+    while active.size:
+        d += 1
+        if 4 * int(deg[active].sum()) < total_e:
+            nxt = np.zeros(n, dtype=np.uint64)
+            vrep, nbr = _flat_neighbors(indptr, indices, active)
+            np.bitwise_or.at(nxt, nbr, frontier[vrep])
+        else:
+            gathered = frontier[indices]
+            nxt = np.zeros(n, dtype=np.uint64)
+            nxt[nzrow] = np.bitwise_or.reduceat(gathered, nz_starts)
+        new = nxt & ~seen
+        active = np.nonzero(new)[0]
+        if not active.size:
+            break
+        seen |= new
+        pc = np.unpackbits(
+            new[active].view(np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        ).sum(axis=1).astype(np.float64)
+        tsum[active] += d * pc
+        tcnt[active] += pc
+        frontier = new
+    return tsum, tcnt

@@ -526,3 +526,40 @@ def test_msbfs_more_than_64_sources_chunking(spark):
     got_e = {r.id: r.ecc for r in eccentricity_broadcast(g).collect()}
     exp_e = nx.eccentricity(nxg)
     assert got_e == exp_e
+
+
+# --------------------------- round 2: landmark-sampled closeness
+
+
+def test_closeness_sampled_full_sample_is_exact(spark, sample_name):
+    """s = n degenerates to exact closeness on connected graphs."""
+    from centrality_gpu_spark.operators.closeness import closeness_sampled
+
+    g = read_edge_list_local(spark, f"{SAMPLE_DIR}/{sample_name}.txt")
+    nxg = sample_nx(sample_name)
+    n = g.num_vertices()
+    got = {r.id: r.closeness for r in closeness_sampled(g, n_samples=n).collect()}
+    exp = nx.closeness_centrality(nxg)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), v
+
+
+def test_closeness_sampled_estimator_quality(spark):
+    """On a 200-vertex random graph, 64 landmarks rank-correlate with
+    exact closeness (spearman-ish: top-decile overlap)."""
+    from centrality_gpu_spark.operators.closeness import closeness_sampled
+
+    nxg = nx.gnm_random_graph(200, 800, seed=3)
+    df = spark.createDataFrame(list(nxg.edges()), "src long, dst long")
+    g = Graph.from_undirected_edges(df)
+    got = {r.id: r.closeness for r in closeness_sampled(g, n_samples=64).collect()}
+    exp = nx.closeness_centrality(nxg)
+    top_got = sorted(got, key=got.get, reverse=True)[:20]
+    top_exp = sorted(exp, key=exp.get, reverse=True)[:20]
+    assert len(set(top_got) & set(top_exp)) >= 12
+    # unbiasedness sanity: mean estimate within 10% of mean exact
+    import statistics
+
+    assert statistics.mean(got.values()) == pytest.approx(
+        statistics.mean(exp.values()), rel=0.1
+    )
