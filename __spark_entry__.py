@@ -74,6 +74,7 @@ from centrality_gpu_spark.operators.corpus import (
     strip_boilerplate_sql,
 )
 from centrality_gpu_spark.operators.eccentricity import (
+    eccentricity_weighted_oracle_sql,
     eccentricity,
     eccentricity_apsp_oracle_sql,
     extent_apsp_oracle_sql,
@@ -160,10 +161,19 @@ from centrality_gpu_spark.operators.scc import (
     strongly_connected_components,
 )
 from centrality_gpu_spark.operators.butterflies import (
+    bipartite_project_oracle_sql,
     butterflies_per_left_oracle_sql,
     butterfly_oracle_sql,
 )
 from centrality_gpu_spark.operators.community import modularity_sql
+from centrality_gpu_spark.operators.temporal import (
+    earliest_arrival_oracle_sql,
+    temporal_reach_summary_oracle_sql,
+)
+from centrality_gpu_spark.operators.wl import (
+    wl_graph_hash_oracle_sql,
+    wl_labels_oracle_sql,
+)
 from centrality_gpu_spark.operators.stats import (
     assortativity_oracle_sql,
     graph_summary_oracle_sql,
@@ -174,6 +184,7 @@ from centrality_gpu_spark.sources.testdata_graphs import (
     CUSTORDER_EDGES_CTE,
     EVENTS_DIRECTED_CTE,
     EVENTS_EDGES_CTE,
+    EVENTS_TEMPORAL_CTE,
     LINEITEM_CYCLE_CTE,
     copurchase_graph,
     events_directed_edges,
@@ -295,6 +306,56 @@ def _q_closeness_sampled_events(spark: SparkSession, sf: str) -> DataFrame:
 
     c = closeness_sampled(events_graph(spark, sf), n_samples=BC_SAMPLES)
     return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def _q_bipartite_project_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.butterflies import bipartite_project
+
+    return bipartite_project(events_directed_edges(spark, sf), max_right_degree=1000)
+
+
+def _q_eccentricity_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.eccentricity import eccentricity_weighted
+
+    e = eccentricity_weighted(_events_weighted_graph(spark, sf))
+    return e.select("id", F.round("ecc", 6).alias("ecc"))
+
+
+TEMPORAL_SOURCES_SQL = "SELECT i AS id FROM range(0, 10) t(i)"
+
+
+def _temporal_sources(spark: SparkSession) -> DataFrame:
+    return spark.range(10).select(F.col("id"))
+
+
+def _q_temporal_arrival_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.temporal import earliest_arrival
+    from centrality_gpu_spark.sources.testdata_graphs import events_temporal_edges
+
+    return earliest_arrival(
+        events_temporal_edges(spark, sf), _temporal_sources(spark)
+    )
+
+
+def _q_temporal_reach_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.temporal import temporal_reach_summary
+    from centrality_gpu_spark.sources.testdata_graphs import events_temporal_edges
+
+    return temporal_reach_summary(
+        events_temporal_edges(spark, sf), _temporal_sources(spark)
+    )
+
+
+def _q_wl_labels_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.wl import wl_labels
+
+    return wl_labels(events_graph(spark, sf))
+
+
+def _q_wl_hash_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.wl import wl_graph_hash
+
+    return wl_graph_hash(events_graph(spark, sf))
 
 
 def _q_edge_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -966,6 +1027,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness_events": _q_edge_betweenness_events,
         "butterflies_events": _q_butterflies_events,
         "butterflies_per_user_events": _q_butterflies_per_user_events,
+        "bipartite_project_events": _q_bipartite_project_events,
+        "wl_labels_events": _q_wl_labels_events,
+        "wl_hash_events": _q_wl_hash_events,
+        "temporal_arrival_events": _q_temporal_arrival_events,
+        "temporal_reach_events": _q_temporal_reach_events,
+        "eccentricity_weighted_events": _q_eccentricity_weighted_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "betweenness_sampled_events": _q_betweenness_sampled_events,
         "closeness_events": _q_closeness_events,
@@ -1105,6 +1172,20 @@ FROM orders ORDER BY id
         "butterflies_events": butterfly_oracle_sql(BIPARTITE_EVENTS_CTE),
         "butterflies_per_user_events": butterflies_per_left_oracle_sql(
             BIPARTITE_EVENTS_CTE
+        ),
+        "bipartite_project_events": bipartite_project_oracle_sql(
+            BIPARTITE_EVENTS_CTE, max_right_degree=1000
+        ),
+        "wl_labels_events": wl_labels_oracle_sql(EVENTS_EDGES_CTE),
+        "wl_hash_events": wl_graph_hash_oracle_sql(EVENTS_EDGES_CTE),
+        "temporal_arrival_events": earliest_arrival_oracle_sql(
+            EVENTS_TEMPORAL_CTE, TEMPORAL_SOURCES_SQL
+        ),
+        "temporal_reach_events": temporal_reach_summary_oracle_sql(
+            EVENTS_TEMPORAL_CTE, TEMPORAL_SOURCES_SQL
+        ),
+        "eccentricity_weighted_events": eccentricity_weighted_oracle_sql(
+            WEVENTS_EDGES_CTE
         ),
         "closeness_weighted_events": closeness_weighted_oracle_sql(
             WEVENTS_EDGES_CTE

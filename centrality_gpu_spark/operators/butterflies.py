@@ -139,3 +139,60 @@ SELECT l.id, CAST(COALESCE(c.butterflies, 0) AS BIGINT) AS butterflies
 FROM (SELECT DISTINCT src AS id FROM bedges) l
 LEFT JOIN counts c ON c.id = l.id
 ORDER BY l.id"""
+
+
+def bipartite_project(
+    edges: DataFrame,
+    max_right_degree: int | None = 1000,
+) -> DataFrame:
+    """Left-side projection of a bipartite edge table: (src, dst, weight)
+    with src < dst both left vertices and weight = number of shared
+    right neighbors — the standalone form of the transcript model's
+    co-invocation projection (``sources/transcripts.py``).
+
+    ``max_right_degree`` drops right vertices above the cap BEFORE the
+    pair join (the quadratic hub control: a right vertex of degree d
+    emits C(d, 2) pairs, so one ubiquitous tool would otherwise emit
+    billions). The cap is part of the operator's semantics — the DuckDB
+    twin applies the identical cap, so capped results stay
+    oracle-checkable. ``None`` disables it (exact projection).
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_right_degree is not None:
+        keep = (
+            e.groupBy("dst")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") <= max_right_degree)
+            .select("dst")
+        )
+        e = e.join(keep, "dst")
+    a = e.select(F.col("dst").alias("k"), F.col("src").alias("a"))
+    b = e.select(F.col("dst").alias("k"), F.col("src").alias("b"))
+    return (
+        a.join(b, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def bipartite_project_oracle_sql(
+    bipartite_edges_cte: str, max_right_degree: int | None = 1000
+) -> str:
+    """DuckDB twin of ``bipartite_project`` over a CTE exposing
+    ``bedges(src, dst)``. Output (src, dst, weight) ordered."""
+    cap = (
+        f"""capped AS (
+  SELECT e.src, e.dst FROM bedges e
+  JOIN (SELECT dst FROM bedges GROUP BY dst
+        HAVING COUNT(*) <= {max_right_degree}) k USING (dst)
+)"""
+        if max_right_degree is not None
+        else "capped AS (SELECT src, dst FROM bedges)"
+    )
+    return f"""WITH {bipartite_edges_cte},
+{cap}
+SELECT a.src AS src, b.src AS dst, CAST(COUNT(*) AS BIGINT) AS weight
+FROM capped a JOIN capped b ON a.dst = b.dst AND a.src < b.src
+GROUP BY 1, 2
+ORDER BY src, dst"""

@@ -133,6 +133,53 @@ def graph_extent(graph: Graph, strategy: str = "auto", **kwargs) -> DataFrame:
     )
 
 
+def eccentricity_weighted(graph: Graph, num_tasks: int | None = None) -> DataFrame:
+    """(id, ecc) — weighted eccentricity: max Dijkstra distance over the
+    reachable set (double; per-component semantics like the unweighted
+    twin). Broadcast regime behind the weighted-CSR size guard."""
+    from centrality_gpu_spark.operators.csrkernels import (
+        dijkstra_forward,
+        graph_to_csr_weighted,
+    )
+
+    spark = graph.spark
+    ids, indptr, indices, weights = graph_to_csr_weighted(graph)
+    n = len(ids)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, weights))
+    if num_tasks is None:
+        num_tasks = min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), max(1, n)
+        )
+    src_df = spark.createDataFrame(
+        [(int(i),) for i in range(n)], "sid long"
+    ).repartition(num_tasks)
+
+    def run_batch(batches):
+        ids_, indptr_, indices_, weights_ = bcast.value
+        nn = len(ids_)
+        for pdf in batches:
+            out = []
+            for s_ in pdf["sid"].to_numpy():
+                dist, _ = dijkstra_forward(indptr_, indices_, weights_, int(s_), nn)
+                fin = np.isfinite(dist)
+                out.append((int(ids_[int(s_)]), float(dist[fin].max())))
+            yield pd.DataFrame(out, columns=["id", "ecc"])
+
+    return src_df.mapInPandas(run_batch, "id long, ecc double")
+
+
+def eccentricity_weighted_oracle_sql(edges_cte: str, hops: int = 8) -> str:
+    """DuckDB oracle for ``eccentricity_weighted`` over the unrolled
+    Bellman–Ford weighted-APSP CTE. Output (id, ecc) rounded to 6."""
+    from centrality_gpu_spark.operators.betweenness import (
+        weighted_apsp_oracle_cte,
+    )
+
+    return f"""WITH {weighted_apsp_oracle_cte(edges_cte, hops)}
+SELECT s AS id, ROUND(MAX(d), 6) AS ecc
+FROM dist GROUP BY s ORDER BY id"""
+
+
 def eccentricity_apsp_oracle_sql(edges_cte: str, max_depth: int = 8) -> str:
     """DuckDB oracle for ``eccentricity`` (diameter <= max_depth),
     from the shared APSP CTE. Output: (id, ecc) ordered by id."""

@@ -1,0 +1,177 @@
+"""Time-respecting (temporal) reachability over a timestamped edge
+table (src, dst, ts).
+
+A temporal path must traverse edges in non-decreasing time: a hop over
+edge (u, v, t) is usable only when t >= the arrival time at u (Wu et
+al., "Path Problems in Temporal Graphs", VLDB 2014 — the
+earliest-arrival formulation). Static reachability over-approximates
+badly on event streams; this is the honest reachability notion for the
+transcript/event data model, and the only operator family that uses the
+``ts`` column the tables carry.
+
+Engine shape: one edge×arrival join + a ``groupBy(dst).min(ts)`` per
+synchronous round — the identical shuffle profile to the hash-min
+connected-components superstep, with the time predicate riding the join
+(JVM-side, codegen). Fixed synchronous rounds (the repo's
+fixed-iteration idiom: round k covers every temporal path of <= k
+hops), so the DuckDB twin is the same relaxation unrolled — and a
+fixpoint variant for tests. State per round is one (id, arrival) row
+per reached vertex — O(V) shuffle traffic, edges never move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+DEFAULT_TEMPORAL_ROUNDS = 6
+
+
+def earliest_arrival(
+    edges: DataFrame,
+    sources: DataFrame,
+    start_ts: int = 0,
+    rounds: int = DEFAULT_TEMPORAL_ROUNDS,
+    to_fixpoint: bool = False,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(id, arrival) — earliest time each vertex is reachable from the
+    source set by a time-respecting path over ``edges(src, dst, ts)``.
+
+    ``sources`` is a DataFrame with column ``id``; every source starts
+    with arrival ``start_ts`` (a hop over (u, v, t) then requires
+    t >= start_ts). Unreached vertices are absent from the result.
+
+    With ``to_fixpoint=True`` the loop instead runs until a round
+    improves nothing (``rounds`` becomes a safety valve: exceeding it
+    raises rather than returning a non-fixpoint — the k_core
+    convention).
+    """
+    ckpt = checkpoint or CheckpointManager(edges.sparkSession)
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("ts").cast("long"),
+    )
+    arr = sources.select(
+        F.col("id").cast("long"), F.lit(int(start_ts)).cast("long").alias("arrival")
+    ).distinct()
+    arr = ckpt.truncate(arr)
+    it = 0
+    while True:
+        cand = (
+            e.join(arr, e.src == arr.id)
+            .where(F.col("ts") >= F.col("arrival"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("ts").alias("arrival"))
+        )
+        new_arr = (
+            arr.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("arrival").alias("arrival"))
+        )
+        new_arr = ckpt.truncate(new_arr)
+        if to_fixpoint:
+            improved = (
+                new_arr.alias("n")
+                .join(arr.alias("o"), "id", "left")
+                .where(
+                    F.col("o.arrival").isNull()
+                    | (F.col("n.arrival") < F.col("o.arrival"))
+                )
+                .count()
+            )
+            ckpt.record(op="earliest_arrival", iteration=it, improved=improved)
+            arr = new_arr
+            if improved == 0:
+                break
+            it += 1
+            if it >= rounds:
+                raise RuntimeError(
+                    f"earliest_arrival did not reach a fixpoint within "
+                    f"rounds={rounds}; raise the cap"
+                )
+        else:
+            ckpt.record(op="earliest_arrival", iteration=it)
+            arr = new_arr
+            it += 1
+            if it >= rounds:
+                break
+    return arr
+
+
+def temporal_reach_summary(
+    edges: DataFrame,
+    sources: DataFrame,
+    start_ts: int = 0,
+    rounds: int = DEFAULT_TEMPORAL_ROUNDS,
+) -> DataFrame:
+    """One row (n_reached, min_arrival, max_arrival) over the
+    ``earliest_arrival`` table — the influence-set size of the source
+    set plus its time extent."""
+    arr = earliest_arrival(edges, sources, start_ts=start_ts, rounds=rounds)
+    return arr.agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.min("arrival").alias("min_arrival"),
+        F.max("arrival").alias("max_arrival"),
+    )
+
+
+def _unrolled_arrival_ctes(sources_sql: str, start_ts: int, rounds: int) -> str:
+    """CTE chain a0..a{rounds} implementing the identical relaxation.
+    ``sources_sql`` must select a single BIGINT column ``id``.
+    MATERIALIZED keeps DuckDB from re-inlining the chain exponentially
+    (the unrolled-PageRank-oracle trick)."""
+    parts = [
+        f"""a0 AS MATERIALIZED (
+  SELECT DISTINCT CAST(id AS BIGINT) AS id,
+         CAST({start_ts} AS BIGINT) AS arrival
+  FROM ({sources_sql})
+)"""
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(e.ts) AS arrival
+  FROM tedges e JOIN a{k-1} a ON a.id = e.src AND e.ts >= a.arrival
+  GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT id, MIN(arrival) AS arrival
+  FROM (SELECT * FROM a{k-1} UNION ALL SELECT * FROM c{k})
+  GROUP BY id
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def earliest_arrival_oracle_sql(
+    temporal_edges_cte: str,
+    sources_sql: str,
+    start_ts: int = 0,
+    rounds: int = DEFAULT_TEMPORAL_ROUNDS,
+) -> str:
+    """DuckDB twin of ``earliest_arrival`` over a CTE exposing
+    ``tedges(src, dst, ts)``. Output (id, arrival) ordered by id."""
+    chain = _unrolled_arrival_ctes(sources_sql, start_ts, rounds)
+    return f"""WITH {temporal_edges_cte},
+{chain}
+SELECT id, arrival FROM a{rounds} ORDER BY id"""
+
+
+def temporal_reach_summary_oracle_sql(
+    temporal_edges_cte: str,
+    sources_sql: str,
+    start_ts: int = 0,
+    rounds: int = DEFAULT_TEMPORAL_ROUNDS,
+) -> str:
+    """DuckDB twin of ``temporal_reach_summary``: one row."""
+    chain = _unrolled_arrival_ctes(sources_sql, start_ts, rounds)
+    return f"""WITH {temporal_edges_cte},
+{chain}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_reached,
+       MIN(arrival) AS min_arrival,
+       MAX(arrival) AS max_arrival
+FROM a{rounds}"""

@@ -256,3 +256,59 @@ dedges AS (
   FROM li WHERE l_linenumber <= 2
 )
 """.strip()
+
+
+# -------------------------------------------------------------- temporal
+
+def events_temporal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, ts) — time-stamped user→user *handoff* edges: within
+    each ``event_type`` stream ordered by (ts, event_id), the user of
+    event i hands off to the user of event i+1, stamped with the later
+    event's timestamp in epoch **microseconds** (exact integers in both
+    Spark and DuckDB, so oracle hashes match bit for bit). Self-handoffs
+    (same user twice in a row) are dropped; parallel edges at different
+    times are kept — temporal operators need every occurrence.
+
+    Scale note: the window partitions by ``event_type``, and the
+    testdata has few types, so each stream sorts on one task here. At
+    100 TB the stream key would be a finer natural key (e.g. per-shard
+    streams); the downstream temporal operators are indifferent to how
+    the (src, dst, ts) table was produced.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        # ts is TIMESTAMP_NTZ; the session timezone is pinned to UTC
+        # (session.py), so the cast interprets the wall-clock as UTC —
+        # the same naive-as-UTC convention DuckDB's epoch_us uses
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    hand = ev.select(
+        F.col("user_id").alias("src"),
+        F.lead("user_id").over(w).alias("dst"),
+        F.lead("tus").over(w).alias("ts"),
+    )
+    return hand.where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+
+
+# DuckDB twin; final CTE is `tedges(src, dst, ts)`.
+EVENTS_TEMPORAL_CTE = """
+tev AS (
+  SELECT event_type, event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         epoch_us(ts) AS tus
+  FROM events
+),
+hand AS (
+  SELECT user_id AS src,
+         LEAD(user_id) OVER w AS dst,
+         LEAD(tus) OVER w AS ts
+  FROM tev
+  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id)
+),
+tedges AS (
+  SELECT src, dst, ts FROM hand WHERE dst IS NOT NULL AND dst <> src
+)
+""".strip()

@@ -84,3 +84,30 @@ def test_butterfly_empty_and_acyclic(spark):
     row = butterfly_count(df).collect()[0]
     assert row.n_butterflies == 0
     assert row.n_right_wedges == 10
+
+
+def test_bipartite_project_vs_brute(spark):
+    from centrality_gpu_spark.operators.butterflies import bipartite_project
+
+    edges = _random_bipartite(9)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.src, r.dst): r.weight for r in bipartite_project(df, None).collect()}
+    nbrs = {}
+    for u, t in edges:
+        nbrs.setdefault(u, set()).add(t)
+    exp = {}
+    for u, v in combinations(sorted(nbrs), 2):
+        c = len(nbrs[u] & nbrs[v])
+        if c:
+            exp[(u, v)] = c
+    assert got == exp
+
+
+def test_bipartite_project_hub_cap(spark):
+    """A right vertex above the cap contributes no pairs."""
+    from centrality_gpu_spark.operators.butterflies import bipartite_project
+
+    edges = [(u, 100) for u in range(10)] + [(0, 200), (1, 200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.src, r.dst): r.weight for r in bipartite_project(df, 5).collect()}
+    assert got == {(0, 1): 1}  # only via right vertex 200

@@ -68,3 +68,27 @@ def test_eccentricity_auto_routes_to_bsp(spark, monkeypatch):
     got = {r.id: r.ecc for r in eccentricity(g, max_broadcast_edges=2).collect()}
     exp = nx.eccentricity(nxg)
     assert got == exp
+
+
+def test_eccentricity_weighted_vs_networkx(spark):
+    import numpy as np
+
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.eccentricity import eccentricity_weighted
+
+    rng = np.random.default_rng(23)
+    nxg = nx.gnm_random_graph(40, 90, seed=23)
+    nxg.remove_nodes_from([v for v, d in dict(nxg.degree()).items() if d == 0])
+    if not nx.is_connected(nxg):
+        nxg = nxg.subgraph(max(nx.connected_components(nxg), key=len)).copy()
+    for u, v in nxg.edges():
+        nxg[u][v]["weight"] = 1.0 + float(rng.integers(0, 4)) / 8.0
+    df = spark.createDataFrame(
+        [(u, v, nxg[u][v]["weight"]) for u, v in nxg.edges()],
+        "src long, dst long, weight double",
+    )
+    g = Graph.from_undirected_edges(df, weight_col="weight")
+    got = {r.id: r.ecc for r in eccentricity_weighted(g).collect()}
+    exp = nx.eccentricity(nxg, weight="weight")
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-12), v

@@ -154,6 +154,16 @@ def main() -> None:
     out["jobs"]["bfs_bcast_1024src"] = round(dt, 3)
     out["bfs_bcast_sources_per_sec"] = round(1024 / dt, 2)
 
+    # --- bit-parallel MS-BFS closeness: all 20k sources, 64 lanes per
+    # pass (the distance-centrality fast path; source-chunk-parallel)
+    from centrality_gpu_spark.operators.closeness import closeness_broadcast
+
+    t0 = time.time()
+    closeness_broadcast(g1).agg(F.sum("closeness")).collect()
+    dt = time.time() - t0
+    out["jobs"]["closeness_msbfs_full"] = round(dt, 3)
+    out["closeness_sources_per_sec"] = round(g1.num_vertices() / dt, 2)
+
     out["jobs"]["hw_control_gather"] = hardware_control(cores)
 
     print(json.dumps(out))
