@@ -166,6 +166,7 @@ from centrality_gpu_spark.operators.butterflies import (
     butterfly_oracle_sql,
 )
 from centrality_gpu_spark.operators.community import modularity_sql
+from centrality_gpu_spark.operators.matching import matching_oracle_sql
 from centrality_gpu_spark.operators.temporal import (
     earliest_arrival_oracle_sql,
     temporal_reach_summary_oracle_sql,
@@ -344,6 +345,12 @@ def _q_temporal_reach_events(spark: SparkSession, sf: str) -> DataFrame:
     return temporal_reach_summary(
         events_temporal_edges(spark, sf), _temporal_sources(spark)
     )
+
+
+def _q_matching_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.matching import maximal_matching
+
+    return maximal_matching(events_graph(spark, sf))
 
 
 def _q_wl_labels_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -1032,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_hash_events": _q_wl_hash_events,
         "temporal_arrival_events": _q_temporal_arrival_events,
         "temporal_reach_events": _q_temporal_reach_events,
+        "matching_events": _q_matching_events,
         "eccentricity_weighted_events": _q_eccentricity_weighted_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "betweenness_sampled_events": _q_betweenness_sampled_events,
@@ -1184,6 +1192,7 @@ FROM orders ORDER BY id
         "temporal_reach_events": temporal_reach_summary_oracle_sql(
             EVENTS_TEMPORAL_CTE, TEMPORAL_SOURCES_SQL
         ),
+        "matching_events": matching_oracle_sql(EVENTS_EDGES_CTE),
         "eccentricity_weighted_events": eccentricity_weighted_oracle_sql(
             WEVENTS_EDGES_CTE
         ),

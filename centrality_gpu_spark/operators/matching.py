@@ -1,0 +1,163 @@
+"""Maximal matching via parallel local-min edge priorities.
+
+The edge analog of Luby MIS (``operators/mis.py``): every round, each
+still-active edge compares a deterministic priority against all edges
+sharing either endpoint; an edge that is the minimum at BOTH endpoints
+joins the matching (two winners can never conflict — they would have to
+share a vertex, where only one can be the minimum), its endpoints
+retire, and all their incident edges deactivate. This parallel rule
+computes exactly the sequential greedy matching by ascending priority
+(Blelloch/Fineman/Shun SPAA'12 analysis: O(log m) rounds w.h.p.), which
+is what the pytest cross-checks — and, priorities being md5 strings both
+engines compute bit-identically, the whole unrolled run is
+driver-oracle-checkable (the MIS/coloring pattern).
+
+Scale shape: per round, one O(E_active) union + min-agg keyed by vertex
+and two anti-joins; the active edge set shrinks geometrically, all
+JVM-side codegen, no Python in the loop. Matching is the standard
+coarsening primitive (multilevel partitioning, graph sparsification) a
+link-graph toolbox needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterative_conf
+
+MATCHING_MAX_ROUNDS = 12
+
+
+def _edge_priority(src_col, dst_col):
+    """Total-order edge priority: md5 of 'match:<src>:<dst>' with the
+    decimal endpoints appended as tie-break (identical in DuckDB)."""
+    s, d = src_col.cast("string"), dst_col.cast("string")
+    return F.concat(
+        F.md5(F.concat(F.lit("match:"), s, F.lit(":"), d)),
+        F.lit("|"), F.lpad(s, 20, "0"), F.lit("|"), F.lpad(d, 20, "0"),
+    )
+
+
+_EDGE_PRIORITY_SQL = (
+    "md5('match:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)) "
+    "|| '|' || lpad(CAST(src AS VARCHAR), 20, '0') "
+    "|| '|' || lpad(CAST(dst AS VARCHAR), 20, '0')"
+)
+
+
+@with_iterative_conf
+def maximal_matching(
+    graph: Graph,
+    max_rounds: int = MATCHING_MAX_ROUNDS,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """(src, dst, round) — the matched pairs (src < dst canonical
+    orientation) with the round each pair was claimed in. Every vertex
+    appears at most once across the result; no graph edge has both
+    endpoints unmatched (maximality).
+
+    Raises RuntimeError if ``max_rounds`` is hit with active edges
+    remaining (never returns a non-maximal matching).
+    """
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    ea = (
+        graph.edges_by_src()
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            "src", "dst", _edge_priority(F.col("src"), F.col("dst")).alias("prio")
+        )
+        .distinct()
+    )
+    ea = ckpt.truncate(ea)
+    matched: list[DataFrame] = []
+    for rnd in range(max_rounds):
+        n_active = ea.count()
+        ckpt.record(op="maximal_matching", iteration=rnd, changed=n_active)
+        if n_active == 0:
+            break
+        inc = ea.select(F.col("src").alias("v"), "prio").unionByName(
+            ea.select(F.col("dst").alias("v"), "prio")
+        )
+        vmin = inc.groupBy("v").agg(F.min("prio").alias("mprio"))
+        winners = (
+            ea.join(
+                vmin.select(F.col("v").alias("src"), F.col("mprio").alias("smin")),
+                "src",
+            )
+            .join(
+                vmin.select(F.col("v").alias("dst"), F.col("mprio").alias("dmin")),
+                "dst",
+            )
+            .where((F.col("prio") == F.col("smin")) & (F.col("prio") == F.col("dmin")))
+            .select("src", "dst")
+        )
+        winners = ckpt.truncate(winners)
+        matched.append(winners.select("src", "dst", F.lit(rnd).alias("round")))
+        mv = (
+            winners.select(F.col("src").alias("v"))
+            .unionByName(winners.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        ea = ckpt.truncate(
+            ea.join(mv.select(F.col("v").alias("src")), "src", "left_anti")
+            .join(mv.select(F.col("v").alias("dst")), "dst", "left_anti")
+            .select("src", "dst", "prio")
+        )
+    else:
+        if ea.count() > 0:
+            raise RuntimeError(
+                f"maximal_matching did not exhaust the edge set in "
+                f"{max_rounds} rounds — raise max_rounds"
+            )
+    from centrality_gpu_spark.graph import union_all
+
+    return union_all(matched)
+
+
+def matching_oracle_sql(edges_cte: str, rounds: int = MATCHING_MAX_ROUNDS) -> str:
+    """DuckDB twin of ``maximal_matching``: identical priorities and
+    local-min-at-both-endpoints rule, unrolled (extra rounds past the
+    fixpoint are no-ops). ``edges_cte`` must define
+    ``edges(src, dst, ...)`` with both directions present. Output
+    (src, dst, round) ordered.
+    """
+    parts = [
+        edges_cte,
+        f"""e0 AS MATERIALIZED (
+  SELECT src, dst, {_EDGE_PRIORITY_SQL} AS prio
+  FROM (SELECT DISTINCT src, dst FROM edges WHERE src < dst)
+)""",
+        "m0 AS (SELECT src, dst, 0 AS round FROM e0 WHERE FALSE)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""vmin{k} AS MATERIALIZED (
+  SELECT v, MIN(prio) AS mprio FROM (
+    SELECT src AS v, prio FROM e{k}
+    UNION ALL SELECT dst AS v, prio FROM e{k}
+  ) GROUP BY v
+),
+w{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{k} e
+  JOIN vmin{k} a ON a.v = e.src AND a.mprio = e.prio
+  JOIN vmin{k} b ON b.v = e.dst AND b.mprio = e.prio
+),
+mv{k} AS MATERIALIZED (
+  SELECT src AS v FROM w{k} UNION SELECT dst AS v FROM w{k}
+),
+m{k + 1} AS MATERIALIZED (
+  SELECT * FROM m{k}
+  UNION ALL SELECT src, dst, {k} AS round FROM w{k}
+),
+e{k + 1} AS MATERIALIZED (
+  SELECT e.* FROM e{k} e
+  WHERE e.src NOT IN (SELECT v FROM mv{k})
+    AND e.dst NOT IN (SELECT v FROM mv{k})
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT src, dst, round FROM m{rounds} ORDER BY src, dst"
+    )

@@ -1,0 +1,66 @@
+"""Maximal matching: matching/maximality invariants plus equality with
+the sequential greedy matching under the same priority order."""
+
+import hashlib
+
+import networkx as nx
+import pytest
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.operators.matching import maximal_matching
+
+
+def _graph(spark, edges):
+    return Graph.from_undirected_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+
+
+def _prio(u, v):
+    h = hashlib.md5(f"match:{u}:{v}".encode()).hexdigest()
+    return f"{h}|{u:020d}|{v:020d}"
+
+
+def _greedy(edges):
+    """Sequential greedy matching by ascending priority — the local-min
+    parallel rounds must produce exactly this set."""
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    taken, used = set(), set()
+    for u, v in sorted(canon, key=lambda e: _prio(*e)):
+        if u not in used and v not in used:
+            taken.add((u, v))
+            used.update((u, v))
+    return taken
+
+
+@pytest.mark.parametrize("seed", [1, 5])
+def test_matching_equals_sequential_greedy(spark, seed):
+    nxg = nx.gnm_random_graph(40, 80, seed=seed)
+    nxg.remove_nodes_from([v for v, d in dict(nxg.degree()).items() if d == 0])
+    edges = list(nxg.edges())
+    got = {(r.src, r.dst) for r in maximal_matching(_graph(spark, edges)).collect()}
+    assert got == _greedy(edges)
+
+
+def test_matching_is_matching_and_maximal(spark):
+    nxg = nx.gnm_random_graph(30, 70, seed=11)
+    nxg.remove_nodes_from([v for v, d in dict(nxg.degree()).items() if d == 0])
+    edges = list(nxg.edges())
+    rows = maximal_matching(_graph(spark, edges)).collect()
+    used = [v for r in rows for v in (r.src, r.dst)]
+    assert len(used) == len(set(used))  # a matching
+    matched = set(used)
+    for u, v in edges:  # maximal: no edge with both endpoints free
+        assert u in matched or v in matched
+
+
+def test_matching_path_graph(spark):
+    # on a 2-edge path only one edge can match
+    rows = maximal_matching(_graph(spark, [(0, 1), (1, 2)])).collect()
+    assert len(rows) == 1
+
+
+def test_matching_round_budget_raises(spark):
+    chain = [(i, i + 1) for i in range(40)]
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        maximal_matching(_graph(spark, chain), max_rounds=1)
