@@ -167,8 +167,10 @@ from centrality_gpu_spark.operators.butterflies import (
 )
 from centrality_gpu_spark.operators.community import modularity_sql
 from centrality_gpu_spark.operators.matching import matching_oracle_sql
+from centrality_gpu_spark.operators.paths import shortest_path_oracle_sql
 from centrality_gpu_spark.operators.temporal import (
     earliest_arrival_oracle_sql,
+    latest_departure_oracle_sql,
     temporal_reach_summary_oracle_sql,
 )
 from centrality_gpu_spark.operators.wl import (
@@ -347,10 +349,31 @@ def _q_temporal_reach_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+TEMPORAL_END_TS = 1_900_000_000_000_000  # epoch µs, past all testdata ts
+
+
+def _q_temporal_departure_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.temporal import latest_departure
+    from centrality_gpu_spark.sources.testdata_graphs import events_temporal_edges
+
+    return latest_departure(
+        events_temporal_edges(spark, sf), _temporal_sources(spark), TEMPORAL_END_TS
+    )
+
+
 def _q_matching_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.matching import maximal_matching
 
     return maximal_matching(events_graph(spark, sf))
+
+
+PATH_SOURCE, PATH_TARGET = 0, 149
+
+
+def _q_shortest_path_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.paths import shortest_path
+
+    return shortest_path(events_graph(spark, sf), PATH_SOURCE, PATH_TARGET)
 
 
 def _q_wl_labels_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -1039,7 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_hash_events": _q_wl_hash_events,
         "temporal_arrival_events": _q_temporal_arrival_events,
         "temporal_reach_events": _q_temporal_reach_events,
+        "temporal_departure_events": _q_temporal_departure_events,
         "matching_events": _q_matching_events,
+        "shortest_path_events": _q_shortest_path_events,
         "eccentricity_weighted_events": _q_eccentricity_weighted_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
         "betweenness_sampled_events": _q_betweenness_sampled_events,
@@ -1192,7 +1217,13 @@ FROM orders ORDER BY id
         "temporal_reach_events": temporal_reach_summary_oracle_sql(
             EVENTS_TEMPORAL_CTE, TEMPORAL_SOURCES_SQL
         ),
+        "temporal_departure_events": latest_departure_oracle_sql(
+            EVENTS_TEMPORAL_CTE, TEMPORAL_SOURCES_SQL, TEMPORAL_END_TS
+        ),
         "matching_events": matching_oracle_sql(EVENTS_EDGES_CTE),
+        "shortest_path_events": shortest_path_oracle_sql(
+            EVENTS_EDGES_CTE, PATH_SOURCE, PATH_TARGET
+        ),
         "eccentricity_weighted_events": eccentricity_weighted_oracle_sql(
             WEVENTS_EDGES_CTE
         ),

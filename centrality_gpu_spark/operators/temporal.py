@@ -50,25 +50,43 @@ def earliest_arrival(
     convention).
     """
     ckpt = checkpoint or CheckpointManager(edges.sparkSession)
-    e = edges.select(
-        F.col("src").cast("long"),
-        F.col("dst").cast("long"),
-        F.col("ts").cast("long"),
+    # bucket edges by src ONCE: the cached partitioning satisfies every
+    # round's join requirement, so per round only the O(V) arrival side
+    # shuffles (edges never move — the superstep invariant)
+    e = (
+        edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.col("ts").cast("long"),
+        )
+        .repartition("src")
+        .persist()
     )
     arr = sources.select(
         F.col("id").cast("long"), F.lit(int(start_ts)).cast("long").alias("arrival")
     ).distinct()
     arr = ckpt.truncate(arr)
     it = 0
+    try:
+        arr = _arrival_loop(e, arr, ckpt, rounds, to_fixpoint)
+    finally:
+        e.unpersist()
+    return arr
+
+
+def _arrival_loop(e, arr, ckpt, rounds: int, to_fixpoint: bool):
+    it = 0
     while True:
-        cand = (
+        msgs = (
             e.join(arr, e.src == arr.id)
             .where(F.col("ts") >= F.col("arrival"))
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("ts").alias("arrival"))
+            .select(F.col("dst").alias("id"), F.col("ts").alias("arrival"))
         )
+        # single min-agg merges old arrivals and new messages; Spark's
+        # map-side partial agg does the per-partition combine a separate
+        # pre-aggregation would duplicate
         new_arr = (
-            arr.unionByName(cand)
+            arr.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("arrival").alias("arrival"))
         )
@@ -102,6 +120,36 @@ def earliest_arrival(
     return arr
 
 
+def latest_departure(
+    edges: DataFrame,
+    targets: DataFrame,
+    end_ts: int,
+    rounds: int = DEFAULT_TEMPORAL_ROUNDS,
+    to_fixpoint: bool = False,
+) -> DataFrame:
+    """(id, departure) — the latest time one can leave each vertex and
+    still reach the target set by a time-respecting path whose final
+    hop happens no later than ``end_ts``.
+
+    Exactly the reverse-time dual of ``earliest_arrival``: reverse every
+    edge and negate its timestamp, and the latest-departure recursion
+    ld[v] = max{ t : (v, w, t), t <= ld[w] } becomes the
+    earliest-arrival recursion on the transformed table — so this is a
+    thin wrapper (one extra projection, same per-round plan), and the
+    two operators stay consistent by construction. Targets themselves
+    report ``end_ts``.
+    """
+    rev = edges.select(
+        F.col("dst").cast("long").alias("src"),
+        F.col("src").cast("long").alias("dst"),
+        (-F.col("ts").cast("long")).alias("ts"),
+    )
+    arr = earliest_arrival(
+        rev, targets, start_ts=-int(end_ts), rounds=rounds, to_fixpoint=to_fixpoint
+    )
+    return arr.select("id", (-F.col("arrival")).alias("departure"))
+
+
 def temporal_reach_summary(
     edges: DataFrame,
     sources: DataFrame,
@@ -119,7 +167,9 @@ def temporal_reach_summary(
     )
 
 
-def _unrolled_arrival_ctes(sources_sql: str, start_ts: int, rounds: int) -> str:
+def _unrolled_arrival_ctes(
+    sources_sql: str, start_ts: int, rounds: int, edge_table: str = "tedges"
+) -> str:
     """CTE chain a0..a{rounds} implementing the identical relaxation.
     ``sources_sql`` must select a single BIGINT column ``id``.
     MATERIALIZED keeps DuckDB from re-inlining the chain exponentially
@@ -135,7 +185,7 @@ def _unrolled_arrival_ctes(sources_sql: str, start_ts: int, rounds: int) -> str:
         parts.append(
             f"""c{k} AS MATERIALIZED (
   SELECT e.dst AS id, MIN(e.ts) AS arrival
-  FROM tedges e JOIN a{k-1} a ON a.id = e.src AND e.ts >= a.arrival
+  FROM {edge_table} e JOIN a{k-1} a ON a.id = e.src AND e.ts >= a.arrival
   GROUP BY e.dst
 ),
 a{k} AS MATERIALIZED (
@@ -159,6 +209,24 @@ def earliest_arrival_oracle_sql(
     return f"""WITH {temporal_edges_cte},
 {chain}
 SELECT id, arrival FROM a{rounds} ORDER BY id"""
+
+
+def latest_departure_oracle_sql(
+    temporal_edges_cte: str,
+    targets_sql: str,
+    end_ts: int,
+    rounds: int = DEFAULT_TEMPORAL_ROUNDS,
+) -> str:
+    """DuckDB twin of ``latest_departure``: the identical reverse-time
+    transform feeding the unrolled arrival chain. Output
+    (id, departure) ordered by id."""
+    chain = _unrolled_arrival_ctes(
+        targets_sql, -int(end_ts), rounds, edge_table="tedges_rev"
+    )
+    return f"""WITH {temporal_edges_cte},
+tedges_rev AS (SELECT dst AS src, src AS dst, -ts AS ts FROM tedges),
+{chain}
+SELECT id, -arrival AS departure FROM a{rounds} ORDER BY id"""
 
 
 def temporal_reach_summary_oracle_sql(

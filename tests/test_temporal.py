@@ -81,3 +81,49 @@ def test_fixpoint_cap_raises(spark):
     chain = [(i, i + 1, 10 * (i + 1)) for i in range(8)]
     with pytest.raises(RuntimeError, match="fixpoint"):
         _run(spark, chain, [0], rounds=3, to_fixpoint=True)
+
+
+def _brute_latest(edges, targets, end_ts):
+    ld = {t: end_ts for t in targets}
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in edges:
+            if v in ld and t <= ld[v] and t > ld.get(u, float("-inf")):
+                ld[u] = t
+                changed = True
+    return ld
+
+
+def test_latest_departure_hand_case(spark):
+    from centrality_gpu_spark.operators.temporal import latest_departure
+
+    # 0 -(10)-> 1 -(20)-> 2 ; to reach 2 by 100, leave 0 at 10, 1 at 20
+    e = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 20)], "src long, dst long, ts long"
+    )
+    t = spark.createDataFrame([(2,)], "id long")
+    got = {r.id: r.departure for r in
+           latest_departure(e, t, 100, to_fixpoint=True, rounds=8).collect()}
+    assert got == {2: 100, 1: 20, 0: 10}
+
+
+@pytest.mark.parametrize("seed", [4])
+def test_latest_departure_vs_brute(spark, seed):
+    import numpy as np
+
+    from centrality_gpu_spark.operators.temporal import latest_departure
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (int(rng.integers(25)), int(rng.integers(25)), int(rng.integers(1, 90)))
+        for _ in range(120)
+    ]
+    edges = [(u, v, t) for u, v, t in edges if u != v]
+    targets = [0, 1]
+    exp = _brute_latest(edges, targets, 100)
+    e = spark.createDataFrame(edges, "src long, dst long, ts long")
+    t = spark.createDataFrame([(x,) for x in targets], "id long")
+    got = {r.id: r.departure for r in
+           latest_departure(e, t, 100, rounds=64, to_fixpoint=True).collect()}
+    assert got == exp
