@@ -166,7 +166,10 @@ from centrality_gpu_spark.operators.butterflies import (
     butterfly_oracle_sql,
 )
 from centrality_gpu_spark.operators.community import modularity_sql
-from centrality_gpu_spark.operators.matching import matching_oracle_sql
+from centrality_gpu_spark.operators.matching import (
+    contraction_oracle_sql,
+    matching_oracle_sql,
+)
 from centrality_gpu_spark.operators.paths import shortest_path_oracle_sql
 from centrality_gpu_spark.operators.temporal import (
     earliest_arrival_oracle_sql,
@@ -365,6 +368,13 @@ def _q_matching_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.matching import maximal_matching
 
     return maximal_matching(events_graph(spark, sf))
+
+
+def _q_coarsen_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.matching import contract_matching
+
+    coarse, _mapping = contract_matching(events_graph(spark, sf))
+    return coarse
 
 
 PATH_SOURCE, PATH_TARGET = 0, 149
@@ -1064,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_events": _q_temporal_reach_events,
         "temporal_departure_events": _q_temporal_departure_events,
         "matching_events": _q_matching_events,
+        "coarsen_events": _q_coarsen_events,
         "shortest_path_events": _q_shortest_path_events,
         "eccentricity_weighted_events": _q_eccentricity_weighted_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
@@ -1221,6 +1232,7 @@ FROM orders ORDER BY id
             EVENTS_TEMPORAL_CTE, TEMPORAL_SOURCES_SQL, TEMPORAL_END_TS
         ),
         "matching_events": matching_oracle_sql(EVENTS_EDGES_CTE),
+        "coarsen_events": contraction_oracle_sql(EVENTS_EDGES_CTE),
         "shortest_path_events": shortest_path_oracle_sql(
             EVENTS_EDGES_CTE, PATH_SOURCE, PATH_TARGET
         ),

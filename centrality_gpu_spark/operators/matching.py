@@ -161,3 +161,70 @@ e{k + 1} AS MATERIALIZED (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT src, dst, round FROM m{rounds} ORDER BY src, dst"
     )
+
+
+def contract_matching(
+    graph: Graph,
+    matching: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One multilevel-coarsening step: contract each matched pair to its
+    smaller endpoint (the matching's reason to exist — Karypis/Kumar
+    multilevel scheme, SIAM J. Sci. Comput. 1998).
+
+    Returns ``(coarse_edges, mapping)``:
+
+    - ``mapping`` (id, rep): every vertex to its coarse representative —
+      matched pairs map to min(src, dst) = src (canonical orientation),
+      unmatched vertices to themselves.
+    - ``coarse_edges`` (src, dst, weight): endpoint-mapped edges with
+      parallel edges merged by weight sum and self-loops (intra-pair
+      edges) dropped — roughly halving V each level while preserving
+      cut weights.
+
+    Plan shape: two broadcast-size joins of the O(V) mapping against the
+    bucketed edge table + one groupBy — the mapping is the only shuffled
+    state, so a coarsening level costs the same as one superstep.
+    """
+    if matching is None:
+        matching = maximal_matching(graph)
+    mapping = (
+        graph.vertices()
+        .join(
+            matching.select(
+                F.col("dst").alias("id"), F.col("src").alias("rep")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("rep", F.col("id")).alias("rep"))
+    )
+    e = graph.edges_by_src()
+    coarse = (
+        e.join(mapping.select(F.col("id").alias("src"), F.col("rep").alias("rs")), "src")
+        .join(mapping.select(F.col("id").alias("dst"), F.col("rep").alias("rd")), "dst")
+        .where(F.col("rs") != F.col("rd"))
+        .groupBy(F.col("rs").alias("src"), F.col("rd").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return coarse, mapping
+
+
+def contraction_oracle_sql(edges_cte: str, rounds: int = MATCHING_MAX_ROUNDS) -> str:
+    """DuckDB twin of ``contract_matching`` over the unrolled matching:
+    (src, dst, weight) coarse edges, ordered. Both directions of each
+    coarse edge appear (the input CTE is symmetric), weights summed."""
+    base = matching_oracle_sql(edges_cte, rounds)
+    prefix = base[: base.rindex("SELECT src, dst, round")].rstrip()
+    return f"""{prefix},
+mapping AS (
+  SELECT v.id, COALESCE(m.src, v.id) AS rep
+  FROM (SELECT DISTINCT src AS id FROM edges) v
+  LEFT JOIN m{rounds} m ON m.dst = v.id
+)
+SELECT a.rep AS src, b.rep AS dst, SUM(e.weight) AS weight
+FROM edges e
+JOIN mapping a ON a.id = e.src
+JOIN mapping b ON b.id = e.dst
+WHERE a.rep <> b.rep
+GROUP BY 1, 2
+ORDER BY src, dst"""

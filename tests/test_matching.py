@@ -64,3 +64,37 @@ def test_matching_round_budget_raises(spark):
     chain = [(i, i + 1) for i in range(40)]
     with pytest.raises(RuntimeError, match="max_rounds"):
         maximal_matching(_graph(spark, chain), max_rounds=1)
+
+
+def test_contract_matching_vs_brute(spark):
+    from centrality_gpu_spark.operators.matching import (
+        contract_matching,
+        maximal_matching,
+    )
+
+    nxg = nx.gnm_random_graph(30, 60, seed=3)
+    nxg.remove_nodes_from([v for v, d in dict(nxg.degree()).items() if d == 0])
+    edges = list(nxg.edges())
+    g = _graph(spark, edges)
+    m = {(r.src, r.dst) for r in maximal_matching(g).collect()}
+    coarse, mapping = contract_matching(g)
+    rep = {r.id: r.rep for r in mapping.collect()}
+    # mapping: matched pairs collapse to min endpoint, singles to self
+    for u, v in m:
+        assert rep[v] == u and rep[u] == u
+    matched_vs = {x for p in m for x in p}
+    for v in nxg.nodes():
+        if v not in matched_vs:
+            assert rep[v] == v
+    # coarse edges == brute contraction of the symmetric weighted table
+    brute = {}
+    for u, v in edges:
+        for a, b in ((u, v), (v, u)):
+            ra, rb = rep[a], rep[b]
+            if ra != rb:
+                brute[(ra, rb)] = brute.get((ra, rb), 0.0) + 1.0
+    got = {(r.src, r.dst): r.weight for r in coarse.collect()}
+    assert got == brute
+    # a coarsening level must shrink V by exactly |matching|
+    n_coarse = len({r for r in rep.values()})
+    assert n_coarse == nxg.number_of_nodes() - len(m)
