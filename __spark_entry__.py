@@ -170,6 +170,10 @@ from centrality_gpu_spark.operators.matching import (
     contraction_oracle_sql,
     matching_oracle_sql,
 )
+from centrality_gpu_spark.operators.partition import (
+    edge_cut_oracle_sql,
+    partition_oracle_sql,
+)
 from centrality_gpu_spark.operators.paths import shortest_path_oracle_sql
 from centrality_gpu_spark.operators.temporal import (
     earliest_arrival_oracle_sql,
@@ -375,6 +379,25 @@ def _q_coarsen_events(spark: SparkSession, sf: str) -> DataFrame:
 
     coarse, _mapping = contract_matching(events_graph(spark, sf))
     return coarse
+
+
+PARTITION_K = 4
+
+
+def _q_partition_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.partition import partition_graph
+
+    return partition_graph(events_graph(spark, sf), PARTITION_K, levels=1)
+
+
+def _q_edge_cut_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.partition import (
+        edge_cut_summary,
+        partition_graph,
+    )
+
+    g = events_graph(spark, sf)
+    return edge_cut_summary(g, partition_graph(g, PARTITION_K, levels=1))
 
 
 PATH_SOURCE, PATH_TARGET = 0, 149
@@ -1075,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_departure_events": _q_temporal_departure_events,
         "matching_events": _q_matching_events,
         "coarsen_events": _q_coarsen_events,
+        "partition_events": _q_partition_events,
+        "edge_cut_events": _q_edge_cut_events,
         "shortest_path_events": _q_shortest_path_events,
         "eccentricity_weighted_events": _q_eccentricity_weighted_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
@@ -1233,6 +1258,8 @@ FROM orders ORDER BY id
         ),
         "matching_events": matching_oracle_sql(EVENTS_EDGES_CTE),
         "coarsen_events": contraction_oracle_sql(EVENTS_EDGES_CTE),
+        "partition_events": partition_oracle_sql(EVENTS_EDGES_CTE, PARTITION_K),
+        "edge_cut_events": edge_cut_oracle_sql(EVENTS_EDGES_CTE, PARTITION_K),
         "shortest_path_events": shortest_path_oracle_sql(
             EVENTS_EDGES_CTE, PATH_SOURCE, PATH_TARGET
         ),
