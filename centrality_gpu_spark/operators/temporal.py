@@ -36,6 +36,7 @@ def earliest_arrival(
     rounds: int = DEFAULT_TEMPORAL_ROUNDS,
     to_fixpoint: bool = False,
     checkpoint: CheckpointManager | None = None,
+    initial: DataFrame | None = None,
 ) -> DataFrame:
     """(id, arrival) — earliest time each vertex is reachable from the
     source set by a time-respecting path over ``edges(src, dst, ts)``.
@@ -43,6 +44,10 @@ def earliest_arrival(
     ``sources`` is a DataFrame with column ``id``; every source starts
     with arrival ``start_ts`` (a hop over (u, v, t) then requires
     t >= start_ts). Unreached vertices are absent from the result.
+
+    ``initial`` (id, arrival), if given, warm-starts the relaxation —
+    the streaming accumulator's hook: arrivals already proven by earlier
+    batches seed the state, merged min-wise with the sources.
 
     With ``to_fixpoint=True`` the loop instead runs until a round
     improves nothing (``rounds`` becomes a safety valve: exceeding it
@@ -65,6 +70,16 @@ def earliest_arrival(
     arr = sources.select(
         F.col("id").cast("long"), F.lit(int(start_ts)).cast("long").alias("arrival")
     ).distinct()
+    if initial is not None:
+        arr = (
+            arr.unionByName(
+                initial.select(
+                    F.col("id").cast("long"), F.col("arrival").cast("long")
+                )
+            )
+            .groupBy("id")
+            .agg(F.min("arrival").alias("arrival"))
+        )
     arr = ckpt.truncate(arr)
     it = 0
     try:
