@@ -172,6 +172,32 @@ def main() -> None:
     )
     timed("q13_harmonic", lambda: harmonic(g).agg(F.sum("harmonic")).collect())
 
+    # q15: temporal earliest-arrival to fixpoint over the events handoff
+    # stream; q16: multilevel 32-way partition + edge-cut metric
+    from centrality_gpu_spark.operators.partition import (
+        edge_cut_summary,
+        partition_graph,
+    )
+    from centrality_gpu_spark.operators.temporal import earliest_arrival
+    from centrality_gpu_spark.sources.testdata_graphs import events_temporal_edges
+
+    te = events_temporal_edges(spark, sf_dir)
+    srcs10 = spark.range(10).select(F.col("id"))
+    timed(
+        "q15_temporal_arrival_fixpoint",
+        lambda: earliest_arrival(te, srcs10, rounds=256, to_fixpoint=True).count(),
+    )
+    cut_holder = {}
+
+    def partition_job():
+        parts = partition_graph(g, 32, levels=2)
+        row = edge_cut_summary(g, parts).collect()[0]
+        cut_holder["cut_fraction"] = row.cut_fraction
+        return row
+
+    timed("q16_partition_32way", partition_job)
+    extras["partition_cut_fraction"] = cut_holder["cut_fraction"]
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
