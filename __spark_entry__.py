@@ -173,6 +173,8 @@ from centrality_gpu_spark.operators.matching import (
 from centrality_gpu_spark.operators.partition import (
     edge_cut_oracle_sql,
     partition_oracle_sql,
+    refined_edge_cut_oracle_sql,
+    refined_partition_oracle_sql,
 )
 from centrality_gpu_spark.operators.paths import shortest_path_oracle_sql
 from centrality_gpu_spark.operators.temporal import (
@@ -398,6 +400,34 @@ def _q_edge_cut_events(spark: SparkSession, sf: str) -> DataFrame:
 
     g = events_graph(spark, sf)
     return edge_cut_summary(g, partition_graph(g, PARTITION_K, levels=1))
+
+
+REFINE_QUERY_ROUNDS = 4
+
+
+def _q_partition_refined_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.partition import (
+        partition_graph,
+        refine_partition,
+    )
+
+    g = events_graph(spark, sf)
+    parts = partition_graph(g, PARTITION_K, levels=1)
+    return refine_partition(g, parts, PARTITION_K, rounds=REFINE_QUERY_ROUNDS)
+
+
+def _q_edge_cut_refined_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.partition import (
+        edge_cut_summary,
+        partition_graph,
+        refine_partition,
+    )
+
+    g = events_graph(spark, sf)
+    parts = partition_graph(g, PARTITION_K, levels=1)
+    return edge_cut_summary(
+        g, refine_partition(g, parts, PARTITION_K, rounds=REFINE_QUERY_ROUNDS)
+    )
 
 
 PATH_SOURCE, PATH_TARGET = 0, 149
@@ -1100,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_events": _q_coarsen_events,
         "partition_events": _q_partition_events,
         "edge_cut_events": _q_edge_cut_events,
+        "partition_refined_events": _q_partition_refined_events,
+        "edge_cut_refined_events": _q_edge_cut_refined_events,
         "shortest_path_events": _q_shortest_path_events,
         "eccentricity_weighted_events": _q_eccentricity_weighted_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
@@ -1260,6 +1292,12 @@ FROM orders ORDER BY id
         "coarsen_events": contraction_oracle_sql(EVENTS_EDGES_CTE),
         "partition_events": partition_oracle_sql(EVENTS_EDGES_CTE, PARTITION_K),
         "edge_cut_events": edge_cut_oracle_sql(EVENTS_EDGES_CTE, PARTITION_K),
+        "partition_refined_events": refined_partition_oracle_sql(
+            EVENTS_EDGES_CTE, PARTITION_K, refine_rounds=REFINE_QUERY_ROUNDS
+        ),
+        "edge_cut_refined_events": refined_edge_cut_oracle_sql(
+            EVENTS_EDGES_CTE, PARTITION_K, refine_rounds=REFINE_QUERY_ROUNDS
+        ),
         "shortest_path_events": shortest_path_oracle_sql(
             EVENTS_EDGES_CTE, PATH_SOURCE, PATH_TARGET
         ),

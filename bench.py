@@ -177,6 +177,7 @@ def main() -> None:
     from centrality_gpu_spark.operators.partition import (
         edge_cut_summary,
         partition_graph,
+        refine_partition,
     )
     from centrality_gpu_spark.operators.temporal import earliest_arrival
     from centrality_gpu_spark.sources.testdata_graphs import events_temporal_edges
@@ -193,10 +194,14 @@ def main() -> None:
         parts = partition_graph(g, 32, levels=2)
         row = edge_cut_summary(g, parts).collect()[0]
         cut_holder["cut_fraction"] = row.cut_fraction
-        return row
+        refined = refine_partition(g, parts, 32, rounds=4)
+        row2 = edge_cut_summary(g, refined).collect()[0]
+        cut_holder["cut_fraction_refined"] = row2.cut_fraction
+        return row2
 
     timed("q16_partition_32way", partition_job)
     extras["partition_cut_fraction"] = cut_holder["cut_fraction"]
+    extras["partition_cut_fraction_refined"] = cut_holder["cut_fraction_refined"]
 
     total = round(sum(queries.values()), 3)
     print(
