@@ -176,6 +176,10 @@ from centrality_gpu_spark.operators.partition import (
     refined_edge_cut_oracle_sql,
     refined_partition_oracle_sql,
 )
+from centrality_gpu_spark.operators.cliques import (
+    FOUR_CLIQUE_SQL,
+    four_cliques_per_vertex_oracle_sql,
+)
 from centrality_gpu_spark.operators.paths import shortest_path_oracle_sql
 from centrality_gpu_spark.operators.temporal import (
     earliest_arrival_oracle_sql,
@@ -260,6 +264,18 @@ def _q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_triangles_per_vertex_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     return triangles_per_vertex(copurchase_graph(spark, sf))
+
+
+def _q_four_cliques_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.cliques import four_cliques_per_vertex
+
+    return four_cliques_per_vertex(events_graph(spark, sf))
+
+
+def _q_four_clique_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.cliques import four_clique_count
+
+    return four_clique_count(copurchase_graph(spark, sf))
 
 
 def _q_sssp_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -1094,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_custorder": _q_louvain_custorder,
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
+        "four_cliques_events": _q_four_cliques_events,
+        "four_clique_count_copurchase": _q_four_clique_count_copurchase,
         "sssp_events": _q_sssp_events,
         # structural decompositions on the customer-order star forest
         # (closed-form oracles: every edge is a BCC, every multi-order
@@ -1225,6 +1243,12 @@ def oracle_sql() -> dict[str, str]:
         "verts AS (SELECT DISTINCT src AS id FROM edges)\n"
         "SELECT v.id, COALESCE(c.n_tri, 0) AS n_tri\n"
         "FROM verts v LEFT JOIN cnt c ON v.id = c.id ORDER BY v.id",
+        "four_cliques_events": four_cliques_per_vertex_oracle_sql(
+            EVENTS_EDGES_CTE
+        ),
+        "four_clique_count_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
+        f"{FOUR_CLIQUE_SQL}\n"
+        "SELECT COUNT(*) AS n_4cliques FROM quad",
         "bcc_histogram_custorder": "SELECT CAST(2 AS BIGINT) AS size, "
         "CAST(COUNT(*) AS BIGINT) AS cnt FROM orders",
         "bridges_events": BRIDGES_EVENTS_ORACLE,
