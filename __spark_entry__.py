@@ -110,6 +110,7 @@ from centrality_gpu_spark.operators.similarity import (
     embedding_near_duplicates,
     embedding_near_dups_oracle_sql,
     ivf_oracle_sql,
+    kmeans_oracle_sql,
     lsh_oracle_sql,
     lsh_topk,
 )
@@ -1053,6 +1054,12 @@ def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(_embs(spark, sf), k=5, n_cells=8, nprobe=2)
 
 
+def _q_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(_embs(spark, sf), n_cells=8)
+
+
 def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_duplicates(
         spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.9
@@ -1087,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and threshold chain replicated in DuckDB:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "embedding_near_dups": _q_embedding_near_dups,
         "edges_events": _q_edges_events,
         "edges_copurchase": _q_edges_copurchase,
@@ -1204,6 +1212,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": cosine_topk_oracle_sql(k=5, where="vec_id < 200"),
         "ann_lsh": lsh_oracle_sql(k=5, where="vec_id < 200"),
         "ann_ivf": ivf_oracle_sql(k=5, n_cells=8, nprobe=2, where="vec_id < 200"),
+        "kmeans_embeddings": kmeans_oracle_sql(
+            n_cells=8, where="vec_id < 200"
+        ),
         "embedding_near_dups": embedding_near_dups_oracle_sql(threshold=0.9),
         "edges_events": f"WITH {EVENTS_EDGES_CTE}\n"
         "SELECT src, dst, weight FROM edges ORDER BY src, dst",

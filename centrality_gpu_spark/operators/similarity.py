@@ -553,29 +553,41 @@ def ivf_topk(
 # ------------------------------------------------- IVF oracle (DuckDB)
 
 
-def ivf_oracle_sql(
-    k: int = 5,
+def kmeans_assign(
+    embeddings: DataFrame,
     n_cells: int = 8,
-    nprobe: int = 2,
     iterations: int = 5,
     seed: int = 7,
-    sample_rows: int = IVF_MAX_TRAIN_ROWS,
-    dim: int = EMBED_DIM,
-    where: str = "TRUE",
-) -> str:
-    """DuckDB twin of ``ivf_topk`` — the full pipeline in SQL: the
-    md5-ordered training sample, first-``n_cells`` init, ``iterations``
-    unrolled Lloyd steps (assign = max-dot / min-cell tie-break; update
-    = per-dim mean renormalized, empty cells keep their previous
-    centroid), nprobe-cell probing, exact-cosine re-rank.
+) -> DataFrame:
+    """(vec_id, cluster) — spherical k-means cluster of every corpus
+    vector: the IVF quantizer exposed as a first-class curation
+    operator (semantic bucketing for dedup-by-cluster, per-cluster
+    stratified sampling, corpus composition reports). Training pulls a
+    bounded deterministic sample to the driver (see
+    ``train_ivf_centroids``); assignment is one broadcast GEMM per
+    Arrow batch over the full corpus — nothing corpus-sized ever
+    leaves the executors."""
+    spark = embeddings.sparkSession
+    cent = train_ivf_centroids(
+        embeddings, n_cells, iterations=iterations, seed=seed
+    )
+    cent_bc = spark.sparkContext.broadcast(cent)
+    return _ivf_assign(embeddings, cent_bc, nprobe=1).select(
+        "vec_id", F.col("cell").alias("cluster")
+    )
 
-    Float parity note: the engine's training/assignment dots run
-    through numpy BLAS (pairwise summation) while SQL folds
-    sequentially — identical to ~1e-15, which only matters on exact
-    argmax ties; the *scored* cosine uses the same sequential fold as
-    the Spark ``aggregate`` expression (proven by the ann_topk/ann_lsh
-    oracles) and is rounded to 6 dp on both sides.
-    """
+
+def _kmeans_ctes(
+    n_cells: int,
+    iterations: int,
+    seed: int,
+    sample_rows: int,
+    dim: int,
+    where: str,
+) -> list[str]:
+    """Shared CTE chain: md5-ordered sample → first-``n_cells`` init →
+    ``iterations`` unrolled Lloyd steps → ``corpus_cells(vec_id,
+    cell)`` (every vector's single nearest final centroid)."""
     dot_sv = f"list_sum([s.v[i] * c.v[i] FOR i IN range(1, {dim + 1})])"
     dot_uv = f"list_sum([u.v[i] * c.v[i] FOR i IN range(1, {dim + 1})])"
     parts = [
@@ -647,8 +659,56 @@ cent{i} AS (
            ) AS r
     FROM u CROSS JOIN cent{iterations} c
   ) WHERE r = 1
-),
-query_cells AS (
+)"""
+    )
+    return parts
+
+
+def kmeans_oracle_sql(
+    n_cells: int = 8,
+    iterations: int = 5,
+    seed: int = 7,
+    sample_rows: int = IVF_MAX_TRAIN_ROWS,
+    dim: int = EMBED_DIM,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of ``kmeans_assign``. Output (vec_id, cluster)
+    ordered by vec_id."""
+    parts = _kmeans_ctes(n_cells, iterations, seed, sample_rows, dim, where)
+    return (
+        ",\n".join(parts)
+        + "\nSELECT vec_id, CAST(cell AS INTEGER) AS cluster"
+        + "\nFROM corpus_cells ORDER BY vec_id"
+    )
+
+
+def ivf_oracle_sql(
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iterations: int = 5,
+    seed: int = 7,
+    sample_rows: int = IVF_MAX_TRAIN_ROWS,
+    dim: int = EMBED_DIM,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of ``ivf_topk`` — the full pipeline in SQL: the
+    md5-ordered training sample, first-``n_cells`` init, ``iterations``
+    unrolled Lloyd steps (assign = max-dot / min-cell tie-break; update
+    = per-dim mean renormalized, empty cells keep their previous
+    centroid), nprobe-cell probing, exact-cosine re-rank.
+
+    Float parity note: the engine's training/assignment dots run
+    through numpy BLAS (pairwise summation) while SQL folds
+    sequentially — identical to ~1e-15, which only matters on exact
+    argmax ties; the *scored* cosine uses the same sequential fold as
+    the Spark ``aggregate`` expression (proven by the ann_topk/ann_lsh
+    oracles) and is rounded to 6 dp on both sides.
+    """
+    parts = _kmeans_ctes(n_cells, iterations, seed, sample_rows, dim, where)
+    dot_uv = f"list_sum([u.v[i] * c.v[i] FOR i IN range(1, {dim + 1})])"
+    parts.append(
+        f"""query_cells AS (
   SELECT vec_id, cell FROM (
     SELECT u.vec_id, c.cell,
            ROW_NUMBER() OVER (

@@ -198,3 +198,31 @@ def test_ivf_oracle_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_kmeans_assign_matches_numpy_reference(spark):
+    """Public kmeans_assign == train centroids + argmax assignment done
+    entirely in numpy on the collected corpus."""
+    import numpy as np
+
+    from centrality_gpu_spark.operators.similarity import (
+        kmeans_assign,
+        train_ivf_centroids,
+    )
+
+    df = spark.read.parquet(f"{SF_MED}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, n_cells=8).collect()}
+    cent = train_ivf_centroids(df, 8)
+    pdf = df.select("vec_id", "embedding").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    exp = dict(
+        zip(pdf["vec_id"].to_numpy(), np.argmax(mat @ cent.T, axis=1))
+    )
+    assert got == exp
+    assert set(got.values()) <= set(range(8))
+    # deterministic across invocations
+    again = {r.vec_id: r.cluster for r in kmeans_assign(df, n_cells=8).collect()}
+    assert again == got
