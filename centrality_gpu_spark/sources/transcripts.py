@@ -141,6 +141,49 @@ def transcript_graph(
     return TranscriptGraph(g, vmap)
 
 
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation profile over the north-rule input table:
+    (conv_id, n_turns, n_tool_calls, n_distinct_tools, n_user,
+    n_assistant, duration_us, avg_text_len). One groupBy over the raw
+    turns — the first thing a pipeline computes to size/skew-plan the
+    graph build (turn counts bound reply chains; tool-call counts bound
+    the bipartite fan-out). ``duration_us`` = max(ts) − min(ts) in
+    epoch-microseconds (exact integers, oracle-safe); ``avg_text_len``
+    rounded to 6 dp."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.count("tool").alias("n_tool_calls"),
+            F.countDistinct("tool").alias("n_distinct_tools"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias(
+                "n_user"
+            ),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+                "n_assistant"
+            ),
+            (
+                F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
+            ).alias("duration_us"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_text_len"),
+        )
+    )
+
+
+CONVERSATION_STATS_SQL = """
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(tool) AS BIGINT) AS n_tool_calls,
+       CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+       ROUND(AVG(LENGTH(text)), 6) AS avg_text_len
+FROM transcripts GROUP BY conv_id ORDER BY conv_id
+""".strip()
+
+
 def reply_chain_check(transcripts: DataFrame) -> DataFrame:
     """The stable-turn-ordering invariant (input_hint): per-turn text
     must equal ``{conv_id}:{turn_idx}:{role}<suffix>``, and turn_idx

@@ -147,3 +147,32 @@ def test_tool_name_colliding_with_conv_id(spark):
         assert (vm[("conv_a", "conv")], vm[("conv_b", "tool")]) in edges
         assert (vm[("conv_b", "conv")], vm[("hammer", "tool")]) in edges
         assert (vm[("conv_a", "conv")], vm[("conv_b", "conv")]) not in edges
+
+
+def test_conversation_stats_vs_duckdb(spark, transcripts, tmp_path):
+    """conversation_stats hash-equals its DuckDB twin on the same
+    parquet (the driver-gate idiom, run locally since the transcripts
+    table is synthesized, not part of the driver's fixed table set)."""
+    import duckdb
+
+    from centrality_gpu_spark.sources.transcripts import (
+        CONVERSATION_STATS_SQL,
+        conversation_stats,
+    )
+
+    path = str(tmp_path / "transcripts.parquet")
+    transcripts.write.mode("overwrite").parquet(path)
+    got = sorted(
+        tuple(r) for r in conversation_stats(transcripts).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW transcripts AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(CONVERSATION_STATS_SQL).fetchall())
+    assert got == want
+    # sanity on semantics
+    stats = {r.conv_id: r for r in conversation_stats(transcripts).collect()}
+    assert all(s.n_turns >= s.n_user + s.n_assistant for s in stats.values())
+    assert all(s.n_tool_calls >= s.n_distinct_tools for s in stats.values())
+    assert all(s.duration_us >= 0 for s in stats.values())
