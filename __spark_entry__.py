@@ -125,10 +125,14 @@ from centrality_gpu_spark.operators.relevance import (
     tfidf_topk_terms,
 )
 from centrality_gpu_spark.operators.text import (
+    char_entropy,
+    char_entropy_sql,
     language_id,
     language_id_sql,
     pii_scrub,
     pii_scrub_sql,
+    quality_filter,
+    quality_filter_sql,
     quality_score,
     quality_score_sql,
     repetition_stats,
@@ -1001,6 +1005,14 @@ def _q_quality(spark: SparkSession, sf: str) -> DataFrame:
     return quality_score(_docs(spark, sf))
 
 
+def _q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    return char_entropy(_docs(spark, sf))
+
+
+def _q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    return quality_filter(_docs(spark, sf))
+
+
 def _q_langid(spark: SparkSession, sf: str) -> DataFrame:
     return language_id(_docs(spark, sf))
 
@@ -1076,6 +1088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": _q_ngram_contamination,
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality,
+        "char_entropy": _q_char_entropy,
+        "quality_filter": _q_quality_filter,
         "language_id": _q_langid,
         "dedup_exact": _q_dedup_exact,
         "tfidf_topk": _q_tfidf_topk,
@@ -1198,6 +1212,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination": ngram_contamination_sql(CONTAM_EVAL_SOURCE, n=3),
         "stratified_sample": stratified_sample_sql(fraction=0.3),
         "quality_score": quality_score_sql(),
+        "char_entropy": char_entropy_sql(),
+        "quality_filter": quality_filter_sql(),
         "language_id": language_id_sql(),
         "dedup_exact": f"WITH {EXACT_DUP_SQL}\n"
         "SELECT fp, COUNT(*) AS n_docs FROM fp GROUP BY fp "

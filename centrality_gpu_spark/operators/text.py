@@ -269,6 +269,143 @@ FROM arrs a LEFT JOIN bga b USING (doc_id) ORDER BY a.doc_id
 """.strip()
 
 
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, entropy) — Shannon entropy (bits/char) of the
+    document's character distribution, from counts:
+    ``H = log2(n) − (Σ_c cnt_c·log2 cnt_c)/n``. A near-zero entropy
+    flags degenerate filler (one repeated char/page); an unusually high
+    one flags binary-ish noise — the standard cheap perplexity proxy.
+    One explode + two groupBys, all JVM-side; the per-char count table
+    is bounded by alphabet size per doc."""
+    chars = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cnts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    per_doc = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("clogc"),
+    )
+    ent = F.log2(F.col("n")) - F.col("clogc") / F.col("n")
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_chars"),
+            F.round(F.coalesce(ent, F.lit(0.0)), 6).alias("entropy"),
+        )
+    )
+
+
+def char_entropy_sql() -> str:
+    return """
+WITH chars AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(text, '')) AS ch
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id, ch, COUNT(*) AS cnt FROM chars
+  WHERE ch <> '' GROUP BY doc_id, ch
+),
+per_doc AS (
+  SELECT doc_id, SUM(cnt) AS n, SUM(cnt * log2(cnt)) AS clogc
+  FROM cnts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_chars,
+       ROUND(COALESCE(log2(p.n) - p.clogc / p.n, 0.0), 6) AS entropy
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+""".strip()
+
+
+QF_MIN_QUALITY = 0.5
+QF_LANGS = ("en",)
+QF_MIN_TOKENS = 5
+QF_MAX_DUP_LINE_FRAC = 0.3
+
+
+def quality_filter(
+    documents: DataFrame,
+    min_quality: float = QF_MIN_QUALITY,
+    langs: tuple[str, ...] = QF_LANGS,
+    min_tokens: int = QF_MIN_TOKENS,
+    max_dup_line_frac: float = QF_MAX_DUP_LINE_FRAC,
+) -> DataFrame:
+    """(doc_id, keep, reason) — the curation gate that composes the
+    signal operators into one decision per document. Rules apply in a
+    FIXED order (lang → too_short → low_quality → repetitive) and the
+    first failing rule names the drop ``reason`` ('kept' otherwise) —
+    per-reason counts are the drop-accounting a pipeline reports.
+    Four signal scans joined on doc_id; each signal is the
+    already-oracle-checked operator, so the filter is a pure
+    composition."""
+    q = quality_score(documents).select("doc_id", "quality")
+    lang = language_id(documents)
+    tok = token_stats(documents).select("doc_id", "n_ws_tokens")
+    rep = repetition_stats(documents).select("doc_id", "dup_line_frac")
+    j = (
+        documents.select("doc_id")
+        .join(lang, "doc_id")
+        .join(tok, "doc_id")
+        .join(q, "doc_id")
+        .join(rep, "doc_id")
+    )
+    reason = (
+        F.when(~F.col("lang_pred").isin(*langs), F.lit("lang"))
+        .when(F.col("n_ws_tokens") < F.lit(min_tokens), F.lit("too_short"))
+        .when(F.col("quality") < F.lit(min_quality), F.lit("low_quality"))
+        .when(
+            F.col("dup_line_frac") > F.lit(max_dup_line_frac),
+            F.lit("repetitive"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "doc_id",
+        (reason == F.lit("kept")).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def quality_filter_sql(
+    min_quality: float = QF_MIN_QUALITY,
+    langs: tuple[str, ...] = QF_LANGS,
+    min_tokens: int = QF_MIN_TOKENS,
+    max_dup_line_frac: float = QF_MAX_DUP_LINE_FRAC,
+) -> str:
+    """DuckDB twin of ``quality_filter`` — composes the signal twins as
+    CTEs and applies the same fixed-order CASE."""
+    lang_list = ", ".join(f"'{x}'" for x in langs)
+    return f"""
+WITH qs AS ({quality_score_sql()}),
+li AS ({language_id_sql()}),
+ts AS ({token_stats_sql()}),
+rs AS ({repetition_stats_sql()}),
+j AS (
+  SELECT d.doc_id, li.lang_pred, ts.n_ws_tokens, qs.quality,
+         rs.dup_line_frac
+  FROM documents d
+  JOIN li ON li.doc_id = d.doc_id
+  JOIN ts ON ts.doc_id = d.doc_id
+  JOIN qs ON qs.doc_id = d.doc_id
+  JOIN rs ON rs.doc_id = d.doc_id
+)
+SELECT doc_id,
+       (CASE WHEN lang_pred NOT IN ({lang_list}) THEN 'lang'
+             WHEN n_ws_tokens < {min_tokens} THEN 'too_short'
+             WHEN quality < {min_quality} THEN 'low_quality'
+             WHEN dup_line_frac > {max_dup_line_frac} THEN 'repetitive'
+             ELSE 'kept' END) = 'kept' AS keep,
+       CASE WHEN lang_pred NOT IN ({lang_list}) THEN 'lang'
+            WHEN n_ws_tokens < {min_tokens} THEN 'too_short'
+            WHEN quality < {min_quality} THEN 'low_quality'
+            WHEN dup_line_frac > {max_dup_line_frac} THEN 'repetitive'
+            ELSE 'kept' END AS reason
+FROM j ORDER BY doc_id
+""".strip()
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """(doc_id, fp) — 64-bit content fingerprint of normalized text
     (lowercased, whitespace collapsed) via xxhash64. Normalization means

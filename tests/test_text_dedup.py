@@ -273,3 +273,48 @@ def test_pii_scrub_oracle_parity(documents):
     )
     oracle_pdf = con.execute(pii_scrub_sql()).df()
     assert spark_pdf.reset_index(drop=True).equals(oracle_pdf.reset_index(drop=True))
+
+
+def test_char_entropy_closed_forms(spark):
+    from centrality_gpu_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # one symbol: H = 0
+            (2, "abab"),          # two equiprobable: H = 1
+            (3, "abcd"),          # four equiprobable: H = 2
+            (4, ""),              # empty: H = 0, n = 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(docs).collect()}
+    assert got[1] == (4, 0.0)
+    assert got[2] == (4, 1.0)
+    assert got[3] == (4, 2.0)
+    assert got[4] == (0, 0.0)
+
+
+def test_quality_filter_reasons_fixed_order(spark):
+    from centrality_gpu_spark.operators.text import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            # German stopwords -> lang fires first even though short
+            (1, "der die das und ist ein zu den von mit"),
+            # English but 3 tokens -> too_short
+            (2, "the cat sat"),
+            # English, long enough, low punct, line dupes -> repetitive
+            (3, " ".join(["the quick brown fox is on a log with zest"] * 2)
+                + "\nsame line\nsame line\nsame line\nsame line"),
+            # healthy English prose -> kept
+            (4, "the quick brown fox jumps over a lazy dog and the band "
+                "plays on with a tune for everyone in the warm evening"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.keep, r.reason) for r in quality_filter(docs).collect()}
+    assert got[1] == (False, "lang")
+    assert got[2] == (False, "too_short")
+    assert got[3][1] in ("repetitive", "low_quality")
+    assert got[3][0] is False
+    assert got[4] == (True, "kept")
