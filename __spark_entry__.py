@@ -146,6 +146,7 @@ from centrality_gpu_spark.operators.hits import (
     hits,
     hits_oracle_sql,
     jaccard_oracle_sql,
+    salsa_oracle_sql,
 )
 from centrality_gpu_spark.operators.anf import (
     anf_oracle_sql,
@@ -701,6 +702,12 @@ def _q_eigenvector_copurchase(spark: SparkSession, sf: str) -> DataFrame:
 HITS_ITERS = 10
 
 
+def _q_salsa_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.hits import salsa
+
+    return salsa(events_directed_edges(spark, sf))
+
+
 def _q_hits_events(spark: SparkSession, sf: str) -> DataFrame:
     h = hits(events_directed_edges(spark, sf), fixed_iterations=HITS_ITERS)
     return h.select(
@@ -1123,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_events": _q_katz_events,
         "harmonic_events": _q_harmonic_events,
         "hits_events": _q_hits_events,
+        "salsa_events": _q_salsa_events,
         "adamic_adar_events": _q_adamic_adar_events,
         "jaccard_events": _q_jaccard_events,
         "assortativity_copurchase": _q_assortativity_copurchase,
@@ -1384,6 +1392,7 @@ FROM orders ORDER BY id
         "hits_events": hits_oracle_sql(
             EVENTS_DIRECTED_CTE, iterations=HITS_ITERS, round_digits=PR_ROUND
         ),
+        "salsa_events": salsa_oracle_sql(EVENTS_DIRECTED_CTE),
         "adamic_adar_events": adamic_adar_oracle_sql(
             EVENTS_EDGES_CTE, min_common=1, round_digits=PR_ROUND
         ),

@@ -323,3 +323,146 @@ JOIN deg dv ON p.v = dv.w
 LEFT JOIN edges e ON p.u = e.src AND p.v = e.dst
 WHERE e.src IS NULL AND p.cn >= {min_common}
 ORDER BY p.u, p.v"""
+
+
+# ------------------------------------------------------------------ SALSA
+
+def salsa(edges: DataFrame, round_digits: int = 8) -> DataFrame:
+    """(id, hub, auth) — EXACT SALSA scores (Lempel & Moran 2001) via
+    the closed form instead of a power iteration: on the authority
+    Markov chain (authority → random in-edge hub → random hub
+    out-edge), in-degree is exactly stationary
+    (Σ_i in(i)·P[i,j] = in(j)), so within each connected component C
+    of the hub–authority support graph
+
+        auth(i) = (|C ∩ A| / |A|) · in(i) / Σ_{j ∈ C ∩ A} in(j)
+
+    with components weighted by their share of authority vertices (the
+    paper's uniform-start interpretation); hub(i) symmetric over
+    out-degrees. Cost: one hash-min CC over the bipartite support
+    (hub/authority roles namespaced onto disjoint node ids — no
+    quadratic co-citation projection) plus degree aggregations. All
+    arithmetic is one integer-ratio division per score, so the DuckDB
+    twin is bit-identical before the final rounding.
+    """
+    from centrality_gpu_spark.graph import Graph as _G
+    from centrality_gpu_spark.operators.components import (
+        connected_components,
+    )
+
+    e = edges.select("src", "dst").distinct().persist()
+    bip = e.select(
+        (F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst")
+    )
+    comp = connected_components(_G.from_undirected_edges(bip))
+    auth_comp = comp.where(F.col("id") % 2 == 1).select(
+        ((F.col("id") - 1) / 2).cast("long").alias("id"), "component"
+    )
+    hub_comp = comp.where(F.col("id") % 2 == 0).select(
+        (F.col("id") / 2).cast("long").alias("id"), "component"
+    )
+    indeg = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    outdeg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+
+    def _side(deg: DataFrame, side_comp: DataFrame, col: str) -> DataFrame:
+        n_side = deg.count()
+        a = deg.join(side_comp, "id")
+        agg = a.groupBy("component").agg(
+            F.count("*").alias("n_c"), F.sum("d").alias("s_c")
+        )
+        return a.join(agg, "component").select(
+            "id",
+            F.round(
+                (F.col("n_c") * F.col("d")).cast("double")
+                / (F.lit(n_side) * F.col("s_c")).cast("double"),
+                round_digits,
+            ).alias(col),
+        )
+
+    auth = _side(indeg, auth_comp, "auth")
+    hub = _side(outdeg, hub_comp, "hub")
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        verts.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
+
+
+def salsa_oracle_sql(dedges_cte: str, round_digits: int = 8) -> str:
+    """DuckDB twin of ``salsa`` (``dedges_cte`` defines
+    ``dedges(src, dst)``, directed, deduped). Output (id, hub, auth)
+    ordered by id."""
+    return f"""WITH RECURSIVE {dedges_cte},
+bip AS (
+  SELECT src * 2 AS a, dst * 2 + 1 AS b FROM dedges
+),
+bverts AS (
+  SELECT DISTINCT id FROM (
+    SELECT a AS id FROM bip UNION ALL SELECT b FROM bip
+  )
+),
+reach(id, l) AS (
+  SELECT id, id FROM bverts
+  UNION
+  SELECT n, r.l FROM reach r
+  JOIN (SELECT a AS m, b AS n FROM bip UNION ALL SELECT b, a FROM bip) u
+    ON u.m = r.id
+),
+comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
+indeg AS (SELECT dst AS id, COUNT(*) AS d FROM dedges GROUP BY dst),
+outdeg AS (SELECT src AS id, COUNT(*) AS d FROM dedges GROUP BY src),
+acomp AS (
+  SELECT (c.id - 1) // 2 AS id, c.component FROM comp c WHERE c.id % 2 = 1
+),
+hcomp AS (
+  SELECT c.id // 2 AS id, c.component FROM comp c WHERE c.id % 2 = 0
+),
+a1 AS (
+  SELECT i.id, i.d, ac.component FROM indeg i JOIN acomp ac ON ac.id = i.id
+),
+aagg AS (
+  SELECT component, COUNT(*) AS n_c, SUM(d) AS s_c FROM a1 GROUP BY component
+),
+auth AS (
+  SELECT a1.id,
+         ROUND(CAST(ag.n_c * a1.d AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM indeg) * ag.s_c AS DOUBLE),
+               {round_digits}) AS auth
+  FROM a1 JOIN aagg ag ON ag.component = a1.component
+),
+h1 AS (
+  SELECT o.id, o.d, hc.component FROM outdeg o JOIN hcomp hc ON hc.id = o.id
+),
+hagg AS (
+  SELECT component, COUNT(*) AS n_c, SUM(d) AS s_c FROM h1 GROUP BY component
+),
+hub AS (
+  SELECT h1.id,
+         ROUND(CAST(hg.n_c * h1.d AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM outdeg) * hg.s_c AS DOUBLE),
+               {round_digits}) AS hub
+  FROM h1 JOIN hagg hg ON hg.component = h1.component
+),
+verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges
+  )
+)
+SELECT v.id, COALESCE(h.hub, 0.0) AS hub, COALESCE(a.auth, 0.0) AS auth
+FROM verts v
+LEFT JOIN hub h ON h.id = v.id
+LEFT JOIN auth a ON a.id = v.id
+ORDER BY v.id"""

@@ -86,3 +86,122 @@ def test_adamic_adar_hub_cap_drops_heavy_wedges(spark):
     capped = {(r.u, r.v) for r in adamic_adar(g, max_neighbor_degree=3).collect()}
     assert (3, 4) in full and (3, 4) not in capped  # only via hub 0
     assert (1, 2) in capped  # still reachable through 6 (degree 2)
+
+
+# ------------------------------------------------------------------ SALSA
+
+def _salsa_numpy(edges, tol=1e-12):
+    """Reference: explicit authority/hub chain power iteration per
+    connected component of the bipartite support, weighted by the
+    component's share of that side's vertices."""
+    import numpy as np
+
+    edges = sorted(set(edges))
+    hubs = sorted({u for u, _ in edges})
+    auths = sorted({v for _, v in edges})
+    out = {h: sum(1 for u, _ in edges if u == h) for h in hubs}
+    inn = {a: sum(1 for _, v in edges if v == a) for a in auths}
+
+    # bipartite components via union-find on (('h',u), ('a',v))
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        parent[find(x)] = find(y)
+
+    for u, v in edges:
+        union(("h", u), ("a", v))
+
+    def chain_scores(side_nodes, step_pairs, side_tag):
+        """step_pairs: list of (i, j, prob) transition summands."""
+        import numpy as np
+
+        comps = {}
+        for n in side_nodes:
+            comps.setdefault(find((side_tag, n)), []).append(n)
+        scores = {}
+        total = len(side_nodes)
+        for members in comps.values():
+            idx = {n: k for k, n in enumerate(members)}
+            P = np.zeros((len(members), len(members)))
+            for i, j, p in step_pairs:
+                if i in idx:
+                    P[idx[i], idx[j]] += p
+            pi = np.full(len(members), 1.0 / len(members))
+            for _ in range(10000):
+                nxt = pi @ P
+                if np.abs(nxt - pi).max() < tol:
+                    pi = nxt
+                    break
+                pi = nxt
+            w = len(members) / total
+            for n in members:
+                scores[n] = w * pi[idx[n]]
+        return scores
+
+    auth_steps = [
+        (v1, v2, 1.0 / (inn[v1] * out[h]))
+        for h, v1 in edges
+        for h2, v2 in edges
+        if h2 == h
+    ]
+    hub_steps = [
+        (h1, h2, 1.0 / (out[h1] * inn[v]))
+        for h1, v in edges
+        for h2, v2 in edges
+        if v2 == v
+    ]
+    return chain_scores(hubs, hub_steps, "h"), chain_scores(auths, auth_steps, "a")
+
+
+def test_salsa_closed_form_k23(spark):
+    from centrality_gpu_spark.operators.hits import salsa
+
+    edges = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in salsa(df).collect()}
+    assert got[1] == (0.5, 0.0) and got[2] == (0.5, 0.0)
+    for a in (10, 11, 12):
+        assert got[a][0] == 0.0
+        assert abs(got[a][1] - 1 / 3) < 1e-8
+
+
+def test_salsa_two_disjoint_stars(spark):
+    from centrality_gpu_spark.operators.hits import salsa
+
+    edges = [(1, 10), (1, 11), (2, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in salsa(df).collect()}
+    # authorities: C1={10,11} share 2/3, in=1 each -> 1/3; C2={12} -> 1/3
+    for a in (10, 11, 12):
+        assert abs(got[a][1] - 1 / 3) < 1e-8
+    # hubs: C1={1} share 1/2 -> 0.5; C2={2} -> 0.5
+    assert got[1][0] == 0.5 and got[2][0] == 0.5
+
+
+@pytest.mark.parametrize("seed", [2, 6])
+def test_salsa_equals_chain_power_iteration(spark, seed):
+    import numpy as np
+
+    from centrality_gpu_spark.operators.hits import salsa
+
+    rng = np.random.default_rng(seed)
+    edges = list(
+        {
+            (int(rng.integers(0, 8)), int(100 + rng.integers(0, 10)))
+            for _ in range(25)
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in salsa(df).collect()}
+    hub_ref, auth_ref = _salsa_numpy(edges)
+    for h, s in hub_ref.items():
+        assert abs(got[h][0] - s) < 1e-6, (h, got[h][0], s)
+    for a, s in auth_ref.items():
+        assert abs(got[a][1] - s) < 1e-6, (a, got[a][1], s)
