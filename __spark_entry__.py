@@ -113,6 +113,7 @@ from centrality_gpu_spark.operators.similarity import (
     kmeans_oracle_sql,
     lsh_oracle_sql,
     lsh_topk,
+    semantic_near_dups_oracle_sql,
 )
 from centrality_gpu_spark.operators.sessions import (
     session_stats,
@@ -1085,6 +1086,14 @@ def _q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_semantic_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.similarity import (
+        semantic_near_duplicates,
+    )
+
+    return semantic_near_duplicates(_embs(spark, sf), tau=0.25, n_cells=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- training-data pipeline ops (documents/embeddings) ---
@@ -1116,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "semantic_near_dups": _q_semantic_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "edges_events": _q_edges_events,
         "edges_copurchase": _q_edges_copurchase,
@@ -1238,6 +1248,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": ivf_oracle_sql(k=5, n_cells=8, nprobe=2, where="vec_id < 200"),
         "kmeans_embeddings": kmeans_oracle_sql(
             n_cells=8, where="vec_id < 200"
+        ),
+        "semantic_near_dups": semantic_near_dups_oracle_sql(
+            tau=0.25, n_cells=8, where="vec_id < 200"
         ),
         "embedding_near_dups": embedding_near_dups_oracle_sql(threshold=0.9),
         "edges_events": f"WITH {EVENTS_EDGES_CTE}\n"

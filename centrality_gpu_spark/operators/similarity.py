@@ -742,3 +742,96 @@ ranked AS (
         + f"\nSELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rk"
         f"\nFROM ranked WHERE rk <= {k} ORDER BY query_id, rk"
     )
+
+
+# --------------------------------------------------------------- SemDeDup
+
+def semantic_near_duplicates(
+    embeddings: DataFrame,
+    tau: float = 0.7,
+    n_cells: int = 8,
+    iterations: int = 5,
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(vec_id_a, vec_id_b, cluster, cos) — SemDeDup-style semantic
+    near-duplicate pairs (Abbas et al. 2023): spherical k-means buckets
+    the corpus into ``n_cells`` semantic cells, then exact pairwise
+    cosine runs ONLY within each cell and keeps pairs with
+    ``cos ≥ tau``.
+
+    The cluster step is what makes this the 100 TB shape: the pair join
+    is per-cell (Σ|c|² work instead of |corpus|², and each cell is an
+    independent join partition), with ``n_cells`` scaled so cells stay
+    task-sized — the same cost argument as the LSH/IVF buckets, but
+    with semantically meaningful cells so the τ filter has high
+    within-bucket yield. Everything JVM-side except the broadcast-GEMM
+    cell assignment; nothing corpus-sized reaches the driver.
+
+    Feed the output to ``operators.dedup.dedup_clusters`` to turn pairs
+    into keep/drop decisions (min-id representative per dup group).
+    """
+    clusters = kmeans_assign(
+        embeddings, n_cells=n_cells, iterations=iterations, seed=seed
+    )
+    unit = with_unit_vectors(embeddings).join(clusters, "vec_id")
+    a = unit.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("unit").alias("ua"),
+    )
+    b = unit.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("unit").alias("ub"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "cluster",
+            F.round(dot, round_digits).alias("cos"),
+        )
+        .where(F.col("cos") >= tau)
+    )
+
+
+def semantic_near_dups_oracle_sql(
+    tau: float = 0.7,
+    n_cells: int = 8,
+    iterations: int = 5,
+    seed: int = 7,
+    sample_rows: int = IVF_MAX_TRAIN_ROWS,
+    dim: int = EMBED_DIM,
+    round_digits: int = 6,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of ``semantic_near_duplicates``: the shared unrolled
+    k-means CTE chain → within-cell pairs → same double dot product →
+    identical τ filter after ROUND. Output ordered (vec_id_a,
+    vec_id_b)."""
+    parts = _kmeans_ctes(n_cells, iterations, seed, sample_rows, dim, where)
+    return (
+        ",\n".join(parts)
+        + f""",
+pairs AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         CAST(a.cell AS INTEGER) AS cluster,
+         ROUND(list_sum([ua.v[i] * ub.v[i] FOR i IN range(1, {dim + 1})]),
+               {round_digits}) AS cos
+  FROM corpus_cells a
+  JOIN corpus_cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN u ua ON ua.vec_id = a.vec_id
+  JOIN u ub ON ub.vec_id = b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cluster, cos
+FROM pairs WHERE cos >= {tau}
+ORDER BY vec_id_a, vec_id_b"""
+    )

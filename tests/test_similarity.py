@@ -226,3 +226,71 @@ def test_kmeans_assign_matches_numpy_reference(spark):
     # deterministic across invocations
     again = {r.vec_id: r.cluster for r in kmeans_assign(df, n_cells=8).collect()}
     assert again == got
+
+
+def test_semantic_near_duplicates_clustered(spark):
+    """SemDeDup on planted clusters: the output must be EXACTLY the
+    co-cell >=tau pair set (the operator's contract), with cosines
+    matching numpy, and must recover at least one full planted
+    cluster's pairs (recall floor — the semantic cells exist to give
+    the tau filter high within-bucket yield)."""
+    from centrality_gpu_spark.operators.similarity import (
+        kmeans_assign,
+        semantic_near_duplicates,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = rng.standard_normal(64)
+        center /= np.linalg.norm(center)
+        for _ in range(6):
+            v = center + 0.02 * rng.standard_normal(64)
+            rows.append((vid, v.astype("float32").tolist(), c))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tau = 0.9
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    cells = {r.vec_id: r.cluster
+             for r in kmeans_assign(df, n_cells=4).collect()}
+    expected = {
+        (i, j): sims[i, j]
+        for i in range(vid)
+        for j in range(i + 1, vid)
+        if round(sims[i, j], 6) >= tau and cells[i] == cells[j]
+    }
+
+    got = {
+        (r.vec_id_a, r.vec_id_b): r.cos
+        for r in semantic_near_duplicates(df, tau=tau, n_cells=4).collect()
+    }
+    assert set(got) == set(expected)
+    for k, cos in got.items():
+        assert cos == pytest.approx(expected[k], abs=1e-5)
+    # recall floor: >=2 of the 4 planted clusters land intact in one
+    # cell each (15 pairs per intact cluster of 6)
+    assert len(got) >= 30
+
+
+def test_semantic_near_duplicates_no_cross_cell_pairs(spark, embeddings):
+    """Pairs only ever form within a cell, and every reported pair
+    clears tau — the per-cell join is the contract that keeps the
+    pair join sub-quadratic at scale."""
+    from centrality_gpu_spark.operators.similarity import (
+        kmeans_assign,
+        semantic_near_duplicates,
+    )
+
+    cells = {r.vec_id: r.cluster
+             for r in kmeans_assign(embeddings, n_cells=8).collect()}
+    out = semantic_near_duplicates(embeddings, tau=0.2, n_cells=8).collect()
+    assert out, "tau=0.2 on sf0.01 embeddings should yield pairs"
+    for r in out:
+        assert r.vec_id_a < r.vec_id_b
+        assert cells[r.vec_id_a] == cells[r.vec_id_b] == r.cluster
+        assert r.cos >= 0.2
