@@ -115,6 +115,14 @@ from centrality_gpu_spark.operators.similarity import (
     lsh_topk,
     semantic_near_dups_oracle_sql,
 )
+from centrality_gpu_spark.operators.lm import (
+    dsir_oracle_sql,
+    dsir_weights,
+    duplicate_ngram_fraction,
+    duplicate_ngram_oracle_sql,
+    perplexity,
+    perplexity_oracle_sql,
+)
 from centrality_gpu_spark.operators.sessions import (
     session_stats,
     session_stats_oracle_sql,
@@ -1045,6 +1053,22 @@ def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf), threshold=0.5)
 
 
+DSIR_TARGET_WHERE = "doc_id % 5 = 0"  # deterministic "wanted domain" slice
+
+
+def _q_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    return perplexity(_docs(spark, sf))
+
+
+def _q_duplicate_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    return duplicate_ngram_fraction(_docs(spark, sf), n=5)
+
+
+def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    return dsir_weights(docs, docs.where(DSIR_TARGET_WHERE))
+
+
 def _q_session_stats_events(spark: SparkSession, sf: str) -> DataFrame:
     return session_stats(spark.read.parquet(f"{sf}/events.parquet"))
 
@@ -1104,6 +1128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": _q_ngram_contamination,
         "stratified_sample": _q_stratified_sample,
         "quality_score": _q_quality,
+        # corpus-distribution signals (corpus-trained unigram LM /
+        # corpus gram counts / target-vs-raw DSIR buckets):
+        "perplexity": _q_perplexity,
+        "duplicate_ngrams": _q_duplicate_ngrams,
+        "dsir_weights": _q_dsir_weights,
         "char_entropy": _q_char_entropy,
         "quality_filter": _q_quality_filter,
         "language_id": _q_langid,
@@ -1230,6 +1259,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination": ngram_contamination_sql(CONTAM_EVAL_SOURCE, n=3),
         "stratified_sample": stratified_sample_sql(fraction=0.3),
         "quality_score": quality_score_sql(),
+        "perplexity": perplexity_oracle_sql(),
+        "duplicate_ngrams": duplicate_ngram_oracle_sql(n=5),
+        "dsir_weights": dsir_oracle_sql(DSIR_TARGET_WHERE),
         "char_entropy": char_entropy_sql(),
         "quality_filter": quality_filter_sql(),
         "language_id": language_id_sql(),
