@@ -66,6 +66,10 @@ from centrality_gpu_spark.operators.closeness import (
     harmonic_apsp_oracle_sql,
 )
 from centrality_gpu_spark.operators.corpus import (
+    curate_corpus,
+    curate_corpus_sql,
+    curation_funnel,
+    curation_funnel_sql,
     ngram_contamination,
     ngram_contamination_sql,
     stratified_sample,
@@ -1004,6 +1008,14 @@ def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(_docs(spark, sf), fraction=0.3)
 
 
+def _q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    return curate_corpus(_docs(spark, sf), CONTAM_EVAL_SOURCE, fraction=0.5)
+
+
+def _q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    return curation_funnel(_docs(spark, sf), CONTAM_EVAL_SOURCE, fraction=0.5)
+
+
 def _q_eccentricity_events(spark: SparkSession, sf: str) -> DataFrame:
     return eccentricity(events_graph(spark, sf))
 
@@ -1127,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "ngram_contamination": _q_ngram_contamination,
         "stratified_sample": _q_stratified_sample,
+        "curate_corpus": _q_curate_corpus,
+        "curation_funnel": _q_curation_funnel,
         "quality_score": _q_quality,
         # corpus-distribution signals (corpus-trained unigram LM /
         # corpus gram counts / target-vs-raw DSIR buckets):
@@ -1258,6 +1272,8 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": strip_boilerplate_sql(min_docs=2),
         "ngram_contamination": ngram_contamination_sql(CONTAM_EVAL_SOURCE, n=3),
         "stratified_sample": stratified_sample_sql(fraction=0.3),
+        "curate_corpus": curate_corpus_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
+        "curation_funnel": curation_funnel_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
         "quality_score": quality_score_sql(),
         "perplexity": perplexity_oracle_sql(),
         "duplicate_ngrams": duplicate_ngram_oracle_sql(n=5),

@@ -281,3 +281,202 @@ SELECT doc_id, source FROM ranked
 WHERE rnk <= CEIL({fraction} * n_src)
 ORDER BY doc_id
 """.strip()
+
+
+# ------------------------------------------------- end-to-end curation
+
+import re as _re
+
+
+def _retarget(sql: str, new_source: str) -> str:
+    """Re-point a DuckDB twin that reads the ``documents`` view at a
+    differently-named relation (a CTE holding a filtered survivor set).
+
+    Word-boundary replace of the table name only — the twins never use
+    'documents' as a CTE name, alias, or string literal, which
+    ``curate_corpus_sql``'s own parity test pins.
+    """
+    return _re.sub(r"\bdocuments\b", new_source, sql)
+
+
+def curate_corpus(
+    documents: DataFrame,
+    eval_source: str,
+    fraction: float = 0.5,
+    dedup_threshold: float = 0.5,
+    contam_n: int = 3,
+    seed: str = "corpus",
+) -> DataFrame:
+    """(doc_id, decision, kept) — the END-TO-END curation pipeline over
+    every training document (``source != eval_source``), composing the
+    four oracle-checked stages in the canonical order a pretraining
+    corpus build runs them (Rae et al. 2021 §A.2; Brown et al. 2020
+    §C; Penedo et al. 2023 RefinedWeb fig. 2):
+
+      1. quality gate   (``quality_filter``: lang -> too_short ->
+                         low_quality -> repetitive, first rule names it)
+      2. near-dedup     (``dedup_clusters``: MinHash LSH pairs -> CC ->
+                         min-id representative per cluster)
+      3. decontaminate  (``ngram_contamination`` vs the *full* eval
+                         split — eval docs are never themselves curated)
+      4. subsample      (``stratified_sample``: exact md5-ranked
+                         per-source top-fraction)
+
+    ``decision`` is the FIRST stage that dropped the doc
+    ('quality:<reason>' | 'duplicate' | 'contaminated' |
+    'not_sampled') or 'kept'; ``kept`` is the 0/1 survival flag.
+    Per-decision counts (``curation_funnel``) are the drop accounting
+    every corpus build reports.
+
+    Scale shape: each stage only ever sees the previous stage's
+    survivors (the expensive LSH dedup runs *after* the cheap quality
+    gate drops the junk — the standard funnel ordering), every stage is
+    the engine's own scale path, and the composition adds only
+    broadcast-able doc_id survivor joins between stages.
+    """
+    from centrality_gpu_spark.operators.dedup import dedup_clusters
+    from centrality_gpu_spark.operators.text import quality_filter
+
+    train = documents.where(F.col("source") != eval_source)
+    qf = quality_filter(train).select(
+        "doc_id", F.col("keep").alias("q_keep"), F.col("reason").alias("q_reason")
+    )
+    docs_q = train.join(
+        qf.where(F.col("q_keep")).select("doc_id"), "doc_id"
+    )
+    dc = dedup_clusters(docs_q, threshold=dedup_threshold).select(
+        "doc_id", F.col("keep").alias("d_keep")
+    )
+    docs_d = docs_q.join(
+        dc.where(F.col("d_keep") == 1).select("doc_id"), "doc_id"
+    )
+    # eval grams always come from the full eval split, not a curated one
+    ct = ngram_contamination(
+        docs_d.unionByName(documents.where(F.col("source") == eval_source)),
+        eval_source,
+        n=contam_n,
+    ).select("doc_id", "contaminated")
+    docs_c = docs_d.join(
+        ct.where(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    samp = stratified_sample(docs_c, fraction, seed=seed).select(
+        "doc_id", F.lit(1).alias("sampled")
+    )
+    decision = (
+        F.when(~F.col("q_keep"), F.concat(F.lit("quality:"), F.col("q_reason")))
+        .when(F.col("d_keep") == 0, F.lit("duplicate"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("sampled").isNull(), F.lit("not_sampled"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        train.select("doc_id")
+        .join(qf, "doc_id", "left")
+        .join(dc, "doc_id", "left")
+        .join(ct, "doc_id", "left")
+        .join(samp, "doc_id", "left")
+        .select(
+            "doc_id",
+            decision.alias("decision"),
+            F.coalesce(F.col("sampled"), F.lit(0)).cast("int").alias("kept"),
+        )
+    )
+
+
+def curation_funnel(
+    documents: DataFrame,
+    eval_source: str,
+    fraction: float = 0.5,
+    dedup_threshold: float = 0.5,
+    contam_n: int = 3,
+    seed: str = "corpus",
+) -> DataFrame:
+    """(decision, n_docs) — per-decision drop accounting of
+    ``curate_corpus`` (one row per observed decision)."""
+    return (
+        curate_corpus(
+            documents, eval_source, fraction, dedup_threshold, contam_n, seed
+        )
+        .groupBy("decision")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def curate_corpus_sql(
+    eval_source: str,
+    fraction: float = 0.5,
+    dedup_threshold: float = 0.5,
+    contam_n: int = 3,
+    seed: str = "corpus",
+) -> str:
+    """DuckDB twin of ``curate_corpus`` — the four stage twins chained
+    through survivor CTEs (each retargeted at the previous stage's
+    survivors), then the same first-drop CASE."""
+    from centrality_gpu_spark.operators.dedup import dedup_clusters_oracle_sql
+    from centrality_gpu_spark.operators.text import quality_filter_sql
+
+    qf_sql = _retarget(quality_filter_sql(), "train")
+    dc_sql = _retarget(
+        dedup_clusters_oracle_sql(threshold=dedup_threshold), "docs_q"
+    )
+    ct_sql = _retarget(
+        ngram_contamination_sql(eval_source, n=contam_n), "ct_input"
+    )
+    samp_sql = _retarget(stratified_sample_sql(fraction, seed=seed), "docs_c")
+    # MATERIALIZED throughout: each survivor CTE is referenced by the
+    # next stage AND the final left-join fan; letting DuckDB re-inline
+    # them re-runs the whole upstream pipeline per reference
+    # (exponentially for the recursive dedup closure).
+    return f"""
+WITH train AS MATERIALIZED (
+  SELECT * FROM documents WHERE source <> '{eval_source}'
+),
+qf AS MATERIALIZED ({qf_sql}),
+docs_q AS MATERIALIZED (
+  SELECT d.* FROM train d JOIN qf ON qf.doc_id = d.doc_id WHERE qf.keep
+),
+dc AS MATERIALIZED ({dc_sql}),
+docs_d AS MATERIALIZED (
+  SELECT d.* FROM docs_q d JOIN dc ON dc.doc_id = d.doc_id WHERE dc.keep = 1
+),
+ct_input AS MATERIALIZED (
+  SELECT * FROM docs_d
+  UNION ALL SELECT * FROM documents WHERE source = '{eval_source}'
+),
+ct AS MATERIALIZED ({ct_sql}),
+docs_c AS MATERIALIZED (
+  SELECT d.* FROM docs_d d
+  JOIN ct ON ct.doc_id = d.doc_id WHERE NOT ct.contaminated
+),
+samp AS MATERIALIZED ({samp_sql})
+SELECT t.doc_id,
+       CASE WHEN NOT qf.keep THEN 'quality:' || qf.reason
+            WHEN dc.keep = 0 THEN 'duplicate'
+            WHEN ct.contaminated THEN 'contaminated'
+            WHEN s.doc_id IS NULL THEN 'not_sampled'
+            ELSE 'kept' END AS decision,
+       CAST(s.doc_id IS NOT NULL AS INTEGER) AS kept
+FROM train t
+LEFT JOIN qf ON qf.doc_id = t.doc_id
+LEFT JOIN dc ON dc.doc_id = t.doc_id
+LEFT JOIN ct ON ct.doc_id = t.doc_id
+LEFT JOIN samp s ON s.doc_id = t.doc_id
+ORDER BY t.doc_id
+""".strip()
+
+
+def curation_funnel_sql(
+    eval_source: str,
+    fraction: float = 0.5,
+    dedup_threshold: float = 0.5,
+    contam_n: int = 3,
+    seed: str = "corpus",
+) -> str:
+    """DuckDB twin of ``curation_funnel``."""
+    inner = curate_corpus_sql(
+        eval_source, fraction, dedup_threshold, contam_n, seed
+    )
+    return (
+        f"SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_docs\n"
+        f"FROM ({inner}) GROUP BY decision ORDER BY decision"
+    )

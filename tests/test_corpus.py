@@ -130,3 +130,93 @@ def test_oracle_parity_real_docs(spark, spark_fn, sql):
         for row in con.execute(sql).df().itertuples(index=False, name=None)
     )
     assert spark_rows == oracle_rows
+
+
+# ----------------------------------------------- end-to-end curation
+
+from centrality_gpu_spark.operators.corpus import (
+    curate_corpus,
+    curate_corpus_sql,
+    curation_funnel,
+    curation_funnel_sql,
+)
+
+GOOD_A = (
+    "the cat and the dog walk to the park in the morning with a friend of mine"
+)
+GOOD_B = "a story of the sea and the wind to sail in with hope for the crew"
+CONTAM = "the spaceship lands on a red planet to explore the canyon of dust"
+EVAL_DOC = "report on a red planet mission"
+SHORT = "the tiny one"
+GERMAN = "der die das und ist ein zu den von mit"
+
+
+def test_curate_corpus_first_drop_ordering(spark):
+    rows = [
+        (1, GOOD_A, "en", "train", 0),
+        (2, GOOD_A, "en", "train", 0),      # exact near-dup of 1
+        (3, GERMAN, "de", "train", 0),      # fails lang
+        (4, CONTAM, "en", "train", 0),      # shares "on a red" with eval
+        (5, GOOD_B, "en", "train", 0),
+        (6, SHORT, "en", "train", 0),       # too short
+        (7, SHORT, "en", "train", 0),       # too short AND dup of 6:
+                                            # quality fires first
+        (8, EVAL_DOC, "en", "eval", 0),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        r.doc_id: (r.decision, r.kept)
+        for r in curate_corpus(docs, "eval", fraction=1.0).collect()
+    }
+    assert got == {
+        1: ("kept", 1),
+        2: ("duplicate", 0),
+        3: ("quality:lang", 0),
+        4: ("contaminated", 0),
+        5: ("kept", 1),
+        6: ("quality:too_short", 0),
+        7: ("quality:too_short", 0),  # NOT 'duplicate' — stage order
+    }
+    funnel = {
+        r.decision: r.n_docs
+        for r in curation_funnel(docs, "eval", fraction=1.0).collect()
+    }
+    assert funnel == {
+        "kept": 2,
+        "duplicate": 1,
+        "quality:lang": 1,
+        "contaminated": 1,
+        "quality:too_short": 2,
+    }
+
+
+@pytest.mark.parametrize(
+    "spark_fn,sql",
+    [
+        (
+            lambda d: curate_corpus(d, "src0", fraction=0.5),
+            curate_corpus_sql("src0", fraction=0.5),
+        ),
+        (
+            lambda d: curation_funnel(d, "src0", fraction=0.5),
+            curation_funnel_sql("src0", fraction=0.5),
+        ),
+    ],
+    ids=["curate_corpus", "curation_funnel"],
+)
+def test_curate_oracle_parity_real_docs(spark, spark_fn, sql):
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    spark_rows = sorted(
+        tuple(str(x) for x in row)
+        for row in spark_fn(docs).toPandas().itertuples(index=False, name=None)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_MED}/documents.parquet')"
+    )
+    oracle_rows = sorted(
+        tuple(str(x) for x in row)
+        for row in con.execute(sql).df().itertuples(index=False, name=None)
+    )
+    assert spark_rows == oracle_rows
