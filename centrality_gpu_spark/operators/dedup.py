@@ -236,17 +236,17 @@ def minhash_signatures(
     return sh.select("doc_id", sig.alias("sig"))
 
 
-def minhash_candidates(
-    documents: DataFrame,
+def band_buckets(
+    sigs: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
-    n: int = DEFAULT_NGRAM,
     hash_mode: str = "md5",
 ) -> DataFrame:
-    """LSH banding: (doc_a, doc_b, est_jaccard) for pairs sharing ≥1
-    band bucket. est_jaccard = fraction of matching signature slots."""
+    """(doc_id, band, bucket) — the LSH band index over signature rows
+    from ``minhash_signatures``. The pair-independent half of the LSH
+    join: batch dedup self-joins it; the streaming accumulator keeps it
+    as its persistent index and probes it with each new batch."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n, hash_mode).persist()
 
     def bucket_of(bi):
         slots = [F.col("sig")[bi * rows + r] for r in range(rows)]
@@ -260,9 +260,22 @@ def minhash_candidates(
             for bi in range(bands)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
+    return sigs.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_NGRAM,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """LSH banding: (doc_a, doc_b, est_jaccard) for pairs sharing ≥1
+    band bucket. est_jaccard = fraction of matching signature slots."""
+    sigs = minhash_signatures(documents, num_hashes, n, hash_mode).persist()
+    buckets = band_buckets(sigs, num_hashes, bands, hash_mode)
     pa = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     pb = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = (
