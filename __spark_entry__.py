@@ -111,8 +111,12 @@ from centrality_gpu_spark.operators.dedup import (
 from centrality_gpu_spark.operators.similarity import (
     cosine_topk_gemm,
     cosine_topk_oracle_sql,
+    embedding_clusters,
+    embedding_clusters_oracle_sql,
     embedding_near_duplicates,
     embedding_near_dups_oracle_sql,
+    knn_graph,
+    knn_graph_oracle_sql,
     ivf_oracle_sql,
     kmeans_oracle_sql,
     lsh_oracle_sql,
@@ -1104,6 +1108,17 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(_embs(spark, sf), k=5)
 
 
+KNN_GRAPH_PARAMS = dict(k=10, n_planes=8, n_tables=6)
+
+
+def _q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    return knn_graph(_embs(spark, sf), **KNN_GRAPH_PARAMS)
+
+
+def _q_embedding_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    return embedding_clusters(_embs(spark, sf), threshold=0.3, **KNN_GRAPH_PARAMS)
+
+
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.similarity import ivf_topk
 
@@ -1166,6 +1181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic ±1-plane LSH (method='expr') — bucket, re-rank,
         # and threshold chain replicated in DuckDB:
         "ann_lsh": _q_ann_lsh,
+        # kNN graph over embeddings + CC clusters on its strong edges
+        # (the embeddings → graph-engine bridge), both replicated:
+        "knn_graph": _q_knn_graph,
+        "embedding_clusters": _q_embedding_clusters,
         "ann_ivf": _q_ann_ivf,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_near_dups": _q_semantic_near_dups,
@@ -1293,6 +1312,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup_clusters_oracle_sql(threshold=0.5),
         "ann_topk": cosine_topk_oracle_sql(k=5, where="vec_id < 200"),
         "ann_lsh": lsh_oracle_sql(k=5, where="vec_id < 200"),
+        "knn_graph": knn_graph_oracle_sql(
+            k=10, n_planes=8, n_tables=6, where="vec_id < 200"
+        ),
+        "embedding_clusters": embedding_clusters_oracle_sql(
+            threshold=0.3, k=10, n_planes=8, n_tables=6, where="vec_id < 200"
+        ),
         "ann_ivf": ivf_oracle_sql(k=5, n_cells=8, nprobe=2, where="vec_id < 200"),
         "kmeans_embeddings": kmeans_oracle_sql(
             n_cells=8, where="vec_id < 200"

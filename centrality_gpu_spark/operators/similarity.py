@@ -835,3 +835,153 @@ SELECT vec_id_a, vec_id_b, cluster, cos
 FROM pairs WHERE cos >= {tau}
 ORDER BY vec_id_a, vec_id_b"""
     )
+
+
+# ------------------------------------------------------------ kNN graph
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 10,
+    mutual: bool = False,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    method: str = "expr",
+) -> DataFrame:
+    """(src, dst, cos) — the undirected kNN GRAPH over the embedding
+    corpus: an edge per pair where at least one endpoint lists the other
+    in its ANN top-k (``mutual=True`` demands both — the classic
+    mutual-kNN sparsifier that keeps hub vectors from gluing clusters
+    together). src < dst, one row per pair.
+
+    This is the bridge from the embedding half of the engine into the
+    graph half: the output feeds Graph.from_undirected_edges and from
+    there every graph operator (components = clusters, degrees = local
+    density, betweenness = boundary docs, ...). Built on ``lsh_topk``,
+    so the construction cost is the bucketed ANN pass — never the N²
+    all-pairs join.
+    """
+    top = lsh_topk(embeddings, k, n_planes, n_tables, seed, method)
+    e = top.select(
+        F.least("query_id", "neighbor_id").alias("src"),
+        F.greatest("query_id", "neighbor_id").alias("dst"),
+        "cos",
+    )
+    # cos is symmetric (same rounded dot both directions): max = the value
+    agg = e.groupBy("src", "dst").agg(
+        F.count("*").alias("n_dir"), F.max("cos").alias("cos")
+    )
+    if mutual:
+        agg = agg.where(F.col("n_dir") == 2)
+    return agg.select("src", "dst", "cos")
+
+
+def knn_graph_oracle_sql(
+    k: int = 10,
+    mutual: bool = False,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int = EMBED_DIM,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of ``knn_graph(method='expr')``."""
+    mutual_pred = "WHERE n_dir = 2" if mutual else ""
+    return (
+        _lsh_common_sql(n_planes, n_tables, seed, dim, where)
+        + f""",
+e AS (
+  SELECT LEAST(query_id, neighbor_id) AS src,
+         GREATEST(query_id, neighbor_id) AS dst,
+         ROUND(cos, 6) AS cos
+  FROM ranked WHERE rk <= {k}
+),
+g AS (
+  SELECT src, dst, COUNT(*) AS n_dir, MAX(cos) AS cos
+  FROM e GROUP BY src, dst
+)
+SELECT src, dst, cos FROM g {mutual_pred} ORDER BY src, dst"""
+    )
+
+
+def embedding_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    k: int = 10,
+    mutual: bool = False,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    method: str = "expr",
+) -> DataFrame:
+    """(vec_id, cluster) — connected components over the kNN graph
+    restricted to edges with cos ≥ threshold; cluster = min vec_id
+    (vectors with no qualifying edge form singletons).
+
+    The graph-based sibling of ``semantic_near_duplicates``: instead of
+    k-means cells, transitive closure over strong ANN edges — the
+    standard agglomerative corpus-clustering step of an embedding-dedup
+    pipeline. Both stages are the engine's own scale paths (bucketed
+    ANN + pointer-jumping CC).
+    """
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.components import connected_components
+
+    edges = knn_graph(
+        embeddings, k, mutual, n_planes, n_tables, seed, method
+    ).where(F.col("cos") >= threshold)
+    comp = connected_components(
+        Graph.from_undirected_edges(edges.select("src", "dst"))
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("cluster"),
+        )
+    )
+
+
+def embedding_clusters_oracle_sql(
+    threshold: float = 0.5,
+    k: int = 10,
+    mutual: bool = False,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int = EMBED_DIM,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of ``embedding_clusters``: the knn_graph CTEs + a
+    recursive min-label closure over the thresholded edges."""
+    mutual_pred = "AND n_dir = 2" if mutual else ""
+    common = _lsh_common_sql(n_planes, n_tables, seed, dim, where)
+    assert common.startswith("WITH ")
+    return (
+        "WITH RECURSIVE "
+        + common.removeprefix("WITH ")
+        + f""",
+e AS (
+  SELECT LEAST(query_id, neighbor_id) AS src,
+         GREATEST(query_id, neighbor_id) AS dst,
+         ROUND(cos, 6) AS cos
+  FROM ranked WHERE rk <= {k}
+),
+g AS (
+  SELECT src, dst, COUNT(*) AS n_dir, MAX(cos) AS cos
+  FROM e GROUP BY src, dst
+),
+pairs AS (SELECT src, dst FROM g WHERE cos >= {threshold} {mutual_pred}),
+sym AS (
+  SELECT src AS a, dst AS b FROM pairs
+  UNION ALL SELECT dst, src FROM pairs
+),
+reach(id, l) AS (
+  SELECT vec_id, vec_id FROM src
+  UNION
+  SELECT s.b, r.l FROM reach r JOIN sym s ON s.a = r.id
+)
+SELECT id AS vec_id, MIN(l) AS cluster FROM reach GROUP BY id
+ORDER BY vec_id"""
+    )

@@ -1,6 +1,7 @@
 """Similarity search: GEMM and LSH modes vs the SQL brute-force
 baseline and a direct numpy computation."""
 
+import duckdb
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -294,3 +295,98 @@ def test_semantic_near_duplicates_no_cross_cell_pairs(spark, embeddings):
         assert r.vec_id_a < r.vec_id_b
         assert cells[r.vec_id_a] == cells[r.vec_id_b] == r.cluster
         assert r.cos >= 0.2
+
+
+# ------------------------------------------------------------ kNN graph
+
+from centrality_gpu_spark.operators.similarity import (
+    embedding_clusters,
+    embedding_clusters_oracle_sql,
+    knn_graph,
+    knn_graph_oracle_sql,
+)
+
+KNN_KW = dict(k=10, n_planes=8, n_tables=6)
+
+
+def test_knn_graph_structure(spark, embeddings):
+    union = knn_graph(embeddings, **KNN_KW)
+    mutual = knn_graph(embeddings, mutual=True, **KNN_KW)
+    u = {(r.src, r.dst): r.cos for r in union.collect()}
+    m = {(r.src, r.dst): r.cos for r in mutual.collect()}
+    assert len(u) > 0 and len(m) > 0
+    # src < dst, one row per pair, mutual edge-set is a subset of union
+    assert all(a < b for a, b in u)
+    assert set(m) < set(u)
+    assert all(u[p] == m[p] for p in m)
+    # every mutual edge means BOTH endpoints ranked the other in top-k:
+    # check via the underlying top-k lists
+    from centrality_gpu_spark.operators.similarity import lsh_topk
+
+    top = lsh_topk(embeddings, k=10, n_planes=8, n_tables=6)
+    lists = {(r.query_id, r.neighbor_id) for r in top.collect()}
+    for a, b in m:
+        assert (a, b) in lists and (b, a) in lists
+    for a, b in set(u) - set(m):
+        assert ((a, b) in lists) != ((b, a) in lists)
+
+
+def test_embedding_clusters_partition(spark, embeddings):
+    cl = embedding_clusters(embeddings, threshold=0.3, **KNN_KW)
+    rows = {r.vec_id: r.cluster for r in cl.collect()}
+    assert len(rows) == embeddings.count()  # every vector labeled
+    # cluster label = min member id
+    by_cluster = {}
+    for v, c in rows.items():
+        by_cluster.setdefault(c, []).append(v)
+    assert all(c == min(vs) for c, vs in by_cluster.items())
+    # edges with cos >= threshold connect same-cluster endpoints
+    strong = knn_graph(embeddings, **KNN_KW).where("cos >= 0.3")
+    for r in strong.collect():
+        assert rows[r.src] == rows[r.dst]
+
+
+@pytest.mark.parametrize(
+    "spark_fn,sql",
+    [
+        (
+            lambda d: knn_graph(d, **KNN_KW),
+            knn_graph_oracle_sql(
+                k=10, n_planes=8, n_tables=6, where="vec_id < 200"
+            ),
+        ),
+        (
+            lambda d: knn_graph(d, mutual=True, **KNN_KW),
+            knn_graph_oracle_sql(
+                k=10, mutual=True, n_planes=8, n_tables=6,
+                where="vec_id < 200",
+            ),
+        ),
+        (
+            lambda d: embedding_clusters(d, threshold=0.3, **KNN_KW),
+            embedding_clusters_oracle_sql(
+                threshold=0.3, k=10, n_planes=8, n_tables=6,
+                where="vec_id < 200",
+            ),
+        ),
+    ],
+    ids=["knn_union", "knn_mutual", "embedding_clusters"],
+)
+def test_knn_oracle_parity(spark, spark_fn, sql):
+    df = spark.read.parquet(f"{SF_MED}/embeddings.parquet").where(
+        "vec_id < 200"
+    )
+    got = sorted(
+        tuple(str(x) for x in row)
+        for row in spark_fn(df).toPandas().itertuples(index=False, name=None)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_MED}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(str(x) for x in row)
+        for row in con.execute(sql).df().itertuples(index=False, name=None)
+    )
+    assert got == want
