@@ -163,6 +163,8 @@ from centrality_gpu_spark.operators.hits import (
     hits,
     hits_oracle_sql,
     jaccard_oracle_sql,
+    preferential_attachment_oracle_sql,
+    resource_allocation_oracle_sql,
     salsa_oracle_sql,
 )
 from centrality_gpu_spark.operators.anf import (
@@ -745,6 +747,18 @@ def _q_jaccard_events(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_link_prediction(events_graph(spark, sf), min_common=1)
 
 
+def _q_resource_allocation_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.hits import resource_allocation
+
+    return resource_allocation(events_graph(spark, sf), min_common=1)
+
+
+def _q_pref_attachment_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.hits import preferential_attachment
+
+    return preferential_attachment(events_graph(spark, sf), min_common=1)
+
+
 def _q_assortativity_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.stats import degree_assortativity
 
@@ -1205,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salsa_events": _q_salsa_events,
         "adamic_adar_events": _q_adamic_adar_events,
         "jaccard_events": _q_jaccard_events,
+        "resource_allocation_events": _q_resource_allocation_events,
+        "pref_attachment_events": _q_pref_attachment_events,
         "assortativity_copurchase": _q_assortativity_copurchase,
         "graph_summary_copurchase": _q_graph_summary_copurchase,
         "edge_support_copurchase": _q_edge_support_copurchase,
@@ -1496,6 +1512,12 @@ FROM orders ORDER BY id
             round_digits=PR_ROUND,
         ),
         "jaccard_events": jaccard_oracle_sql(EVENTS_EDGES_CTE, min_common=1),
+        "resource_allocation_events": resource_allocation_oracle_sql(
+            EVENTS_EDGES_CTE, min_common=1
+        ),
+        "pref_attachment_events": preferential_attachment_oracle_sql(
+            EVENTS_EDGES_CTE, min_common=1
+        ),
         "assortativity_copurchase": assortativity_oracle_sql(
             COPURCHASE_EDGES_CTE
         ),

@@ -325,6 +325,154 @@ WHERE e.src IS NULL AND p.cn >= {min_common}
 ORDER BY p.u, p.v"""
 
 
+# ------------------------------------------- RA + PA link prediction
+
+def resource_allocation(
+    graph: Graph,
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Resource-allocation index (Zhou, Lu, Zhang 2009) for
+    NON-adjacent pairs: (u, v, cn, score) with u < v,
+    score = Sum_w 1/deg(w) over common neighbors w.
+
+    Same hub-capped wedge join as ``adamic_adar`` (RA is AA with 1/d in
+    place of 1/ln d — it punishes hub-mediated similarity harder, which
+    is why it wins on power-law graphs)."""
+    adj = graph.edges.select("src", "dst")
+    degw = graph.degrees().select(
+        F.col("id").alias("w"), F.col("degree").alias("deg_w")
+    )
+    if max_neighbor_degree is not None:
+        degw = degw.where(F.col("deg_w") <= max_neighbor_degree)
+    left = adj.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    right = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = (
+        left.join(degw, "w")
+        .join(right, "w")
+        .where(F.col("u") < F.col("v"))
+    )
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("cn"),
+        F.sum(1.0 / F.col("deg_w").cast("double")).alias("score"),
+    )
+    non_adjacent = pairs.join(
+        adj,
+        (pairs.u == adj.src) & (pairs.v == adj.dst),
+        "left_anti",
+    )
+    return non_adjacent.where(F.col("cn") >= min_common).select(
+        "u", "v", "cn", F.round("score", 8).alias("score")
+    )
+
+
+def resource_allocation_oracle_sql(
+    edges_cte: str,
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+    round_digits: int = 8,
+) -> str:
+    """DuckDB twin of ``resource_allocation``."""
+    cap = (
+        f"AND d.deg_w <= {max_neighbor_degree}"
+        if max_neighbor_degree is not None
+        else ""
+    )
+    return f"""WITH {edges_cte},
+deg AS (SELECT src AS w, COUNT(*) AS deg_w FROM edges GROUP BY src),
+wedges AS (
+  SELECT l.src AS u, r.dst AS v, d.deg_w
+  FROM edges l
+  JOIN deg d ON l.dst = d.w {cap}
+  JOIN edges r ON r.src = l.dst
+  WHERE l.src < r.dst
+),
+pairs AS (
+  SELECT u, v, COUNT(*) AS cn, SUM(1.0 / deg_w) AS score
+  FROM wedges GROUP BY u, v
+)
+SELECT p.u, p.v, p.cn, ROUND(p.score, {round_digits}) AS score
+FROM pairs p
+LEFT JOIN edges e ON p.u = e.src AND p.v = e.dst
+WHERE e.src IS NULL AND p.cn >= {min_common}
+ORDER BY p.u, p.v"""
+
+
+def preferential_attachment(
+    graph: Graph,
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Preferential-attachment scores for NON-adjacent CANDIDATE pairs:
+    (u, v, cn, score) with u < v, score = deg(u) * deg(v).
+
+    PA over literally all non-adjacent pairs is O(V^2); like every
+    linkpred op here, candidates are restricted to pairs with
+    cn >= min_common common neighbors (the wedge candidate set), which
+    is also where PA is actually consulted as a ranking baseline."""
+    adj = graph.edges.select("src", "dst")
+    degw = graph.degrees().select(
+        F.col("id").alias("w"), F.col("degree").alias("deg_w")
+    )
+    if max_neighbor_degree is not None:
+        degw = degw.where(F.col("deg_w") <= max_neighbor_degree)
+    left = adj.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    right = adj.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = (
+        left.join(degw.select("w"), "w")
+        .join(right, "w")
+        .where(F.col("u") < F.col("v"))
+    )
+    pairs = wedges.groupBy("u", "v").agg(F.count("*").alias("cn"))
+    deg = graph.degrees()
+    du = deg.select(F.col("id").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("degree").alias("dv"))
+    scored = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "cn",
+            (F.col("du") * F.col("dv")).cast("long").alias("score"),
+        )
+    )
+    non_adjacent = scored.join(
+        adj,
+        (scored.u == adj.src) & (scored.v == adj.dst),
+        "left_anti",
+    )
+    return non_adjacent.where(F.col("cn") >= min_common)
+
+
+def preferential_attachment_oracle_sql(
+    edges_cte: str,
+    min_common: int = 1,
+    max_neighbor_degree: int | None = None,
+) -> str:
+    """DuckDB twin of ``preferential_attachment``."""
+    cap = (
+        f"JOIN deg dc ON l.dst = dc.w AND dc.deg_w <= {max_neighbor_degree}"
+        if max_neighbor_degree is not None
+        else ""
+    )
+    return f"""WITH {edges_cte},
+deg AS (SELECT src AS w, COUNT(*) AS deg_w FROM edges GROUP BY src),
+wedges AS (
+  SELECT l.src AS u, r.dst AS v
+  FROM edges l
+  {cap}
+  JOIN edges r ON r.src = l.dst
+  WHERE l.src < r.dst
+),
+pairs AS (SELECT u, v, COUNT(*) AS cn FROM wedges GROUP BY u, v)
+SELECT p.u, p.v, p.cn, CAST(du.deg_w * dv.deg_w AS BIGINT) AS score
+FROM pairs p
+JOIN deg du ON p.u = du.w
+JOIN deg dv ON p.v = dv.w
+LEFT JOIN edges e ON p.u = e.src AND p.v = e.dst
+WHERE e.src IS NULL AND p.cn >= {min_common}
+ORDER BY p.u, p.v"""
+
+
 # ------------------------------------------------------------------ SALSA
 
 def salsa(edges: DataFrame, round_digits: int = 8) -> DataFrame:
