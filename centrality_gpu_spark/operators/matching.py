@@ -52,6 +52,7 @@ def maximal_matching(
     graph: Graph,
     max_rounds: int = MATCHING_MAX_ROUNDS,
     checkpoint: CheckpointManager | None = None,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """(src, dst, round) — the matched pairs (src < dst canonical
     orientation) with the round each pair was claimed in. Every vertex
@@ -59,7 +60,13 @@ def maximal_matching(
     endpoints unmatched (maximality).
 
     Raises RuntimeError if ``max_rounds`` is hit with active edges
-    remaining (never returns a non-maximal matching).
+    remaining (never returns a non-maximal matching) — unless
+    ``allow_partial=True``, which returns the (valid, possibly
+    non-maximal) matching accumulated so far: the multilevel-coarsening
+    caller only needs *a* matching to contract, and the first few
+    rounds claim the bulk of the pairs, so a truncated run buys most of
+    the V-halving at a fraction of the rounds (the standard
+    time/quality knob; Karypis & Kumar run one heuristic pass).
     """
     ckpt = checkpoint or CheckpointManager(graph.spark)
     ea = (
@@ -77,36 +84,53 @@ def maximal_matching(
         ckpt.record(op="maximal_matching", iteration=rnd, changed=n_active)
         if n_active == 0:
             break
-        inc = ea.select(F.col("src").alias("v"), "prio").unionByName(
-            ea.select(F.col("dst").alias("v"), "prio")
+        # mutual-favorite formulation: each vertex picks its
+        # min-priority incident edge (min_by over the exploded
+        # endpoint view), winners are edges picked by BOTH endpoints
+        # (they occur twice in the favorites) — identical output to
+        # the min-join formulation (the priority is a total order:
+        # ties are impossible), but per round it costs one 2E-row
+        # groupBy + one V-row groupBy instead of a 2E-row groupBy
+        # plus two V-sized joins back onto ea
+        inc = ea.select(F.col("src").alias("v"), "src", "dst", "prio").unionByName(
+            ea.select(F.col("dst").alias("v"), "src", "dst", "prio")
         )
-        vmin = inc.groupBy("v").agg(F.min("prio").alias("mprio"))
+        fav = inc.groupBy("v").agg(
+            F.min_by(F.struct("src", "dst"), F.col("prio")).alias("e")
+        )
         winners = (
-            ea.join(
-                vmin.select(F.col("v").alias("src"), F.col("mprio").alias("smin")),
-                "src",
-            )
-            .join(
-                vmin.select(F.col("v").alias("dst"), F.col("mprio").alias("dmin")),
-                "dst",
-            )
-            .where((F.col("prio") == F.col("smin")) & (F.col("prio") == F.col("dmin")))
+            fav.groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+            .agg(F.count("*").alias("nends"))
+            .where(F.col("nends") == 2)
             .select("src", "dst")
         )
-        winners = ckpt.truncate(winners)
+        # lazy truncates: the next round's count() materializes the new
+        # ea AND winners in ONE job instead of three (truncate
+        # docstring's eager=False contract)
+        winners = ckpt.truncate(winners, eager=False)
         matched.append(winners.select("src", "dst", F.lit(rnd).alias("round")))
         mv = (
             winners.select(F.col("src").alias("v"))
             .unionByName(winners.select(F.col("dst").alias("v")))
             .distinct()
         )
+        # winners ≤ V/2 rows and shrinking — broadcast the anti-join side
         ea = ckpt.truncate(
-            ea.join(mv.select(F.col("v").alias("src")), "src", "left_anti")
-            .join(mv.select(F.col("v").alias("dst")), "dst", "left_anti")
-            .select("src", "dst", "prio")
+            ea.join(
+                F.broadcast(mv.select(F.col("v").alias("src"))),
+                "src",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(mv.select(F.col("v").alias("dst"))),
+                "dst",
+                "left_anti",
+            )
+            .select("src", "dst", "prio"),
+            eager=False,
         )
     else:
-        if ea.count() > 0:
+        if not allow_partial and ea.count() > 0:
             raise RuntimeError(
                 f"maximal_matching did not exhaust the edge set in "
                 f"{max_rounds} rounds — raise max_rounds"

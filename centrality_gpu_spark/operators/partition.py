@@ -42,13 +42,22 @@ def _md5_int(col):
 
 
 def partition_graph(
-    graph: Graph, k: int, levels: int = PARTITION_LEVELS
+    graph: Graph, k: int, levels: int = PARTITION_LEVELS,
+    match_rounds: int | None = None,
 ) -> DataFrame:
     """(id, part) — a deterministic k-way assignment of every vertex,
     part ∈ [0, k). ``levels`` coarsening rounds roughly halve V each
     time before assignment; matched pairs land in the same part by
-    construction (they share a coarse representative)."""
+    construction (they share a coarse representative).
+
+    ``match_rounds``: truncate each level's matching to this many
+    local-min rounds (non-maximal, ``allow_partial``) — coarsening only
+    needs *a* matching, and the early rounds claim most pairs, so a
+    small budget buys nearly the same contraction at a fraction of the
+    supersteps. None = run to maximality (the oracle-checked default).
+    """
     from centrality_gpu_spark.operators.matching import (
+        MATCHING_MAX_ROUNDS,
         contract_matching,
         maximal_matching,
     )
@@ -56,10 +65,18 @@ def partition_graph(
     mappings: list[DataFrame] = []
     cur = graph
     for _ in range(levels):
-        m = maximal_matching(cur)
-        coarse, mapping = contract_matching(cur, m)
+        m = maximal_matching(
+            cur,
+            max_rounds=match_rounds or MATCHING_MAX_ROUNDS,
+            allow_partial=match_rounds is not None,
+        )
+        coarse, mapping = contract_matching(cur, m.localCheckpoint())
         mappings.append(mapping.localCheckpoint())
-        cur = Graph.from_symmetric_edges(coarse)
+        # checkpoint the coarse edge table: the next level's matching,
+        # num_edges gate, and the final assignment all re-read it —
+        # without this the whole contraction lineage re-executes per
+        # consumer
+        cur = Graph.from_symmetric_edges(coarse.localCheckpoint())
     # fine id -> coarsest representative
     full = mappings[0]
     for mp in mappings[1:]:
