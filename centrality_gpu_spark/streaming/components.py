@@ -119,6 +119,25 @@ class StreamingComponents:
     def sink(self, batch: DataFrame, batch_id: int) -> None:
         self.update(batch)
 
+    def save(self, root: str, epoch: int = 0) -> None:
+        """Durable epoch of the (id, component) state — see
+        ``streaming.state`` for the resume contract (updates here are
+        idempotent: re-folding a replayed batch is a no-op)."""
+        from centrality_gpu_spark.streaming.state import save_frames
+
+        save_frames(self.spark, root, {"state": self.state}, epoch)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "StreamingComponents":
+        from centrality_gpu_spark.streaming.state import load_frames
+
+        got = load_frames(spark, root, ["state"])
+        if got is None:
+            raise FileNotFoundError(f"no verifiable epoch under {root}")
+        acc = cls(spark)
+        acc.state = got[0]["state"].localCheckpoint()
+        return acc
+
 
 def run_components_stream(
     stream_edges: DataFrame,

@@ -152,6 +152,51 @@ class StreamingMinHashDedup:
     def sink(self, batch: DataFrame, batch_id: int) -> None:
         self.update(batch)
 
+    def save(self, root: str, epoch: int = 0) -> None:
+        """Durable epoch of (bucket index, shingle sets, emitted pairs)
+        — see ``streaming.state`` for the resume contract (doc replays
+        are first-writer-wins no-ops, so re-folding is safe)."""
+        from centrality_gpu_spark.streaming.state import save_frames
+
+        save_frames(
+            self.spark,
+            root,
+            {
+                "buckets": self.buckets,
+                "shingles": self.shingles,
+                "pairs": self.pairs,
+            },
+            epoch,
+            extra={
+                "threshold": self.threshold,
+                "num_hashes": self.num_hashes,
+                "bands": self.bands,
+                "n": self.n,
+                "hash_mode": self.hash_mode,
+            },
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "StreamingMinHashDedup":
+        from centrality_gpu_spark.streaming.state import load_frames
+
+        got = load_frames(spark, root, ["buckets", "shingles", "pairs"])
+        if got is None:
+            raise FileNotFoundError(f"no verifiable epoch under {root}")
+        frames, x = got
+        acc = cls(
+            spark,
+            threshold=float(x["threshold"]),
+            num_hashes=int(x["num_hashes"]),
+            bands=int(x["bands"]),
+            n=int(x["n"]),
+            hash_mode=str(x["hash_mode"]),
+        )
+        acc.buckets = frames["buckets"].localCheckpoint()
+        acc.shingles = frames["shingles"].localCheckpoint()
+        acc.pairs = frames["pairs"].localCheckpoint()
+        return acc
+
 
 def run_dedup_stream(
     stream_docs: DataFrame,

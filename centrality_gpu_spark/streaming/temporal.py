@@ -68,6 +68,33 @@ class StreamingArrival:
     def sink(self, batch: DataFrame, batch_id: int) -> None:
         self.update(batch)
 
+    def save(self, root: str, epoch: int = 0) -> None:
+        """Durable epoch of the (id, arrival) state — see
+        ``streaming.state`` for the resume contract (the min-fixpoint
+        fold is idempotent under batch replay)."""
+        from centrality_gpu_spark.streaming.state import save_frames
+
+        save_frames(
+            self.spark, root, {"state": self.state}, epoch,
+            extra={"round_budget": self.round_budget},
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "StreamingArrival":
+        from centrality_gpu_spark.streaming.state import load_frames
+
+        got = load_frames(spark, root, ["state"])
+        if got is None:
+            raise FileNotFoundError(f"no verifiable epoch under {root}")
+        frames, extra = got
+        acc = cls(
+            spark,
+            spark.createDataFrame([], "id long"),
+            round_budget=int(extra.get("round_budget", BATCH_ROUND_BUDGET)),
+        )
+        acc.state = frames["state"].localCheckpoint()
+        return acc
+
 
 def run_arrival_stream(
     stream_edges: DataFrame,

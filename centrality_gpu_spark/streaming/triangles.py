@@ -88,6 +88,29 @@ class StreamingTriangles:
     def sink(self, batch: DataFrame, batch_id: int) -> None:
         self.update(batch)
 
+    def save(self, root: str, epoch: int = 0) -> None:
+        """Durable epoch of (edge set, running total) — see
+        ``streaming.state`` for the resume contract."""
+        from centrality_gpu_spark.streaming.state import save_frames
+
+        save_frames(
+            self.spark, root, {"edges": self.edges}, epoch,
+            extra={"total": self.total},
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "StreamingTriangles":
+        from centrality_gpu_spark.streaming.state import load_frames
+
+        got = load_frames(spark, root, ["edges"])
+        if got is None:
+            raise FileNotFoundError(f"no verifiable epoch under {root}")
+        frames, extra = got
+        acc = cls(spark)
+        acc.edges = frames["edges"].localCheckpoint()
+        acc.total = int(extra["total"])
+        return acc
+
 
 def run_triangles_stream(
     stream_edges: DataFrame,
