@@ -184,6 +184,60 @@ FROM transcripts GROUP BY conv_id ORDER BY conv_id
 """.strip()
 
 
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """(src_tool, dst_tool, n, p) — the tool-to-tool Markov transition
+    matrix: for consecutive tool-bearing turns within a conversation
+    (under the input_hint's stable (conv_id, turn_idx) ordering),
+    count src→dst handoffs and normalize per source tool
+    (p = n / Σ_dst n, rounded 6 dp; self-transitions included).
+
+    The agent-behavior profile a transcripts pipeline reports next to
+    ``conversation_stats``: which tool follows which. Plan shape: one
+    window shuffle keyed by conv_id (the natural partition key — each
+    conversation's turns are tiny), one (src, dst) groupBy over the
+    transition stream, and a per-source total join that is
+    broadcast-sized (the tool vocabulary is small by construction).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .select(
+            F.col("tool").alias("src_tool"),
+            F.lead("tool").over(w).alias("dst_tool"),
+        )
+        .where(F.col("dst_tool").isNotNull())
+    )
+    trans = seq.groupBy("src_tool", "dst_tool").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = trans.groupBy("src_tool").agg(F.sum("n").alias("t"))
+    return trans.join(F.broadcast(tot), "src_tool").select(
+        "src_tool",
+        "dst_tool",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("p"),
+    )
+
+
+TOOL_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT tool AS src_tool,
+         LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS dst_tool
+  FROM transcripts WHERE tool IS NOT NULL
+),
+trans AS (
+  SELECT src_tool, dst_tool, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE dst_tool IS NOT NULL GROUP BY src_tool, dst_tool
+),
+tot AS (SELECT src_tool, SUM(n) AS t FROM trans GROUP BY src_tool)
+SELECT tr.src_tool, tr.dst_tool, tr.n, ROUND(tr.n / tot.t, 6) AS p
+FROM trans tr JOIN tot USING (src_tool)
+ORDER BY tr.src_tool, tr.dst_tool
+""".strip()
+
+
 def reply_chain_check(transcripts: DataFrame) -> DataFrame:
     """The stable-turn-ordering invariant (input_hint): per-turn text
     must equal ``{conv_id}:{turn_idx}:{role}<suffix>``, and turn_idx

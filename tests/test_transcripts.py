@@ -176,3 +176,68 @@ def test_conversation_stats_vs_duckdb(spark, transcripts, tmp_path):
     assert all(s.n_turns >= s.n_user + s.n_assistant for s in stats.values())
     assert all(s.n_tool_calls >= s.n_distinct_tools for s in stats.values())
     assert all(s.duration_us >= 0 for s in stats.values())
+
+
+def test_tool_transitions_hand_and_duckdb(spark, tmp_path):
+    import duckdb
+
+    from centrality_gpu_spark.sources.transcripts import (
+        TOOL_TRANSITIONS_SQL,
+        tool_transitions,
+    )
+
+    rows = [
+        # conv c1: grep -> edit -> edit ; the user turn between tool
+        # turns must NOT break the chain (tool NULL rows are skipped)
+        ("c1", 0, "assistant", "t", "grep", "2026-01-01T00:00:00"),
+        ("c1", 1, "user", "t", None, "2026-01-01T00:00:01"),
+        ("c1", 2, "assistant", "t", "edit", "2026-01-01T00:00:02"),
+        ("c1", 3, "assistant", "t", "edit", "2026-01-01T00:00:03"),
+        # conv c2: grep -> run ; transitions never cross conversations
+        ("c2", 0, "assistant", "t", "grep", "2026-01-01T00:00:00"),
+        ("c2", 1, "assistant", "t", "run", "2026-01-01T00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, tx, tl, __import__("datetime").datetime.fromisoformat(ts))
+         for c, i, r, tx, tl, ts in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r.src_tool, r.dst_tool): (r.n, r.p)
+        for r in tool_transitions(df).collect()
+    }
+    assert got == {
+        ("grep", "edit"): (1, 0.5),
+        ("grep", "run"): (1, 0.5),
+        ("edit", "edit"): (1, 1.0),
+    }
+    # DuckDB twin parity on the same parquet
+    path = str(tmp_path / "tt.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW transcripts AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(TOOL_TRANSITIONS_SQL).fetchall())
+    assert sorted(tuple(r) for r in tool_transitions(df).collect()) == want
+
+
+def test_tool_transitions_on_synth(spark, transcripts, tmp_path):
+    import duckdb
+
+    from centrality_gpu_spark.sources.transcripts import (
+        TOOL_TRANSITIONS_SQL,
+        tool_transitions,
+    )
+
+    path = str(tmp_path / "transcripts.parquet")
+    transcripts.write.mode("overwrite").parquet(path)
+    got = sorted(tuple(r) for r in tool_transitions(transcripts).collect())
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW transcripts AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(TOOL_TRANSITIONS_SQL).fetchall())
+    assert got == want
