@@ -317,6 +317,14 @@ def _q_lpa_events(spark: SparkSession, sf: str) -> DataFrame:
     return label_propagation(events_graph(spark, sf), max_iterations=LPA_ITERS)
 
 
+def _q_lpa_weighted_events(spark: SparkSession, sf: str) -> DataFrame:
+    # neighbor-weight-majority variant (events weights are exact
+    # integer counts, so the vote sums hash-match DuckDB)
+    return label_propagation(
+        events_graph(spark, sf), max_iterations=LPA_ITERS, weighted=True
+    )
+
+
 def _q_betweenness_events(spark: SparkSession, sf: str) -> DataFrame:
     bc = betweenness_broadcast(events_graph(spark, sf))
     return bc.select("id", F.round("bc", 6).alias("bc"))
@@ -1242,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_copurchase": _q_clustering_copurchase,
         "core_numbers_custorder": _q_core_numbers_custorder,
         "lpa_events": _q_lpa_events,
+        "lpa_weighted_events": _q_lpa_weighted_events,
         # flagship centralities, oracle-checked on the star forest
         # (closed-form SQL), both physical strategies:
         "betweenness_custorder": _q_betweenness_custorder,
@@ -1423,6 +1432,9 @@ SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS id, CAST(1 AS INTEGER) AS core
 FROM orders ORDER BY id
 """.strip(),
         "lpa_events": lpa_oracle_sql(EVENTS_EDGES_CTE, iterations=LPA_ITERS),
+        "lpa_weighted_events": lpa_oracle_sql(
+            EVENTS_EDGES_CTE, iterations=LPA_ITERS, weighted=True
+        ),
         # unrolled-APSP oracles (recursive-walk distances + per-level
         # sigma unroll + pair-dependency sum; diameter(sf0.01 events)=2,
         # unrolled to 8 for margin):

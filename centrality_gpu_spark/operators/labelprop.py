@@ -27,12 +27,22 @@ def label_propagation(
     graph: Graph,
     max_iterations: int = 20,
     checkpoint: CheckpointManager | None = None,
+    weighted: bool = False,
+    self_weight: float = 1.0,
 ) -> DataFrame:
-    """Return (id, label) after convergence or ``max_iterations``."""
+    """Return (id, label) after convergence or ``max_iterations``.
+
+    ``weighted=True``: votes carry the incident edge weight instead of
+    1 (the self-vote carries ``self_weight``) — neighbor-majority
+    becomes neighbor-weight-majority. Vote sums stay engine-exact when
+    weights are integers or binary fractions (the testdata contract
+    every weighted operator here relies on), so the weighted mode is
+    oracle-checkable like the unweighted one.
+    """
     ckpt = checkpoint or CheckpointManager(graph.spark)
     edges = graph.edges_by_src()  # src-partitioned: only labels shuffle per iter
 
-    name = "labelprop"
+    name = "labelprop_w" if weighted else "labelprop"
     start_iter = 0
     resumed = ckpt.latest_epoch(name)
     if resumed is not None:
@@ -43,11 +53,18 @@ def label_propagation(
         labels = ckpt.truncate(labels)
 
     for it in range(start_iter, max_iterations):
-        neighbor_votes = edges.join(labels, edges.src == labels.id).select(
-            F.col("dst").alias("id"), "label"
+        wcol = (
+            F.col("weight").cast("double") if weighted else F.lit(1.0)
         )
-        votes = neighbor_votes.unionByName(labels.select("id", "label"))
-        counts = votes.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        neighbor_votes = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), "label", wcol.alias("wt")
+        )
+        votes = neighbor_votes.unionByName(
+            labels.select(
+                "id", "label", F.lit(float(self_weight)).alias("wt")
+            )
+        )
+        counts = votes.groupBy("id", "label").agg(F.sum("wt").alias("cnt"))
         new_labels = counts.groupBy("id").agg(
             F.max_by(
                 "label", F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
@@ -69,7 +86,12 @@ def label_propagation(
     return labels
 
 
-def lpa_oracle_sql(edges_cte: str, iterations: int) -> str:
+def lpa_oracle_sql(
+    edges_cte: str,
+    iterations: int,
+    weighted: bool = False,
+    self_weight: float = 1.0,
+) -> str:
     """DuckDB SQL computing the *identical* synchronous LPA recurrence
     by unrolling ``iterations`` rounds (same pattern as
     ``pagerank_oracle_sql``; recursive CTEs can't aggregate per step in
@@ -84,6 +106,7 @@ def lpa_oracle_sql(edges_cte: str, iterations: int) -> str:
     ``edges_cte`` must define ``edges(src, dst, weight)`` holding both
     directions. Output: (id, label).
     """
+    wexpr = "CAST(e.weight AS DOUBLE)" if weighted else "1.0"
     parts = [
         edges_cte,
         "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)",
@@ -91,11 +114,12 @@ def lpa_oracle_sql(edges_cte: str, iterations: int) -> str:
     for k in range(iterations):
         parts.append(
             f"""v{k} AS (
-  SELECT e.dst AS id, l.label FROM edges e JOIN l{k} l ON e.src = l.id
+  SELECT e.dst AS id, l.label, {wexpr} AS wt
+  FROM edges e JOIN l{k} l ON e.src = l.id
   UNION ALL
-  SELECT id, label FROM l{k}
+  SELECT id, label, {float(self_weight)} AS wt FROM l{k}
 ),
-c{k} AS (SELECT id, label, COUNT(*) AS cnt FROM v{k} GROUP BY id, label),
+c{k} AS (SELECT id, label, SUM(wt) AS cnt FROM v{k} GROUP BY id, label),
 l{k + 1} AS (
   SELECT id, label FROM (
     SELECT id, label,
