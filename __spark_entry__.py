@@ -93,7 +93,9 @@ from centrality_gpu_spark.operators.eigenvector import (
 from centrality_gpu_spark.operators.bfs import multi_source_bfs
 from centrality_gpu_spark.operators.triangles import (
     TRIANGLE_COUNT_SQL,
+    sampled_triangle_count_sql,
     triangle_count,
+    triangle_count_sampled,
     triangles_per_vertex,
 )
 from centrality_gpu_spark.operators.dedup import (
@@ -289,6 +291,13 @@ def _q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_triangles_per_vertex_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     return triangles_per_vertex(copurchase_graph(spark, sf))
+
+
+def _q_triangle_count_sampled_copurchase(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # DOULION p=0.25 — the documented trillion-edge scale path
+    return triangle_count_sampled(copurchase_graph(spark, sf), p=0.25)
 
 
 def _q_four_cliques_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -1236,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_custorder": _q_louvain_custorder,
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
+        "triangle_count_sampled_copurchase": _q_triangle_count_sampled_copurchase,
         "four_cliques_events": _q_four_cliques_events,
         "four_clique_count_copurchase": _q_four_clique_count_copurchase,
         "sssp_events": _q_sssp_events,
@@ -1377,6 +1387,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted_events": pagerank_oracle_sql(
             EVENTS_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND,
             weighted=True,
+        ),
+        "triangle_count_sampled_copurchase": sampled_triangle_count_sql(
+            COPURCHASE_EDGES_CTE, p=0.25
         ),
         "triangle_count_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
         f"{TRIANGLE_COUNT_SQL}\n"

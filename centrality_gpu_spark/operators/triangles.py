@@ -104,3 +104,90 @@ tri AS (
   JOIN oe e3 ON e3.src = e1.src AND e3.dst = e2.dst
 )
 """.strip()
+
+
+# ---------------------------------------------- DOULION sampled count
+
+def _coin(u, v, seed: str):
+    """Deterministic per-edge uniform in [0, 16^15) — md5 of the
+    canonical endpoint pair, identical in DuckDB."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"tri:{seed}:"),
+                    u.cast("string"),
+                    F.lit(":"),
+                    v.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def triangle_count_sampled(
+    graph: Graph, p: float = 0.25, seed: str = "doulion"
+) -> DataFrame:
+    """(n_sampled, est) — DOULION approximate triangle count
+    (Tsourakakis, Kang, Miller, Faloutsos KDD'09): keep each undirected
+    edge with probability ``p`` (a deterministic md5 coin per canonical
+    edge — reproducible across runs and engines), count triangles
+    EXACTLY on the sparsified graph, scale by 1/p³ (each triangle
+    survives with probability p³ ⇒ unbiased).
+
+    The trillion-edge scale path: the exact count's wedge join is
+    O(m^1.5); sampling at p cuts it by ~p^1.5 on the same plan while
+    the estimator's relative error stays O(1/√(p³·Δ)) on
+    triangle-rich graphs (the paper's variance bound). p=1 degenerates
+    to the exact count (tested).
+    """
+    thresh = int(p * 16**15)
+    can = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    kept = can.where(_coin(F.col("src"), F.col("dst"), seed) < thresh)
+    sub = Graph.from_undirected_edges(kept)
+    return triangle_count(sub).select(
+        F.col("n_triangles").alias("n_sampled"),
+        F.round(F.col("n_triangles") / F.lit(float(p**3)), 6).alias("est"),
+    )
+
+
+def sampled_triangle_count_sql(
+    edges_cte: str, p: float = 0.25, seed: str = "doulion"
+) -> str:
+    """DuckDB twin of ``triangle_count_sampled`` (``edges_cte`` defines
+    ``edges(src, dst, weight)``, both directions)."""
+    thresh = int(p * 16**15)
+    return f"""WITH {edges_cte},
+can AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+kept AS (
+  SELECT src, dst FROM can
+  WHERE CAST(('0x' || substr(md5('tri:{seed}:' || CAST(src AS VARCHAR)
+        || ':' || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) < {thresh}
+),
+se AS (SELECT src, dst FROM kept UNION ALL SELECT dst, src FROM kept),
+sdeg AS (SELECT src AS id, COUNT(*) AS degree FROM se GROUP BY src),
+soe AS (
+  SELECT e.src, e.dst
+  FROM se e
+  JOIN sdeg ds ON e.src = ds.id
+  JOIN sdeg dd ON e.dst = dd.id
+  WHERE (ds.degree < dd.degree)
+     OR (ds.degree = dd.degree AND e.src < e.dst)
+),
+stri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM soe e1
+  JOIN soe e2 ON e1.dst = e2.src
+  JOIN soe e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       ROUND(COUNT(*) / {float(p**3)}, 6) AS est
+FROM stri""".strip()

@@ -32,3 +32,42 @@ def test_triangle_count_copurchase(spark):
     expected = sum(nx.triangles(nxg).values()) // 3
     got = triangle_count(g).collect()[0]["n_triangles"]
     assert got == expected
+
+
+def test_sampled_count_p1_is_exact(spark):
+    from centrality_gpu_spark.graph import Graph
+    import networkx as nx
+
+    from centrality_gpu_spark.operators.triangles import (
+        triangle_count_sampled,
+    )
+
+    g = nx.gnm_random_graph(40, 160, seed=6)
+    edges = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in g.edges()], "src long, dst long"
+    )
+    graph = Graph.from_undirected_edges(edges)
+    exact = triangle_count(graph).collect()[0].n_triangles
+    row = triangle_count_sampled(graph, p=1.0).collect()[0]
+    assert row.n_sampled == exact and row.est == float(exact)
+
+
+def test_sampled_count_estimate_and_determinism(spark):
+    from centrality_gpu_spark.graph import Graph
+    import networkx as nx
+
+    from centrality_gpu_spark.operators.triangles import (
+        triangle_count_sampled,
+    )
+
+    # triangle-rich graph so the p=0.5 estimator concentrates
+    g = nx.powerlaw_cluster_graph(300, 8, 0.6, seed=4)
+    edges = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in g.edges()], "src long, dst long"
+    )
+    graph = Graph.from_undirected_edges(edges)
+    exact = triangle_count(graph).collect()[0].n_triangles
+    r1 = triangle_count_sampled(graph, p=0.5).collect()[0]
+    r2 = triangle_count_sampled(graph, p=0.5).collect()[0]
+    assert (r1.n_sampled, r1.est) == (r2.n_sampled, r2.est)  # md5 coin
+    assert abs(r1.est - exact) / exact < 0.35  # KDD'09 variance bound
