@@ -1,0 +1,140 @@
+"""Streaming PageRank over a growing edge stream.
+
+The north-rule job as an accumulator: edges arrive in batches, and each
+``update(batch_edges)`` (a) folds the new edges into the accumulated
+DIRECTED edge set (replays dedup to no-ops) and (b) recomputes PageRank
+on the current graph to ``tol``, warm-started from the previous
+snapshot's converged ranks (``pagerank(init_ranks=...)`` — the delta
+iteration: after a small edge delta, only ranks near the change move,
+so convergence from the warm start takes a fraction of a cold run's
+iterations; this is measured and exposed in ``.iterations_used``).
+
+The result is EXACT, not incremental-approximate: every snapshot is a
+true fixpoint of the current graph at ``tol`` (tested ≡ a cold batch
+run at 1e-9), because warm-starting changes only the starting point of
+the power iteration, never the fixpoint it converges to. State = the
+edge set + the last rank vector; both ride the package's durable
+verified-epoch save/load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from centrality_gpu_spark.graph import Graph
+from centrality_gpu_spark.operators.pagerank import pagerank
+from centrality_gpu_spark.plans.checkpoint import CheckpointManager
+
+
+class StreamingPageRank:
+    """foreachBatch accumulator: PageRank snapshots over an edge stream.
+
+    ``update(batch_edges)`` folds one static (src, dst) batch and
+    returns the new (id, rank) snapshot; read the latest from
+    ``.ranks`` any time. ``iterations_used`` records the power-iteration
+    count of each snapshot (warm starts shrink it — the observable win).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        alpha: float = 0.85,
+        tol: float = 1e-6,
+        mode: str = "sql",
+    ):
+        self.spark = spark
+        self.alpha = alpha
+        self.tol = tol
+        self.mode = mode
+        self.edges: DataFrame = spark.createDataFrame(
+            [], "src long, dst long"
+        ).localCheckpoint()
+        self.ranks: DataFrame | None = None
+        self.iterations_used: list[int] = []
+
+    def update(self, batch_edges: DataFrame) -> DataFrame | None:
+        b = (
+            batch_edges.select(
+                F.col("src").cast("long"), F.col("dst").cast("long")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(self.edges, ["src", "dst"], "left_anti")
+            .localCheckpoint()
+        )
+        if b.isEmpty():
+            return self.ranks
+        self.edges = self.edges.unionByName(b).localCheckpoint()
+        g = Graph.from_undirected_edges(self.edges)
+        ckpt = CheckpointManager(self.spark)
+        self.ranks = pagerank(
+            g,
+            alpha=self.alpha,
+            tol=self.tol,
+            mode=self.mode,
+            init_ranks=self.ranks,
+            checkpoint=ckpt,
+        ).localCheckpoint()
+        self.iterations_used.append(
+            sum(1 for m in ckpt.metrics if m.get("op") == "pagerank")
+        )
+        return self.ranks
+
+    def sink(self, batch: DataFrame, batch_id: int) -> None:
+        self.update(batch)
+
+    def save(self, root: str, epoch: int = 0) -> None:
+        """Durable epoch of (edge set, rank snapshot) — see
+        ``streaming.state`` for the resume contract (edge folds are
+        idempotent; the rank vector is a warm start, so a replayed
+        batch just reconverges to the same fixpoint)."""
+        from centrality_gpu_spark.streaming.state import save_frames
+
+        frames = {"edges": self.edges}
+        if self.ranks is not None:
+            frames["ranks"] = self.ranks
+        save_frames(
+            self.spark, root, frames, epoch,
+            extra={
+                "alpha": self.alpha,
+                "tol": self.tol,
+                "mode": self.mode,
+                "has_ranks": self.ranks is not None,
+            },
+        )
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "StreamingPageRank":
+        from centrality_gpu_spark.streaming.state import load_frames
+
+        got = load_frames(spark, root, ["edges"])
+        if got is None:
+            raise FileNotFoundError(f"no verifiable epoch under {root}")
+        frames, x = got
+        acc = cls(
+            spark, alpha=float(x["alpha"]), tol=float(x["tol"]),
+            mode=str(x["mode"]),
+        )
+        acc.edges = frames["edges"].localCheckpoint()
+        if x.get("has_ranks"):
+            got2 = load_frames(spark, root, ["edges", "ranks"])
+            if got2 is not None:
+                acc.ranks = got2[0]["ranks"].localCheckpoint()
+        return acc
+
+
+def run_pagerank_stream(
+    stream_edges: DataFrame,
+    acc: StreamingPageRank,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Wire a streaming (src, dst) DataFrame into the accumulator via
+    foreachBatch. Returns the started query."""
+    writer = stream_edges.writeStream.foreachBatch(acc.sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
