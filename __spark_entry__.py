@@ -67,6 +67,8 @@ from centrality_gpu_spark.operators.closeness import (
 )
 from centrality_gpu_spark.operators.corpus import (
     curate_corpus,
+    pack_sequences,
+    pack_sequences_sql,
     curate_corpus_sql,
     curation_funnel,
     curation_funnel_sql,
@@ -1051,6 +1053,10 @@ def _q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     return curation_funnel(_docs(spark, sf), CONTAM_EVAL_SOURCE, fraction=0.5)
 
 
+def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    return pack_sequences(_docs(spark, sf), seq_len=1000)
+
+
 def _q_eccentricity_events(spark: SparkSession, sf: str) -> DataFrame:
     return eccentricity(events_graph(spark, sf))
 
@@ -1187,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "curate_corpus": _q_curate_corpus,
         "curation_funnel": _q_curation_funnel,
+        "pack_sequences": _q_pack_sequences,
         "quality_score": _q_quality,
         # corpus-distribution signals (corpus-trained unigram LM /
         # corpus gram counts / target-vs-raw DSIR buckets):
@@ -1328,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": stratified_sample_sql(fraction=0.3),
         "curate_corpus": curate_corpus_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
         "curation_funnel": curation_funnel_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
+        "pack_sequences": pack_sequences_sql(seq_len=1000),
         "quality_score": quality_score_sql(),
         "perplexity": perplexity_oracle_sql(),
         "duplicate_ngrams": duplicate_ngram_oracle_sql(n=5),

@@ -480,3 +480,95 @@ def curation_funnel_sql(
         f"SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_docs\n"
         f"FROM ({inner}) GROUP BY decision ORDER BY decision"
     )
+
+
+# --------------------------------------------------- sequence packing
+
+def pack_sequences(
+    documents: DataFrame, seq_len: int = 1024, n_buckets: int = 32
+) -> DataFrame:
+    """(doc_id, n_tokens, tok_offset, shard) — GPT-style sequence
+    packing: concatenate all documents in doc_id order and chunk the
+    token stream into fixed ``seq_len`` blocks. ``tok_offset`` is each
+    document's global starting position (exclusive prefix sum of
+    whitespace-token counts), ``shard = tok_offset // seq_len`` the
+    training shard its first token lands in (documents may straddle
+    shard boundaries — the standard concat-then-chunk packing).
+
+    The global prefix sum is the textbook two-phase distributed scan,
+    NOT a single-partition window: documents land in ``n_buckets``
+    doc_id-range buckets (range order = global order), per-bucket token
+    sums are collected (n_buckets rows — driver-safe at any corpus
+    size) and turned into bucket prefix offsets, then a within-bucket
+    window cumsum adds the broadcast offset. One range shuffle + one
+    n_buckets-row agg, no O(corpus) window on one task.
+    """
+    from centrality_gpu_spark.operators.text import token_stats
+
+    toks = token_stats(documents).select("doc_id", "n_ws_tokens")
+    # doc_id-range buckets: ordered buckets => bucket-major order equals
+    # global doc_id order
+    bounds = toks.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    span = max(int(bounds.hi) - int(bounds.lo) + 1, 1)
+    pid = (
+        (F.col("doc_id") - F.lit(int(bounds.lo)))
+        * F.lit(n_buckets) / F.lit(span)
+    ).cast("int")
+    t = toks.withColumn("pid", pid)
+    bucket_sums = {
+        r.pid: r.s
+        for r in t.groupBy("pid").agg(F.sum("n_ws_tokens").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for b in range(n_buckets):
+        prefix[b] = acc
+        acc += int(bucket_sums.get(b, 0))
+    pref_df = documents.sparkSession.createDataFrame(
+        [(b, prefix[b]) for b in range(n_buckets)], "pid int, pref long"
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    cum = (
+        F.coalesce(
+            F.sum("n_ws_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    )
+    return (
+        t.join(F.broadcast(pref_df), "pid")
+        .select(
+            "doc_id",
+            F.col("n_ws_tokens").cast("long").alias("n_tokens"),
+            (cum + F.col("pref")).cast("long").alias("tok_offset"),
+        )
+        .withColumn(
+            "shard", (F.col("tok_offset") / F.lit(seq_len)).cast("long")
+        )
+    )
+
+
+def pack_sequences_sql(seq_len: int = 1024) -> str:
+    """DuckDB twin of ``pack_sequences`` — the same exclusive prefix
+    sum as ONE global window (the oracle can afford it)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END::BIGINT AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, tok_offset,
+       (tok_offset // {seq_len})::BIGINT AS shard
+FROM packed ORDER BY doc_id
+""".strip()

@@ -220,3 +220,45 @@ def test_curate_oracle_parity_real_docs(spark, spark_fn, sql):
         for row in con.execute(sql).df().itertuples(index=False, name=None)
     )
     assert spark_rows == oracle_rows
+
+
+# --------------------------------------------------- sequence packing
+
+from centrality_gpu_spark.operators.corpus import (
+    pack_sequences,
+    pack_sequences_sql,
+)
+
+
+def test_pack_sequences_hand(spark):
+    rows = [
+        (1, "a b c", "en", "s", 0),       # 3 tokens, offset 0, shard 0
+        (2, "d e", "en", "s", 0),         # 2 tokens, offset 3, shard 0
+        (3, "", "en", "s", 0),            # 0 tokens, offset 5
+        (4, "f g h i", "en", "s", 0),     # 4 tokens, offset 5, shard 1
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        r.doc_id: (r.n_tokens, r.tok_offset, r.shard)
+        for r in pack_sequences(docs, seq_len=4, n_buckets=2).collect()
+    }
+    assert got == {
+        1: (3, 0, 0),
+        2: (2, 3, 0),
+        3: (0, 5, 1),
+        4: (4, 5, 1),
+    }
+
+
+def test_pack_sequences_oracle_parity(spark):
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in pack_sequences(docs, seq_len=1000).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_MED}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(pack_sequences_sql(1000)).fetchall())
+    assert got == want
