@@ -1,0 +1,185 @@
+"""BPE tokenizer training and application (Sennrich, Haddow, Birch,
+ACL 2016) — the tokenizer-fit step of a pretraining data pipeline.
+
+Classic word-internal BPE trained on the WORD-TYPE HISTOGRAM, not the
+raw corpus: one explode + groupBy(word) collapses a 100 TB corpus to a
+vocabulary-sized (word, count) table (tens of millions of rows at web
+scale — trivially partitionable), and every merge round then runs on
+that small table. Per round:
+
+1. adjacent-pair counts: explode each word's symbol array into
+   (left, right) pairs weighted by the word count — one groupBy;
+2. pick the max-count pair (ties: lexicographic (left, right) — makes
+   the whole merge SEQUENCE deterministic, which the pure-Python
+   reference test pins exactly);
+3. rewrite every symbol array with the merged pair via a left-to-right
+   greedy fold — a single ``F.aggregate`` expression (JVM codegen, no
+   Python in the loop), matching the reference implementation's scan
+   order (so "aaaa" under merge (a,a) becomes [aa, aa], never
+   [a, aa, a]).
+
+The merge loop is inherently sequential (each round's counts depend on
+the previous round's rewrite) — the same structure as every superstep
+operator here; rounds cost O(vocab) each, independent of corpus size.
+Verification is the pure-Python reference (exact merge-sequence and
+segmentation equality) — the per-round argmax-then-rewrite recurrence
+has no tractable SQL unroll, so this operator is pytest-verified like
+the streaming accumulators (G, disclosed in SURVEY §8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_histogram(documents: DataFrame) -> DataFrame:
+    """(word, cnt) — lowercased whitespace-token counts, the BPE
+    training input."""
+    words = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+        )
+    )
+    return (
+        documents.select(words.alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _initial_symbols():
+    """word → its character array with the end-of-word marker appended
+    (the marker lets merges learn suffixes, per the paper)."""
+    return F.concat(
+        F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+    )
+
+
+def _merge_fold(l: str, r: str):
+    """Greedy left-to-right merge of adjacent (l, r) in ``syms`` — one
+    aggregate expression. After a merge the joined symbol cannot
+    immediately re-merge as the left part (matches the reference
+    scan)."""
+    joined = l + r
+
+    def step(acc, x):
+        # a just-merged element can never equal l (l+r != l, r is
+        # non-empty), so the fold can't cascade within one pass —
+        # exactly the non-overlapping left-to-right scan of the
+        # reference's regex substitution
+        can_merge = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r))
+        )
+        return F.when(
+            can_merge,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"), step
+    )
+
+
+def bpe_train(
+    documents: DataFrame, n_merges: int = 50, min_pair_count: int = 2
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges over the corpus.
+
+    Returns ``(merges, segmented)``: the ordered merge list
+    [(left, right, count), ...] and the final (word, cnt, syms)
+    segmentation table (the broadcast-able word→tokens mapping
+    ``bpe_tokenize`` applies). Stops early when no pair reaches
+    ``min_pair_count``.
+    """
+    vocab = (
+        word_histogram(documents)
+        .select("word", "cnt", _initial_symbols().alias("syms"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < min_pair_count:
+            break
+        l, r, n = top[0].l, top[0].r, int(top[0].n)
+        merges.append((l, r, n))
+        vocab = vocab.select(
+            "word", "cnt", _merge_fold(l, r).alias("syms")
+        ).localCheckpoint()
+    return merges, vocab
+
+
+def bpe_tokenize(
+    documents: DataFrame, segmented: DataFrame
+) -> DataFrame:
+    """(doc_id, tokens) — each document's text as BPE tokens: words
+    looked up in the broadcast word→syms mapping (OOV words fall back
+    to their character segmentation), concatenated in word order.
+
+    One posexplode + broadcast join + groupBy(doc_id) reassembly — the
+    mapping is vocabulary-sized, never the corpus.
+    """
+    words = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("pos", "word"),
+    )
+    seg = segmented.select("word", "syms")
+    joined = words.join(F.broadcast(seg), "word", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(
+            "syms",
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))),
+        ).alias("syms"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+        .join(documents.select("doc_id"), "doc_id", "right")
+        .select(
+            "doc_id",
+            F.coalesce("tokens", F.array().cast("array<string>")).alias(
+                "tokens"
+            ),
+        )
+    )

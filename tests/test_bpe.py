@@ -1,0 +1,115 @@
+"""BPE training: the Spark merge sequence and final segmentation must
+EXACTLY equal a pure-Python reference implementation (same greedy
+left-to-right merge scan, same (count desc, pair asc) tie-break)."""
+
+import collections
+
+from centrality_gpu_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_tokenize,
+    bpe_train,
+    word_histogram,
+)
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+# ----------------------------------------------- pure-Python reference
+
+def _ref_histogram(texts):
+    h = collections.Counter()
+    for t in texts:
+        for w in t.lower().split():
+            h[w] += 1
+    return h
+
+
+def _ref_merge(syms, l, r):
+    out = []
+    for x in syms:
+        if out and out[-1] == l and x == r:
+            out[-1] = l + r
+        else:
+            out.append(x)
+    return out
+
+
+def _ref_bpe(texts, n_merges, min_pair_count=2):
+    hist = _ref_histogram(texts)
+    vocab = {w: list(w) + [END_OF_WORD] for w in hist}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += hist[w]
+        if not pairs:
+            break
+        (l, r), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((l, r, n))
+        vocab = {w: _ref_merge(s, l, r) for w, s in vocab.items()}
+    return merges, vocab
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new new new",
+    "wide wider widest",
+    "low new wide lower newer",
+]
+
+
+def _docs(spark, texts=TEXTS):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)], DOC_SCHEMA
+    )
+
+
+def test_word_histogram(spark):
+    got = {r.word: r.cnt for r in word_histogram(_docs(spark)).collect()}
+    assert got == dict(_ref_histogram(TEXTS))
+
+
+def test_merge_sequence_matches_reference(spark):
+    merges, segmented = bpe_train(_docs(spark), n_merges=12)
+    ref_merges, ref_vocab = _ref_bpe(TEXTS, n_merges=12)
+    assert merges == ref_merges
+    got = {r.word: list(r.syms) for r in segmented.collect()}
+    assert got == ref_vocab
+
+
+def test_greedy_scan_on_repeats(spark):
+    # "aaaa" under merge (a, a) must segment [aa, aa, </w>], never
+    # [a, aa, a, </w>] — pins the left-to-right non-overlapping scan
+    texts = ["aaaa aaaa aa"]
+    merges, segmented = bpe_train(_docs(spark, texts), n_merges=1)
+    assert merges[0][:2] == ("a", "a")
+    got = {r.word: list(r.syms) for r in segmented.collect()}
+    assert got["aaaa"] == ["aa", "aa", END_OF_WORD]
+    assert got["aa"] == ["aa", END_OF_WORD]
+
+
+def test_tokenize_and_oov_fallback(spark):
+    docs = _docs(spark)
+    merges, segmented = bpe_train(docs, n_merges=12)
+    _, ref_vocab = _ref_bpe(TEXTS, n_merges=12)
+    new_docs = spark.createDataFrame(
+        [(100, "low newest zzz", "en", "s", 0), (101, "", "en", "s", 0)],
+        DOC_SCHEMA,
+    )
+    got = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_tokenize(new_docs, segmented).collect()
+    }
+    want_100 = (
+        ref_vocab["low"]
+        + ref_vocab["newest"]
+        + list("zzz")
+        + [END_OF_WORD]  # OOV -> character fallback
+    )
+    assert got[100] == want_100
+    assert got[101] == []  # empty doc stays, with no tokens
