@@ -1057,6 +1057,12 @@ def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf), seq_len=1000)
 
 
+def _q_word_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.bpe import word_histogram
+
+    return word_histogram(_docs(spark, sf))
+
+
 def _q_eccentricity_events(spark: SparkSession, sf: str) -> DataFrame:
     return eccentricity(events_graph(spark, sf))
 
@@ -1194,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "curation_funnel": _q_curation_funnel,
         "pack_sequences": _q_pack_sequences,
+        "word_histogram": _q_word_histogram,
         "quality_score": _q_quality,
         # corpus-distribution signals (corpus-trained unigram LM /
         # corpus gram counts / target-vs-raw DSIR buckets):
@@ -1336,6 +1343,12 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": curate_corpus_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
         "curation_funnel": curation_funnel_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
         "pack_sequences": pack_sequences_sql(seq_len=1000),
+        "word_histogram": (
+            "SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'\\s+'), x -> x <> '')) AS w FROM documents"
+            ") GROUP BY w ORDER BY w"
+        ),
         "quality_score": quality_score_sql(),
         "perplexity": perplexity_oracle_sql(),
         "duplicate_ngrams": duplicate_ngram_oracle_sql(n=5),
