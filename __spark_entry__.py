@@ -121,6 +121,8 @@ from centrality_gpu_spark.operators.similarity import (
     embedding_near_dups_oracle_sql,
     knn_graph,
     knn_graph_oracle_sql,
+    neighbor_mean_exploded,
+    neighbor_mean_exploded_sql,
     ivf_oracle_sql,
     kmeans_oracle_sql,
     lsh_oracle_sql,
@@ -1162,6 +1164,12 @@ def _q_embedding_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_clusters(_embs(spark, sf), threshold=0.3, **KNN_GRAPH_PARAMS)
 
 
+def _q_neighbor_mean(spark: SparkSession, sf: str) -> DataFrame:
+    # one GraphSAGE mean-aggregation round; ascending-neighbor-id fold
+    # makes the float sums bit-identical to the DuckDB twin
+    return neighbor_mean_exploded(_embs(spark, sf), **KNN_GRAPH_PARAMS)
+
+
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.similarity import ivf_topk
 
@@ -1230,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the embeddings → graph-engine bridge), both replicated:
         "knn_graph": _q_knn_graph,
         "embedding_clusters": _q_embedding_clusters,
+        "neighbor_mean": _q_neighbor_mean,
         "ann_ivf": _q_ann_ivf,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_near_dups": _q_semantic_near_dups,
@@ -1373,6 +1382,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_clusters": embedding_clusters_oracle_sql(
             threshold=0.3, k=10, n_planes=8, n_tables=6, where="vec_id < 200"
+        ),
+        "neighbor_mean": neighbor_mean_exploded_sql(
+            k=10, n_planes=8, n_tables=6, where="vec_id < 200"
         ),
         "ann_ivf": ivf_oracle_sql(k=5, n_cells=8, nprobe=2, where="vec_id < 200"),
         "kmeans_embeddings": kmeans_oracle_sql(

@@ -985,3 +985,165 @@ reach(id, l) AS (
 SELECT id AS vec_id, MIN(l) AS cluster FROM reach GROUP BY id
 ORDER BY vec_id"""
     )
+
+
+# ---------------------------------------- GNN-style mean aggregation
+
+def neighbor_mean_embedding(
+    embeddings: DataFrame,
+    k: int = 10,
+    mutual: bool = False,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    method: str = "expr",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(vec_id, n_nbrs, pooled) — one GraphSAGE-style mean-aggregation
+    round over the kNN graph: each vector's pooled feature is the
+    element-wise mean of its graph neighbors' UNIT vectors (vectors
+    with no kNN edge get n_nbrs = 0 and a NULL pooled).
+
+    Float determinism: neighbor vectors are folded in ascending
+    neighbor-id order (collect → array_sort → one F.aggregate fold), so
+    the sums are bit-identical run to run AND engine to engine — the
+    DuckDB twin folds in the same order. That is what makes a float
+    aggregation over an unordered groupBy oracle-checkable.
+
+    Scale shape: the kNN edges come from the bucketed ANN pass; the
+    aggregation is one groupBy(vec_id) whose per-group state is k
+    vectors (bounded by construction). The sorted fold is O(k·dim)
+    per vertex, all JVM-side.
+    """
+    edges = knn_graph(embeddings, k, mutual, n_planes, n_tables, seed, method)
+    sym = edges.select(
+        F.col("src").alias("vec_id"), F.col("dst").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("dst").alias("vec_id"), F.col("src").alias("nbr"))
+    )
+    unit = with_unit_vectors(embeddings).select(
+        F.col("vec_id").alias("nbr"), F.col("unit").alias("nvec")
+    )
+    gathered = sym.join(unit, "nbr").groupBy("vec_id").agg(
+        F.count("*").alias("n_nbrs"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("nbr"), F.col("nvec")))
+        ).alias("nbrs"),
+    )
+    dim_expr = F.size(F.element_at(F.col("nbrs"), 1)["nvec"])
+    zero = F.transform(
+        F.sequence(F.lit(1), dim_expr), lambda _: F.lit(0.0)
+    )
+    summed = F.aggregate(
+        F.col("nbrs"),
+        zero,
+        lambda acc, s: F.zip_with(acc, s["nvec"], lambda a, b: a + b),
+    )
+    pooled = F.transform(
+        summed, lambda x: F.round(x / F.col("n_nbrs"), round_digits)
+    )
+    out = gathered.select(
+        "vec_id", F.col("n_nbrs").cast("long").alias("n_nbrs"),
+        pooled.alias("pooled"),
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(out, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_nbrs", F.lit(0)).cast("long").alias("n_nbrs"),
+            "pooled",
+        )
+    )
+
+
+def neighbor_mean_oracle_sql(
+    k: int = 10,
+    mutual: bool = False,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int = EMBED_DIM,
+    where: str = "TRUE",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of ``neighbor_mean_embedding`` — the same
+    ascending-neighbor-id fold order (list_sort on (nbr, vec) structs,
+    then an index-wise sum), so the double sums match bit for bit
+    before rounding."""
+    mutual_pred = "WHERE n_dir = 2" if mutual else ""
+    return (
+        _lsh_common_sql(n_planes, n_tables, seed, dim, where)
+        + f""",
+e AS (
+  SELECT LEAST(query_id, neighbor_id) AS src,
+         GREATEST(query_id, neighbor_id) AS dst
+  FROM ranked WHERE rk <= {k}
+),
+g AS (
+  SELECT src, dst, COUNT(*) AS n_dir FROM e GROUP BY src, dst
+),
+ke AS (SELECT src, dst FROM g {mutual_pred}),
+sym AS (
+  SELECT src AS vec_id, dst AS nbr FROM ke
+  UNION ALL SELECT dst, src FROM ke
+),
+gath AS (
+  SELECT s.vec_id, COUNT(*) AS n_nbrs,
+         list_sort(list({{'nbr': s.nbr, 'nvec': u.u}})) AS nbrs
+  FROM sym s JOIN unit u ON s.nbr = u.vec_id
+  GROUP BY s.vec_id
+),
+pooled AS (
+  SELECT vec_id, n_nbrs,
+         [ROUND(list_sum([nbrs[j].nvec[i] FOR j IN range(1, len(nbrs) + 1)])
+                / n_nbrs, {round_digits})
+          FOR i IN range(1, {dim + 1})] AS pooled
+  FROM gath
+)
+SELECT s.vec_id,
+       CAST(COALESCE(p.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+       p.pooled
+FROM src s LEFT JOIN pooled p USING (vec_id)
+ORDER BY s.vec_id"""
+    )
+
+
+def neighbor_mean_exploded(
+    embeddings: DataFrame, **kwargs
+) -> DataFrame:
+    """(vec_id, n_nbrs, pos, v) — ``neighbor_mean_embedding`` with the
+    pooled vector exploded to one row per dimension (array cells
+    stringify differently across engines, so the hash gate compares
+    scalar rows; vectors with no neighbors contribute no rows)."""
+    pooled = neighbor_mean_embedding(embeddings, **kwargs)
+    return pooled.where(F.col("pooled").isNotNull()).select(
+        "vec_id",
+        "n_nbrs",
+        F.posexplode("pooled").alias("pos", "v"),
+    ).select("vec_id", "n_nbrs", F.col("pos").cast("long").alias("pos"), "v")
+
+
+def neighbor_mean_exploded_sql(
+    k: int = 10,
+    mutual: bool = False,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int = EMBED_DIM,
+    where: str = "TRUE",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of ``neighbor_mean_exploded``."""
+    base = neighbor_mean_oracle_sql(
+        k, mutual, n_planes, n_tables, seed, dim, where, round_digits
+    )
+    cut = base.rindex("SELECT s.vec_id,")
+    return (
+        base[:cut]
+        + f"""SELECT vec_id, CAST(n_nbrs AS BIGINT) AS n_nbrs,
+       CAST(UNNEST(generate_series(1, {dim})) - 1 AS BIGINT) AS pos,
+       UNNEST(pooled) AS v
+FROM pooled
+ORDER BY vec_id, pos"""
+    )

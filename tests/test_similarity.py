@@ -390,3 +390,57 @@ def test_knn_oracle_parity(spark, spark_fn, sql):
         for row in con.execute(sql).df().itertuples(index=False, name=None)
     )
     assert got == want
+
+
+def test_neighbor_mean_semantics_and_parity(spark, embeddings):
+    import numpy as np
+
+    from centrality_gpu_spark.operators.similarity import (
+        knn_graph,
+        neighbor_mean_embedding,
+        neighbor_mean_exploded,
+        neighbor_mean_exploded_sql,
+    )
+
+    pooled = {
+        r.vec_id: (r.n_nbrs, r.pooled)
+        for r in neighbor_mean_embedding(embeddings, **KNN_KW).collect()
+    }
+    # numpy reference: mean of unit vectors over the symmetrized edges
+    edges = knn_graph(embeddings, **KNN_KW).collect()
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    unit = {k: v / np.sqrt((v * v).sum()) for k, v in vecs.items()}
+    nbrs = {}
+    for r in edges:
+        nbrs.setdefault(r.src, []).append(r.dst)
+        nbrs.setdefault(r.dst, []).append(r.src)
+    for vid, (n, arr) in pooled.items():
+        if n == 0:
+            assert arr is None and vid not in nbrs
+            continue
+        want = np.mean([unit[x] for x in sorted(nbrs[vid])], axis=0)
+        assert n == len(nbrs[vid])
+        assert np.allclose(np.asarray(arr), want, atol=1e-6)
+    # exploded twin parity (bit-exact: same ascending-id fold order)
+    got = sorted(
+        tuple(str(x) for x in row)
+        for row in neighbor_mean_exploded(embeddings, **KNN_KW)
+        .toPandas().itertuples(index=False, name=None)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{SF_MED}/embeddings.parquet')"
+    )
+    want_rows = sorted(
+        tuple(str(x) for x in row)
+        for row in con.execute(
+            neighbor_mean_exploded_sql(
+                k=10, n_planes=8, n_tables=6, where="vec_id < 200"
+            )
+        ).df().itertuples(index=False, name=None)
+    )
+    assert got == want_rows
