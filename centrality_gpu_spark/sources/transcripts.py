@@ -13,10 +13,13 @@ Edge types:
   pairs; ``max_tool_degree`` caps projection fan-out (standard
   co-occurrence-projection practice) — at 10¹²-turn scale an uncapped
   hub would be quadratic. The cap is an explicit, documented semantic.
-- ``reply``: consecutive turns within a conversation via
-  ``lead() over (partition by conv_id order by turn_idx)`` — the
-  stable-ordering invariant lives here; exposed as (conv, turn chain)
-  count stats rather than graph edges (roles are only 3 vertices).
+- ``reply``: tool – tool edges from consecutive tool-bearing turns
+  within a conversation (``lead() over (partition by conv_id order by
+  turn_idx)`` — the stable-ordering invariant lives here), weight =
+  handoff count summed over both directions. The graph-edge face of
+  ``tool_transitions``; self-handoffs are dropped by the Graph ctor's
+  self-loop guard. Turn-level reply chains additionally surface as
+  count stats (``conversation_stats``, ``reply_chain_check``).
 
 Vertex ids: string ids (conv_id / tool name) relabeled to dense longs
 (P3, ``modified_apsp.cpp:336-358``). ``id_mode="dense"`` uses a global
@@ -118,6 +121,23 @@ def transcript_graph(
             pairs.select(
                 "a", "b", F.col("shared").cast("double").alias("weight"),
                 F.lit("conv").alias("a_kind"), F.lit("conv").alias("b_kind"),
+            )
+        )
+
+    if "reply" in edge_types:
+        tt = tool_transitions(transcripts)
+        undirected = (
+            tt.where(F.col("src_tool") != F.col("dst_tool"))
+            .groupBy(
+                F.least("src_tool", "dst_tool").alias("a"),
+                F.greatest("src_tool", "dst_tool").alias("b"),
+            )
+            .agg(F.sum("n").cast("double").alias("weight"))
+        )
+        name_edges.append(
+            undirected.select(
+                "a", "b", "weight",
+                F.lit("tool").alias("a_kind"), F.lit("tool").alias("b_kind"),
             )
         )
 

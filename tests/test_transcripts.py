@@ -241,3 +241,33 @@ def test_tool_transitions_on_synth(spark, transcripts, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(TOOL_TRANSITIONS_SQL).fetchall())
     assert got == want
+
+
+def test_reply_edge_type(spark):
+    from centrality_gpu_spark.sources.transcripts import transcript_graph
+
+    rows = [
+        ("c1", 0, "assistant", "t", "grep", "2026-01-01T00:00:00"),
+        ("c1", 1, "assistant", "t", "edit", "2026-01-01T00:00:01"),
+        ("c1", 2, "assistant", "t", "grep", "2026-01-01T00:00:02"),
+        ("c1", 3, "assistant", "t", "grep", "2026-01-01T00:00:03"),  # self
+        ("c2", 0, "assistant", "t", "edit", "2026-01-01T00:00:00"),
+        ("c2", 1, "assistant", "t", "grep", "2026-01-01T00:00:01"),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, tx, tl, __import__("datetime").datetime.fromisoformat(ts))
+         for c, i, r, tx, tl, ts in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    tg = transcript_graph(df, edge_types=("reply",))
+    vm = {(r.name, r.kind): r.id for r in tg.vertex_map.collect()}
+    edges = {
+        (r.src, r.dst): r.weight for r in tg.graph.edges.collect()
+    }
+    g_id, e_id = vm[("grep", "tool")], vm[("edit", "tool")]
+    # grep->edit, edit->grep (c1), grep->grep (self, dropped),
+    # edit->grep (c2): undirected weight = 3
+    assert edges[(g_id, e_id)] == 3.0 and edges[(e_id, g_id)] == 3.0
+    # only the two tool vertices carry reply edges
+    assert set(edges) == {(g_id, e_id), (e_id, g_id)}
