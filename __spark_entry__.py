@@ -222,6 +222,7 @@ from centrality_gpu_spark.operators.wl import (
     wl_labels_oracle_sql,
 )
 from centrality_gpu_spark.operators.stats import (
+    rich_club_oracle_sql,
     assortativity_oracle_sql,
     graph_summary_oracle_sql,
 )
@@ -780,6 +781,12 @@ def _q_pref_attachment_events(spark: SparkSession, sf: str) -> DataFrame:
     return preferential_attachment(events_graph(spark, sf), min_common=1)
 
 
+def _q_rich_club_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.stats import rich_club
+
+    return rich_club(events_graph(spark, sf))
+
+
 def _q_assortativity_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.stats import degree_assortativity
 
@@ -1262,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_allocation_events": _q_resource_allocation_events,
         "pref_attachment_events": _q_pref_attachment_events,
         "assortativity_copurchase": _q_assortativity_copurchase,
+        "rich_club_events": _q_rich_club_events,
         "graph_summary_copurchase": _q_graph_summary_copurchase,
         "edge_support_copurchase": _q_edge_support_copurchase,
         "modularity_custorder": _q_modularity_custorder,
@@ -1579,6 +1587,7 @@ FROM orders ORDER BY id
         "assortativity_copurchase": assortativity_oracle_sql(
             COPURCHASE_EDGES_CTE
         ),
+        "rich_club_events": rich_club_oracle_sql(EVENTS_EDGES_CTE),
         "graph_summary_copurchase": graph_summary_oracle_sql(
             COPURCHASE_EDGES_CTE
         ),

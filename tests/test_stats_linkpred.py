@@ -118,3 +118,24 @@ def test_preferential_attachment_matches_nx(spark, seed):
         if (min(u, v), max(u, v)) in cn1
     }
     assert got == want
+
+
+# ------------------------------------------------------------ rich club
+
+from centrality_gpu_spark.operators.stats import rich_club
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_rich_club_matches_nx(spark, seed):
+    g = nx.gnp_random_graph(50, 0.1, seed=seed)
+    g.remove_nodes_from(list(nx.isolates(g)))
+    rows = {r.k: r.rc for r in rich_club(_graph_from_nx(spark, g)).collect()}
+    want = nx.rich_club_coefficient(g, normalized=False)
+    shared = set(rows) & set(want)
+    assert shared  # overlapping k range
+    for k in shared:
+        assert math.isclose(rows[k], want[k], abs_tol=1e-7), k
+    # the engine emits exactly the k with >= 2 qualifying nodes
+    deg = dict(g.degree())
+    for k in rows:
+        assert sum(1 for d in deg.values() if d > k) >= 2
