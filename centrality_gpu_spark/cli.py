@@ -65,7 +65,7 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="centrality_gpu_spark")
     p.add_argument("algorithm", choices=[
         "pagerank", "components", "labelprop", "triangles", "betweenness",
-        "betweenness-decomposed", "closeness", "bfs", "degrees",
+        "betweenness-decomposed", "closeness", "bfs", "degrees", "curate",
     ])
     p.add_argument("--input", required=True)
     p.add_argument("--input-format", default="edges",
@@ -89,6 +89,10 @@ def main(argv=None) -> None:
     p.add_argument("--sources", default=None,
                    help="comma-separated source vertices (bfs/betweenness)")
     p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--eval-source", default="src0",
+                   help="held-out split name (curate)")
+    p.add_argument("--sample-fraction", type=float, default=0.5,
+                   help="stratified keep fraction (curate)")
     args = p.parse_args(argv)
 
     from centrality_gpu_spark.session import get_spark
@@ -96,6 +100,37 @@ def main(argv=None) -> None:
 
     spark = get_spark(app_name=f"cgs_{args.algorithm}")
     ckpt = CheckpointManager(spark, root=args.checkpoint_dir, every=args.checkpoint_every)
+
+    if args.algorithm == "curate":
+        # documents-table job: the end-to-end curation funnel
+        from centrality_gpu_spark.operators.corpus import (
+            curate_corpus,
+            curation_funnel,
+        )
+
+        docs = spark.read.parquet(args.input)
+        t0 = time.time()
+        out = curate_corpus(
+            docs, args.eval_source, fraction=args.sample_fraction
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        funnel = {
+            r.decision: r.n_docs
+            for r in curation_funnel(
+                docs, args.eval_source, fraction=args.sample_fraction
+            ).collect()
+        }
+        metrics = {
+            "algorithm": "curate",
+            "wall_sec": round(time.time() - t0, 3),
+            "funnel": funnel,
+        }
+        with open(os.path.join(args.output, "_metrics.json"), "w") as f:
+            json.dump(metrics, f, default=str)
+        print(json.dumps(metrics))
+        spark.stop()
+        return
+
     g = build_graph(spark, args).persist()
     t0 = time.time()
 

@@ -262,3 +262,35 @@ def test_pack_sequences_oracle_parity(spark):
     )
     want = sorted(tuple(r) for r in con.execute(pack_sequences_sql(1000)).fetchall())
     assert got == want
+
+
+def test_cli_curate_job(spark, tmp_path):
+    """The spark-submit-able curate job end-to-end: per-doc decisions
+    parquet + funnel metrics, matching the operator directly. Runs in a
+    subprocess (the cli owns and stops its own SparkSession)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated")
+    subprocess.run(
+        [
+            sys.executable, "-m", "centrality_gpu_spark.cli",
+            "curate", "--input", f"{SF_MED}/documents.parquet",
+            "--output", out, "--eval-source", "src0",
+            "--sample-fraction", "0.5",
+        ],
+        check=True,
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        timeout=420,
+    )
+    m = json.load(open(os.path.join(out, "_metrics.json")))
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    want = {
+        r.decision: r.n_docs
+        for r in curation_funnel(docs, "src0", fraction=0.5).collect()
+    }
+    assert m["funnel"] == want
+    got = spark.read.parquet(out)
+    assert got.count() == sum(want.values())
