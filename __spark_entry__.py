@@ -272,6 +272,20 @@ def _q_components_events(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(events_graph(spark, sf))
 
 
+def _q_component_summary_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.components import component_summary
+
+    return component_summary(events_graph(spark, sf))
+
+
+def _q_component_summary_custorder(spark: SparkSession, sf: str) -> DataFrame:
+    # the star forest: many components of varying size
+    from centrality_gpu_spark.operators.components import component_summary
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    return component_summary(custorder_graph(spark, sf))
+
+
 def _q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
     pr = pagerank(events_graph(spark, sf), fixed_iterations=PR_ITERS, mode="csr")
     return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
@@ -1255,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees_events": _q_degrees_events,
         "degree_hist_copurchase": _q_degree_hist_copurchase,
         "components_events": _q_components_events,
+        "component_summary_events": _q_component_summary_events,
+        "component_summary_custorder": _q_component_summary_custorder,
         "pagerank_events": _q_pagerank_events,
         "pagerank_copurchase": _q_pagerank_copurchase,
         "pagerank_weighted_events": _q_pagerank_weighted_events,
@@ -1419,6 +1435,14 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id\n"
         ")\n"
         "SELECT id, MIN(l) AS component FROM reach GROUP BY id ORDER BY id",
+        "component_summary_events": __import__(
+            "centrality_gpu_spark.operators.components",
+            fromlist=["component_summary_oracle_sql"],
+        ).component_summary_oracle_sql(EVENTS_EDGES_CTE),
+        "component_summary_custorder": __import__(
+            "centrality_gpu_spark.operators.components",
+            fromlist=["component_summary_oracle_sql"],
+        ).component_summary_oracle_sql(CUSTORDER_EDGES_CTE),
         "pagerank_events": pagerank_oracle_sql(
             EVENTS_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
         ),

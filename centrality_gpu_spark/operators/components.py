@@ -88,3 +88,75 @@ def connected_components(
 
 def num_components(graph: Graph) -> int:
     return connected_components(graph).select("component").distinct().count()
+
+
+def component_summary(
+    graph: Graph, checkpoint: CheckpointManager | None = None
+) -> DataFrame:
+    """(component, n_vertices, n_edges, density) — per-component
+    rollup: undirected edge count and density 2E/(V(V−1)) (0.0 for
+    singletons). The standard post-CC report (giant-component share,
+    fragment profile).
+
+    Plan shape: one CC run + one label join onto the canonical edges
+    (both endpoints share the label by definition, so joining src alone
+    suffices) + two label-keyed aggregations.
+    """
+    comp = connected_components(graph, checkpoint=checkpoint)
+    vstats = comp.groupBy("component").agg(
+        F.count("*").alias("n_vertices")
+    )
+    estats = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .join(comp.select(F.col("id").alias("src"), "component"), "src")
+        .groupBy("component")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    density = F.when(
+        F.col("n_vertices") >= 2,
+        F.round(
+            2.0 * F.coalesce("n_edges", F.lit(0))
+            / (F.col("n_vertices") * (F.col("n_vertices") - 1)),
+            8,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        vstats.join(estats, "component", "left")
+        .select(
+            "component",
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            density.alias("density"),
+        )
+    )
+
+
+def component_summary_oracle_sql(edges_cte: str) -> str:
+    """DuckDB twin of ``component_summary`` (recursive min-label
+    closure + the same rollup)."""
+    return f"""WITH RECURSIVE {edges_cte},
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, l) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
+vstats AS (
+  SELECT component, COUNT(*) AS n_vertices FROM comp GROUP BY component
+),
+estats AS (
+  SELECT c.component, COUNT(*) AS n_edges
+  FROM edges e JOIN comp c ON e.src = c.id
+  WHERE e.src < e.dst GROUP BY c.component
+)
+SELECT v.component,
+       CAST(v.n_vertices AS BIGINT) AS n_vertices,
+       CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+       CASE WHEN v.n_vertices >= 2
+            THEN ROUND(2.0 * COALESCE(e.n_edges, 0)
+                       / (v.n_vertices * (v.n_vertices - 1)), 8)
+            ELSE 0.0 END AS density
+FROM vstats v LEFT JOIN estats e USING (component)
+ORDER BY v.component""".strip()

@@ -39,3 +39,25 @@ def test_components_disconnected(spark):
     assert all(labels[i] == 0 for i in range(21))
     assert all(labels[i] == 100 for i in (100, 101, 102))
     assert num_components(g) == 2
+
+
+def test_component_summary(spark):
+    import networkx as nx
+
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.components import component_summary
+
+    # triangle + path(3) + isolated edge: three components
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (20, 21)]
+    g = Graph.from_undirected_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    got = {
+        r.component: (r.n_vertices, r.n_edges, r.density)
+        for r in component_summary(g).collect()
+    }
+    assert got == {
+        0: (3, 3, 1.0),
+        10: (3, 2, round(2 * 2 / (3 * 2), 8)),
+        20: (2, 1, 1.0),
+    }
