@@ -1086,6 +1086,12 @@ def _q_word_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return word_histogram(_docs(spark, sf))
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf))
+
+
 def _q_eccentricity_events(spark: SparkSession, sf: str) -> DataFrame:
     return eccentricity(events_graph(spark, sf))
 
@@ -1230,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": _q_curation_funnel,
         "pack_sequences": _q_pack_sequences,
         "word_histogram": _q_word_histogram,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "quality_score": _q_quality,
         # corpus-distribution signals (corpus-trained unigram LM /
         # corpus gram counts / target-vs-raw DSIR buckets):
@@ -1376,6 +1383,10 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": curate_corpus_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
         "curation_funnel": curation_funnel_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
         "pack_sequences": pack_sequences_sql(seq_len=1000),
+        "winnow_fingerprints": __import__(
+            "centrality_gpu_spark.operators.text",
+            fromlist=["winnow_fingerprints_sql"],
+        ).winnow_fingerprints_sql(),
         "word_histogram": (
             "SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
             "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "

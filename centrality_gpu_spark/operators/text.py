@@ -415,6 +415,69 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", F.xxhash64(norm).alias("fp"))
 
 
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 8, window: int = 4
+) -> DataFrame:
+    """(doc_id, fp) — MOSS-style winnowing fingerprints (Schleimer,
+    Wilkerson, Aiken SIGMOD'03): hash every character k-gram of the
+    normalized text (the rolling-hash fingerprint family — here the
+    engine-standard md5→int64 per gram, deterministic in both engines),
+    then keep the MINIMUM hash of each sliding window of ``window``
+    consecutive gram hashes, deduplicated.
+
+    Winnowing's guarantee: any substring match of length ≥ k+window−1
+    shares at least one selected fingerprint — the local-fingerprint
+    property that makes shared-fp joins a substring-plagiarism /
+    near-dup detector with bounded density (≈ 2/(window+1) of grams
+    selected). Pure array expressions (transform over sequence +
+    array_min over slice) — no UDF, no explode until the final
+    distinct.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n = F.length(norm)
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.substring(norm, i, k)), 1, 15), 16, 10
+    ).cast("long")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        gram_hash,
+    )
+    nh = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nh - F.lit(window - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    )
+
+
+def winnow_fingerprints_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB twin of ``winnow_fingerprints``."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(substr(t, i, {k})), 1, 15)) AS BIGINT)
+          FOR i IN range(1, GREATEST(length(t) - {k - 1}, 1) + 1)] AS h
+  FROM norm
+),
+mins AS (
+  SELECT doc_id,
+         list_distinct(
+           [list_min(h[j:j+{window - 1}])
+            FOR j IN range(1, GREATEST(len(h) - {window - 1}, 1) + 1)]
+         ) AS fps
+  FROM hashes
+)
+SELECT doc_id, unnest(fps) AS fp FROM mins ORDER BY doc_id, fp
+""".strip()
+
+
 # --------------------------------------------------------------- PII
 
 # Redaction patterns restricted to the Java-regex ∩ RE2 dialect so the

@@ -318,3 +318,31 @@ def test_quality_filter_reasons_fixed_order(spark):
     assert got[3][1] in ("repetitive", "low_quality")
     assert got[3][0] is False
     assert got[4] == (True, "kept")
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing's match guarantee: two docs sharing a substring of
+    length >= k + window - 1 share at least one fingerprint; unrelated
+    docs (different alphabets) share none."""
+    from centrality_gpu_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"AAAA {shared} BBBB", "en", "s", 0),
+        (2, f"cccc dddd {shared} eeee", "en", "s", 0),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=8, window=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]           # shared substring -> shared fp
+    assert not (fps[1] & fps[3])     # disjoint alphabets -> no overlap
+    assert not (fps[2] & fps[3])
+    # density: winnowing selects ~2/(w+1) of gram positions, far fewer
+    # than all grams
+    n_grams_1 = len(rows[0][1]) - 8 + 1
+    assert len(fps[1]) < n_grams_1 / 2
