@@ -1092,6 +1092,12 @@ def _q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return winnow_fingerprints(_docs(spark, sf))
 
 
+def _q_winnow_matches(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.text import winnow_matches
+
+    return winnow_matches(_docs(spark, sf), min_shared=2)
+
+
 def _q_eccentricity_events(spark: SparkSession, sf: str) -> DataFrame:
     return eccentricity(events_graph(spark, sf))
 
@@ -1237,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "word_histogram": _q_word_histogram,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_matches": _q_winnow_matches,
         "quality_score": _q_quality,
         # corpus-distribution signals (corpus-trained unigram LM /
         # corpus gram counts / target-vs-raw DSIR buckets):
@@ -1387,6 +1394,10 @@ def oracle_sql() -> dict[str, str]:
             "centrality_gpu_spark.operators.text",
             fromlist=["winnow_fingerprints_sql"],
         ).winnow_fingerprints_sql(),
+        "winnow_matches": __import__(
+            "centrality_gpu_spark.operators.text",
+            fromlist=["winnow_matches_sql"],
+        ).winnow_matches_sql(min_shared=2),
         "word_histogram": (
             "SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
             "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "

@@ -433,6 +433,8 @@ def winnow_fingerprints(
     array_min over slice) — no UDF, no explode until the final
     distinct.
     """
+    from pyspark.sql import Window as W
+
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     n = F.length(norm)
     gram_hash = lambda i: F.conv(  # noqa: E731
@@ -442,14 +444,27 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         gram_hash,
     )
-    nh = F.size(hashes)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(nh - F.lit(window - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(hashes, j, window)),
+    # row-based window min, NOT array slice-of-expression: a
+    # slice(transform(...), j, w) per window re-evaluates the whole
+    # gram-hash transform per window (no CSE across lambda scopes) —
+    # O(n²) md5 calls per doc. posexplode evaluates the transform once,
+    # then the per-doc rows window is O(n·w) and shuffle-partitioned by
+    # doc_id, the natural key.
+    grams = documents.select(
+        "doc_id", F.posexplode(hashes).alias("pos", "h")
     )
-    return (
-        documents.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+    per_doc = W.partitionBy("doc_id")
+    fwd = per_doc.orderBy("pos").rowsBetween(0, window - 1)
+    g = grams.withColumn("nh", F.count("*").over(per_doc)).withColumn(
+        "wmin", F.min("h").over(fwd)
     )
+    # valid window starts: pos ≤ nh − window; a doc with fewer than
+    # `window` grams keeps its single all-grams window (pos = 0)
+    starts = g.where(
+        (F.col("pos") <= F.col("nh") - window)
+        | ((F.col("nh") < window) & (F.col("pos") == 0))
+    )
+    return starts.select("doc_id", F.col("wmin").alias("fp")).distinct()
 
 
 def winnow_fingerprints_sql(k: int = 8, window: int = 4) -> str:
@@ -475,6 +490,69 @@ mins AS (
   FROM hashes
 )
 SELECT doc_id, unnest(fps) AS fp FROM mins ORDER BY doc_id, fp
+""".strip()
+
+
+def winnow_matches(
+    documents: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — document pairs sharing ≥ min_shared
+    winnowed fingerprints (doc_a < doc_b): the substring-overlap
+    detector winnowing exists for (plagiarism / near-dup text reuse).
+
+    ``max_fp_docs`` drops fingerprints present in more docs than the
+    cap before pairing — the hot-shingle control every inverted-index
+    join here applies (a boilerplate fingerprint in 10⁶ docs would emit
+    C(10⁶,2) pairs); the cap is declared semantics, disclosed like
+    ``ngram_jaccard_pairs``.
+    """
+    fps = winnow_fingerprints(documents, k, window)
+    if max_fp_docs is not None:
+        df_counts = fps.groupBy("fp").agg(F.count("*").alias("nd"))
+        fps = fps.join(
+            df_counts.where(F.col("nd") <= max_fp_docs).select("fp"), "fp"
+        )
+    a = fps.select("fp", F.col("doc_id").alias("doc_a"))
+    b = fps.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_matches_sql(
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int | None = 1000,
+) -> str:
+    """DuckDB twin of ``winnow_matches``."""
+    cap = (
+        f"""fpc AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {max_fp_docs}
+),
+kept AS (SELECT f.* FROM fps f JOIN fpc USING (fp)),"""
+        if max_fp_docs is not None
+        else "kept AS (SELECT * FROM fps),"
+    )
+    return f"""
+WITH fps AS ({winnow_fingerprints_sql(k, window)}),
+{cap}
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs WHERE n_shared >= {min_shared}
+ORDER BY doc_a, doc_b
 """.strip()
 
 
