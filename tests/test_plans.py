@@ -127,3 +127,49 @@ def test_pagerank_sql_iteration_vector_only_shuffle(spark):
     # above the cache scan: the contribution agg's exchange at most —
     # never a fresh repartition of the edge table
     assert _n_hash_exchanges(edge_side) <= 1
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The two-phase prefix sum must not fall back to a single-task
+    global window: every window in the plan is partitioned (by the
+    range bucket), and the corpus is never sorted globally."""
+    from centrality_gpu_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(pack_sequences(docs, seq_len=512))
+    for line in plan.splitlines():
+        if "Window [" in line or "RunningWindowFunction" in line:
+            assert "windowspecdefinition(pid" in line, line
+    # no empty-partition window spec (the WindowExec all-to-one-task
+    # fallback prints 'windowspecdefinition(' with no partition cols)
+    assert "windowspecdefinition(doc_id" not in plan
+
+
+def test_knn_graph_no_cartesian_and_pruned_scan(spark):
+    """The kNN construction must stay a bucketed equi-join (no
+    cartesian/broadcast-nested-loop) and read only the two embedding
+    columns it uses."""
+    from centrality_gpu_spark.operators.similarity import knn_graph
+
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where("vec_id < 100")
+    plan = _plan(knn_graph(embs, k=5, n_planes=8, n_tables=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert schema and all("label" not in ln for ln in schema)  # pruned
+
+
+def test_curate_corpus_single_pass_signals(spark):
+    """The curation gate's four signal scans must not multiply into
+    repeated full-document reads beyond the stage count — the plan
+    reads the documents parquet a bounded number of times (one per
+    signal + pipeline stages), never per-row Python."""
+    from centrality_gpu_spark.operators.corpus import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(curate_corpus(docs, "src0", fraction=0.5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
