@@ -203,6 +203,25 @@ def main() -> None:
     extras["partition_cut_fraction"] = cut_holder["cut_fraction"]
     extras["partition_cut_fraction_refined"] = cut_holder["cut_fraction_refined"]
 
+    # q17: the per-document curation signal scans (token/quality/langid/
+    # entropy/repetition joined into the filter gate) + q18 sequence
+    # packing — the corpus side's cheap codegen paths at the same sf
+    from centrality_gpu_spark.operators.corpus import pack_sequences
+    from centrality_gpu_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    n_docs = docs.count()
+    extras["corpus_docs"] = n_docs
+
+    def signals_job():
+        kept = quality_filter(docs).where("keep").count()
+        extras["quality_kept_docs"] = kept
+        return kept
+
+    timed("q17_quality_filter_gate", signals_job)
+    timed("q18_pack_sequences", lambda: pack_sequences(docs, seq_len=2048).agg(
+        F.max("shard").alias("mx")).collect())
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
