@@ -69,6 +69,8 @@ from centrality_gpu_spark.operators.corpus import (
     curate_corpus,
     pack_sequences,
     pack_sequences_sql,
+    vocab_growth,
+    vocab_growth_sql,
     curate_corpus_sql,
     curation_funnel,
     curation_funnel_sql,
@@ -1080,6 +1082,10 @@ def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf), seq_len=1000)
 
 
+def _q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    return vocab_growth(_docs(spark, sf))
+
+
 def _q_word_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.bpe import word_histogram
 
@@ -1241,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "curation_funnel": _q_curation_funnel,
         "pack_sequences": _q_pack_sequences,
+        "vocab_growth": _q_vocab_growth,
         "word_histogram": _q_word_histogram,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_matches": _q_winnow_matches,
@@ -1390,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": curate_corpus_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
         "curation_funnel": curation_funnel_sql(CONTAM_EVAL_SOURCE, fraction=0.5),
         "pack_sequences": pack_sequences_sql(seq_len=1000),
+        "vocab_growth": vocab_growth_sql(),
         "winnow_fingerprints": __import__(
             "centrality_gpu_spark.operators.text",
             fromlist=["winnow_fingerprints_sql"],

@@ -572,3 +572,93 @@ SELECT doc_id, n_tokens, tok_offset,
        (tok_offset // {seq_len})::BIGINT AS shard
 FROM packed ORDER BY doc_id
 """.strip()
+
+
+# --------------------------------------------------- vocabulary growth
+
+def vocab_growth(documents: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """(doc_id, new_words, vocab_size) — the Heaps-law vocabulary
+    growth curve: scanning the corpus in doc_id order, how many
+    never-seen-before (lowercased whitespace) words each document
+    contributes and the running distinct-vocabulary size after it.
+
+    The curve is the standard corpus-composition diagnostic (vocabulary
+    saturation ⇒ duplication / narrow domain; Heaps' law predicts
+    V(n) ≈ K·nᵝ on natural text). Distributed shape: first-occurrence
+    assignment is one word groupBy (min doc_id — no window), and the
+    running total is the same two-phase prefix sum as
+    ``pack_sequences`` (doc_id-range buckets, n_buckets-row collected
+    prefix, within-bucket window) — no global single-task scan.
+    """
+    words = F.explode(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+        )
+    )
+    first = (
+        documents.select("doc_id", words.alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("new_words"))
+    )
+    per_doc = documents.select("doc_id").join(first, "doc_id", "left").select(
+        "doc_id", F.coalesce("new_words", F.lit(0)).cast("long").alias("new_words")
+    )
+    bounds = per_doc.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    span = max(int(bounds.hi) - int(bounds.lo) + 1, 1)
+    pid = (
+        (F.col("doc_id") - F.lit(int(bounds.lo)))
+        * F.lit(n_buckets) / F.lit(span)
+    ).cast("int")
+    t = per_doc.withColumn("pid", pid)
+    bucket_sums = {
+        r.pid: r.s
+        for r in t.groupBy("pid").agg(F.sum("new_words").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for b in range(n_buckets):
+        prefix[b] = acc
+        acc += int(bucket_sums.get(b, 0))
+    pref_df = documents.sparkSession.createDataFrame(
+        [(b, prefix[b]) for b in range(n_buckets)], "pid int, pref long"
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    running = F.sum("new_words").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.join(F.broadcast(pref_df), "pid")
+        .select(
+            "doc_id",
+            "new_words",
+            (running + F.col("pref")).cast("long").alias("vocab_size"),
+        )
+    )
+
+
+def vocab_growth_sql() -> str:
+    """DuckDB twin of ``vocab_growth`` (single global window — the
+    oracle can afford it)."""
+    return """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_words
+  FROM (SELECT word, MIN(doc_id) AS doc_id FROM w GROUP BY word)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.new_words, 0) AS new_words,
+       CAST(SUM(COALESCE(p.new_words, 0)) OVER (
+         ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS BIGINT) AS vocab_size
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+""".strip()

@@ -294,3 +294,24 @@ def test_cli_curate_job(spark, tmp_path):
     assert m["funnel"] == want
     got = spark.read.parquet(out)
     assert got.count() == sum(want.values())
+
+
+# --------------------------------------------------- vocabulary growth
+
+from centrality_gpu_spark.operators.corpus import vocab_growth
+
+
+def test_vocab_growth_hand(spark):
+    rows = [
+        (1, "a b c", "en", "s", 0),
+        (2, "b c d", "en", "s", 0),   # d is new
+        (3, "a d", "en", "s", 0),     # nothing new
+        (4, "", "en", "s", 0),        # empty doc contributes 0
+        (5, "e", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    got = {
+        r.doc_id: (r.new_words, r.vocab_size)
+        for r in vocab_growth(docs, n_buckets=2).collect()
+    }
+    assert got == {1: (3, 3), 2: (1, 4), 3: (0, 4), 4: (0, 4), 5: (1, 5)}
