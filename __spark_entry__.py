@@ -98,6 +98,8 @@ from centrality_gpu_spark.operators.bfs import multi_source_bfs
 from centrality_gpu_spark.operators.triangles import (
     TRIANGLE_COUNT_SQL,
     sampled_triangle_count_sql,
+    transitivity,
+    transitivity_oracle_sql,
     triangle_count,
     triangle_count_sampled,
     triangles_per_vertex,
@@ -312,6 +314,10 @@ def _q_triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q_triangles_per_vertex_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     return triangles_per_vertex(copurchase_graph(spark, sf))
+
+
+def _q_transitivity_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    return transitivity(copurchase_graph(spark, sf))
 
 
 def _q_triangle_count_sampled_copurchase(
@@ -1314,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
         "triangle_count_sampled_copurchase": _q_triangle_count_sampled_copurchase,
+        "transitivity_copurchase": _q_transitivity_copurchase,
         "four_cliques_events": _q_four_cliques_events,
         "four_clique_count_copurchase": _q_four_clique_count_copurchase,
         "sssp_events": _q_sssp_events,
@@ -1486,6 +1493,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_sampled_copurchase": sampled_triangle_count_sql(
             COPURCHASE_EDGES_CTE, p=0.25
         ),
+        "transitivity_copurchase": transitivity_oracle_sql(COPURCHASE_EDGES_CTE),
         "triangle_count_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
         f"{TRIANGLE_COUNT_SQL}\n"
         "SELECT COUNT(*) AS n_triangles FROM tri",

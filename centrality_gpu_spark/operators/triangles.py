@@ -191,3 +191,36 @@ stri AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
        ROUND(COUNT(*) / {float(p**3)}, 6) AS est
 FROM stri""".strip()
+
+
+def transitivity(graph: Graph) -> DataFrame:
+    """Single row (transitivity:double) — the GLOBAL clustering
+    coefficient 3·triangles / wedges, where wedges = Σ_v C(deg v, 2)
+    (``nx.transitivity`` semantics; 0.0 on wedge-free graphs). One
+    triangle count + one degree aggregation."""
+    tri = triangle_count(graph).collect()[0].n_triangles
+    deg = graph.degrees()
+    return deg.agg(
+        F.round(
+            F.when(
+                F.sum(F.col("degree") * (F.col("degree") - 1) / 2) > 0,
+                3.0 * F.lit(int(tri))
+                / F.sum(F.col("degree") * (F.col("degree") - 1) / 2),
+            ).otherwise(F.lit(0.0)),
+            8,
+        ).alias("transitivity")
+    )
+
+
+def transitivity_oracle_sql(edges_cte: str, round_digits: int = 8) -> str:
+    """DuckDB twin of ``transitivity``."""
+    return f"""WITH {edges_cte},
+{TRIANGLE_COUNT_SQL},
+wedges AS (
+  SELECT SUM(degree * (degree - 1) / 2.0) AS nw
+  FROM (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+)
+SELECT ROUND(CASE WHEN w.nw > 0
+             THEN 3.0 * (SELECT COUNT(*) FROM tri) / w.nw
+             ELSE 0.0 END, {round_digits}) AS transitivity
+FROM wedges w""".strip()

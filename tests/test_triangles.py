@@ -71,3 +71,20 @@ def test_sampled_count_estimate_and_determinism(spark):
     r2 = triangle_count_sampled(graph, p=0.5).collect()[0]
     assert (r1.n_sampled, r1.est) == (r2.n_sampled, r2.est)  # md5 coin
     assert abs(r1.est - exact) / exact < 0.35  # KDD'09 variance bound
+
+
+def test_transitivity_matches_nx(spark):
+    import networkx as nx
+
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.triangles import transitivity
+
+    for seed in (3, 14):
+        g = nx.gnm_random_graph(40, 150, seed=seed)
+        graph = Graph.from_undirected_edges(
+            spark.createDataFrame(
+                [(int(u), int(v)) for u, v in g.edges()], "src long, dst long"
+            )
+        )
+        got = transitivity(graph).collect()[0].transitivity
+        assert abs(got - nx.transitivity(g)) < 1e-7
