@@ -316,6 +316,24 @@ def _q_triangles_per_vertex_copurchase(spark: SparkSession, sf: str) -> DataFram
     return triangles_per_vertex(copurchase_graph(spark, sf))
 
 
+def _q_ego_network_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.bfs import ego_network
+
+    g = events_graph(spark, sf)
+    center = g.min_degree_vertex()[0]
+    ball, _ = ego_network(g, center, radius=2)
+    return ball
+
+
+def _q_ego_edges_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.bfs import ego_network
+
+    g = events_graph(spark, sf)
+    center = g.min_degree_vertex()[0]
+    _, edges = ego_network(g, center, radius=2)
+    return edges
+
+
 def _q_transitivity_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     return transitivity(copurchase_graph(spark, sf))
 
@@ -1321,6 +1339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
         "triangle_count_sampled_copurchase": _q_triangle_count_sampled_copurchase,
         "transitivity_copurchase": _q_transitivity_copurchase,
+        "ego_network_events": _q_ego_network_events,
+        "ego_edges_events": _q_ego_edges_events,
         "four_cliques_events": _q_four_cliques_events,
         "four_clique_count_copurchase": _q_four_clique_count_copurchase,
         "sssp_events": _q_sssp_events,
@@ -1494,6 +1514,14 @@ def oracle_sql() -> dict[str, str]:
             COPURCHASE_EDGES_CTE, p=0.25
         ),
         "transitivity_copurchase": transitivity_oracle_sql(COPURCHASE_EDGES_CTE),
+        "ego_network_events": __import__(
+            "centrality_gpu_spark.operators.bfs",
+            fromlist=["ego_network_oracle_sql"],
+        ).ego_network_oracle_sql(EVENTS_EDGES_CTE, radius=2, part="vertices"),
+        "ego_edges_events": __import__(
+            "centrality_gpu_spark.operators.bfs",
+            fromlist=["ego_network_oracle_sql"],
+        ).ego_network_oracle_sql(EVENTS_EDGES_CTE, radius=2, part="edges"),
         "triangle_count_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
         f"{TRIANGLE_COUNT_SQL}\n"
         "SELECT COUNT(*) AS n_triangles FROM tri",

@@ -265,3 +265,80 @@ def diameter_estimate(graph: Graph, n_samples: int = 512, seed: int = 42) -> flo
     ecc = res.visited.groupBy("source").agg(F.max("dist").alias("ecc"))
     row = ecc.agg(F.percentile_approx("ecc", 0.5).alias("med")).collect()[0]
     return float(row["med"]) if row["med"] is not None else 0.0
+
+
+def ego_network(
+    graph: Graph, center: int, radius: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """(vertices, edges) of the radius-hop ego network around
+    ``center``: vertices = (id, dist) with dist ≤ radius (the center at
+    0), edges = the INDUCED symmetric edge set (both endpoints inside —
+    ``nx.ego_graph`` semantics, so radius-ring fringe edges between two
+    ring vertices are kept, edges leaving the ball are not).
+
+    One multi-source BFS (the shared regime dispatcher) + two
+    membership semi-joins of the ball against the edge table — the
+    standard neighborhood-extraction query of a link-graph store.
+    """
+    src = graph.spark.createDataFrame([(int(center),)], "source long")
+    ball = (
+        bfs_visited(graph, src)
+        .where(F.col("dist") <= radius)
+        .select(F.col("vertex").alias("id"), F.col("dist").cast("long"))
+    )
+    ids = ball.select("id")
+    edges = (
+        graph.edges.select("src", "dst")
+        .join(ids.withColumnRenamed("id", "src"), "src")
+        .join(ids.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst")
+    )
+    return ball, edges
+
+
+def ego_network_oracle_sql(
+    edges_cte: str,
+    center: int | None = None,
+    radius: int = 1,
+    part: str = "vertices",
+) -> str:
+    """DuckDB twin of ``ego_network`` (``part`` = 'vertices' |
+    'edges'); BFS distances via iterative frontier CTEs unrolled to
+    ``radius`` (exact for any radius — the ball is defined by ≤ radius
+    anyway). ``center=None`` picks the min-(degree, id) vertex — the
+    same deterministic rule as ``Graph.min_degree_vertex``, so both
+    engines choose the same center on any input."""
+    center_sql = (
+        str(center)
+        if center is not None
+        else (
+            "(SELECT src FROM (SELECT src, COUNT(*) AS degree FROM edges "
+            "GROUP BY src) ORDER BY degree, src LIMIT 1)"
+        )
+    )
+    parts = [edges_cte, f"d0 AS (SELECT {center_sql} AS id, 0 AS dist)"]
+    for r in range(radius):
+        parts.append(
+            f"""d{r + 1} AS (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM d{r}
+    UNION ALL
+    SELECT e.dst AS id, {r + 1} AS dist
+    FROM edges e JOIN d{r} v ON e.src = v.id WHERE v.dist = {r}
+  ) GROUP BY id
+)"""
+        )
+    ball = f"d{radius}"
+    if part == "vertices":
+        final = (
+            f"SELECT id, CAST(dist AS BIGINT) AS dist FROM {ball} "
+            "ORDER BY id"
+        )
+    else:
+        final = (
+            f"SELECT e.src, e.dst FROM edges e\n"
+            f"JOIN {ball} a ON e.src = a.id\n"
+            f"JOIN {ball} b ON e.dst = b.id\n"
+            "ORDER BY e.src, e.dst"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + final

@@ -61,3 +61,31 @@ def test_component_summary(spark):
         10: (3, 2, round(2 * 2 / (3 * 2), 8)),
         20: (2, 1, 1.0),
     }
+
+
+def test_ego_network_matches_nx(spark):
+    import networkx as nx
+
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.bfs import ego_network
+
+    g = nx.gnm_random_graph(40, 80, seed=21)
+    g.remove_nodes_from(list(nx.isolates(g)))
+    graph = Graph.from_undirected_edges(
+        spark.createDataFrame(
+            [(int(u), int(v)) for u, v in g.edges()], "src long, dst long"
+        )
+    )
+    center = min(g.nodes)
+    for radius in (1, 2):
+        ball, edges = ego_network(graph, center, radius=radius)
+        want = nx.ego_graph(g, center, radius=radius)
+        got_v = {r.id: r.dist for r in ball.collect()}
+        assert set(got_v) == set(want.nodes)
+        sp = nx.single_source_shortest_path_length(g, center, cutoff=radius)
+        assert got_v == dict(sp)
+        got_e = {
+            (min(r.src, r.dst), max(r.src, r.dst)) for r in edges.collect()
+        }
+        want_e = {(min(u, v), max(u, v)) for u, v in want.edges}
+        assert got_e == want_e
