@@ -141,3 +141,35 @@ def test_arrival_save_load_resume(spark, tmp_path):
     warm.update(spark.createDataFrame(edges[3:], schema))
     got = {r.id: r.arrival for r in warm.state.collect()}
     assert got == want
+
+
+def test_word_histogram_chunked_equals_batch(spark, tmp_path):
+    import numpy as np
+
+    from centrality_gpu_spark.operators.bpe import word_histogram
+    from centrality_gpu_spark.streaming.vocab import StreamingWordHistogram
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .where("doc_id < 150")
+        .select("doc_id", "text")
+    )
+    exp = sorted((r.word, r.cnt) for r in word_histogram(docs).collect())
+    rows = docs.collect()
+    rng = np.random.default_rng(31)
+    rows = [rows[i] for i in rng.permutation(len(rows))]
+    acc = StreamingWordHistogram(spark)
+    third = len(rows) // 3
+    acc.update(spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows[:third]], "doc_id long, text string"))
+    # replay the first chunk inside the second: must be a no-op
+    acc.update(spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows[: 2 * third]],
+        "doc_id long, text string"))
+    acc.save(str(tmp_path / "wh"))
+    warm = StreamingWordHistogram.load(spark, str(tmp_path / "wh"))
+    warm.update(spark.createDataFrame(
+        [(r.doc_id, r.text) for r in rows[2 * third:]],
+        "doc_id long, text string"))
+    got = sorted((r.word, r.cnt) for r in warm.histogram.collect())
+    assert got == exp
