@@ -103,22 +103,24 @@ def main(argv=None) -> None:
 
     if args.algorithm == "curate":
         # documents-table job: the end-to-end curation funnel
-        from centrality_gpu_spark.operators.corpus import (
-            curate_corpus,
-            curation_funnel,
-        )
+        from pyspark.sql import functions as F
+
+        from centrality_gpu_spark.operators.corpus import curate_corpus
 
         docs = spark.read.parquet(args.input)
         t0 = time.time()
+        # materialize once: the funnel counts come from the same cached
+        # frame as the parquet write, so the expensive MinHash-LSH dedup
+        # and closure stages run a single time.
         out = curate_corpus(
             docs, args.eval_source, fraction=args.sample_fraction
-        )
+        ).localCheckpoint()
         out.write.mode("overwrite").parquet(args.output)
         funnel = {
             r.decision: r.n_docs
-            for r in curation_funnel(
-                docs, args.eval_source, fraction=args.sample_fraction
-            ).collect()
+            for r in out.groupBy("decision")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .collect()
         }
         metrics = {
             "algorithm": "curate",

@@ -511,6 +511,13 @@ def pack_sequences(
     bounds = toks.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
+    if bounds.hi is None:  # empty corpus: empty result, same schema
+        return toks.select(
+            "doc_id",
+            F.col("n_ws_tokens").cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("tok_offset"),
+            F.lit(0).cast("long").alias("shard"),
+        )
     span = max(int(bounds.hi) - int(bounds.lo) + 1, 1)
     pid = (
         (F.col("doc_id") - F.lit(int(bounds.lo)))
@@ -608,6 +615,11 @@ def vocab_growth(documents: DataFrame, n_buckets: int = 32) -> DataFrame:
     bounds = per_doc.agg(
         F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
     ).collect()[0]
+    if bounds.hi is None:  # empty corpus: empty result, same schema
+        return per_doc.select(
+            "doc_id", "new_words",
+            F.lit(0).cast("long").alias("vocab_size"),
+        )
     span = max(int(bounds.hi) - int(bounds.lo) + 1, 1)
     pid = (
         (F.col("doc_id") - F.lit(int(bounds.lo)))

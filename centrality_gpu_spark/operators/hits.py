@@ -503,10 +503,13 @@ def salsa(edges: DataFrame, round_digits: int = 8) -> DataFrame:
         (F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst")
     )
     comp = connected_components(_G.from_undirected_edges(bip))
-    auth_comp = comp.where(F.col("id") % 2 == 1).select(
+    # pmod, not %: Spark's % follows the dividend's sign (-3 % 2 == -1),
+    # which would silently drop every negative-id vertex from the odd
+    # (authority) side; pmod is non-negative for any id.
+    auth_comp = comp.where(F.pmod(F.col("id"), F.lit(2)) == 1).select(
         ((F.col("id") - 1) / 2).cast("long").alias("id"), "component"
     )
-    hub_comp = comp.where(F.col("id") % 2 == 0).select(
+    hub_comp = comp.where(F.pmod(F.col("id"), F.lit(2)) == 0).select(
         (F.col("id") / 2).cast("long").alias("id"), "component"
     )
     indeg = e.groupBy(F.col("dst").alias("id")).agg(
@@ -573,10 +576,10 @@ comp AS (SELECT id, MIN(l) AS component FROM reach GROUP BY id),
 indeg AS (SELECT dst AS id, COUNT(*) AS d FROM dedges GROUP BY dst),
 outdeg AS (SELECT src AS id, COUNT(*) AS d FROM dedges GROUP BY src),
 acomp AS (
-  SELECT (c.id - 1) // 2 AS id, c.component FROM comp c WHERE c.id % 2 = 1
+  SELECT (c.id - 1) // 2 AS id, c.component FROM comp c WHERE ((c.id % 2) + 2) % 2 = 1
 ),
 hcomp AS (
-  SELECT c.id // 2 AS id, c.component FROM comp c WHERE c.id % 2 = 0
+  SELECT c.id // 2 AS id, c.component FROM comp c WHERE ((c.id % 2) + 2) % 2 = 0
 ),
 a1 AS (
   SELECT i.id, i.d, ac.component FROM indeg i JOIN acomp ac ON ac.id = i.id

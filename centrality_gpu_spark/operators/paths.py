@@ -111,25 +111,29 @@ def _shortest_path_bsp(graph: Graph, source: int, target: int) -> DataFrame:
         .agg(F.min("dst").alias("par"))
         .persist()
     )
-    pmap = {
-        r.id: r.par
-        for r in parents.join(
-            dist.where(F.col("dist") <= depth).select(F.col("vertex").alias("id")),
-            "id",
-            "left_semi",
-        ).collect()
-    }
-    # O(diameter) driver walk over the (depth-bounded) parent map —
-    # the collected map is one row per reachable vertex at <= depth;
-    # for point lookups at scale, slice parents by the path's ids
-    # instead (depth joins); kept simple here since depth*1 rows flow
-    path = [int(target)]
+    # backwalk by O(depth) tiny joins: each step joins the single
+    # current path row to the parents table (1-row side broadcasts),
+    # so the driver never materializes an O(V) parent map — only the
+    # O(path) rows of the answer itself ever reach it.
+    step = spark.createDataFrame([(depth, int(target))], "pos int, id long")
+    segments = [step]
     for _ in range(depth):
-        path.append(int(pmap[path[-1]]))
+        step = (
+            step.join(parents, "id")
+            .select(
+                (F.col("pos") - 1).alias("pos"), F.col("par").alias("id")
+            )
+            # 1 row; truncate lineage so the plan depth stays O(1)
+            .localCheckpoint()
+        )
+        segments.append(step)
+    out = segments[0]
+    for seg in segments[1:]:
+        out = out.unionByName(seg)
+    out = out.orderBy("pos").localCheckpoint()
     dist.unpersist()
     parents.unpersist()
-    rows = [(pos, v) for pos, v in enumerate(reversed(path))]
-    return spark.createDataFrame(rows, "pos int, id long")
+    return out
 
 
 def shortest_path_oracle_sql(

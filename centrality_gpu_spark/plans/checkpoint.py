@@ -100,6 +100,22 @@ def partition_lineage(df: DataFrame) -> list[dict[str, int]]:
     ]
 
 
+def verify_epoch_frame(df: DataFrame, meta: dict[str, Any]) -> bool:
+    """True iff ``df`` matches the lineage recorded in ``meta``: total
+    row count AND total content hash. The global bit_xor of per-row
+    xxhash64 equals the xor of the recorded per-partition hashes, so the
+    check is insensitive to how the re-read repartitions the files while
+    still catching corrupted-but-count-preserving epochs."""
+    got = df.select(F.xxhash64(*df.columns).alias("h")).agg(
+        F.count("*").alias("rows"), F.bit_xor("h").alias("hash")
+    ).collect()[0]
+    exp_rows = sum(p["rows"] for p in meta["partitions"])
+    exp_hash = 0
+    for p in meta["partitions"]:
+        exp_hash ^= p["hash"]
+    return got["rows"] == exp_rows and int(got["hash"] or 0) == exp_hash
+
+
 @dataclass
 class CheckpointManager:
     """Manages epoch persistence for one run.
@@ -157,7 +173,8 @@ class CheckpointManager:
             json.dump(meta, f)
 
     def latest_epoch(self, name: str) -> tuple[int, DataFrame, dict[str, Any]] | None:
-        """Most recent epoch whose _META.json verifies (counts match)."""
+        """Most recent epoch whose _META.json verifies (row count and
+        content hash both match the recorded per-partition lineage)."""
         if self.root is None:
             return None
         base = os.path.join(self.root, name)
@@ -175,7 +192,6 @@ class CheckpointManager:
             with open(meta_path) as f:
                 meta = json.load(f)
             df = self.spark.read.parquet(d)
-            expected = sum(p["rows"] for p in meta["partitions"])
-            if df.count() == expected:
+            if verify_epoch_frame(df, meta):
                 return ep, df, meta
         return None

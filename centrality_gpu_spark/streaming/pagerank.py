@@ -112,15 +112,20 @@ class StreamingPageRank:
         if got is None:
             raise FileNotFoundError(f"no verifiable epoch under {root}")
         frames, x = got
+        if x.get("has_ranks"):
+            # one combined load so edges and ranks come from the SAME
+            # epoch (never mix states); edges-only result is the
+            # fallback when no epoch has both frames verified.
+            got2 = load_frames(spark, root, ["edges", "ranks"])
+            if got2 is not None:
+                frames, x = got2
         acc = cls(
             spark, alpha=float(x["alpha"]), tol=float(x["tol"]),
             mode=str(x["mode"]),
         )
         acc.edges = frames["edges"].localCheckpoint()
-        if x.get("has_ranks"):
-            got2 = load_frames(spark, root, ["edges", "ranks"])
-            if got2 is not None:
-                acc.ranks = got2[0]["ranks"].localCheckpoint()
+        if "ranks" in frames:
+            acc.ranks = frames["ranks"].localCheckpoint()
         return acc
 
 

@@ -54,7 +54,7 @@ def _verify_epoch(
     import json
     import os
 
-    from centrality_gpu_spark.plans.checkpoint import META_FILE
+    from centrality_gpu_spark.plans.checkpoint import META_FILE, verify_epoch_frame
 
     d = os.path.join(root, name, f"epoch={epoch}")
     meta_path = os.path.join(d, META_FILE)
@@ -63,7 +63,9 @@ def _verify_epoch(
     with open(meta_path) as f:
         meta = json.load(f)
     df = spark.read.parquet(d)
-    if df.count() != sum(p["rows"] for p in meta["partitions"]):
+    # row count + content hash vs the recorded per-partition lineage —
+    # a corrupted-but-count-preserving epoch is rejected.
+    if not verify_epoch_frame(df, meta):
         return None
     return df, meta
 

@@ -315,3 +315,17 @@ def test_vocab_growth_hand(spark):
         for r in vocab_growth(docs, n_buckets=2).collect()
     }
     assert got == {1: (3, 3), 2: (1, 4), 3: (0, 4), 4: (0, 4), 5: (1, 5)}
+
+
+def test_pack_and_vocab_empty_corpus(spark):
+    """Empty documents input → empty result with the same schema (no
+    TypeError from the null min/max bounds collect)."""
+    from centrality_gpu_spark.operators.corpus import pack_sequences, vocab_growth
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    packed = pack_sequences(empty)
+    assert packed.count() == 0
+    assert packed.columns == ["doc_id", "n_tokens", "tok_offset", "shard"]
+    vg = vocab_growth(empty)
+    assert vg.count() == 0
+    assert vg.columns == ["doc_id", "new_words", "vocab_size"]

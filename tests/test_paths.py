@@ -55,3 +55,30 @@ def test_path_source_equals_target(spark):
 def test_path_unknown_vertex_empty(spark):
     g = _graph(spark, [(0, 1)])
     assert shortest_path(g, 0, 99, strategy="broadcast").count() == 0
+
+
+def test_bsp_collect_is_o_path_not_o_v(spark, monkeypatch):
+    """The BSP backwalk must never collect an O(V) parent map to the
+    driver: every .collect() during the call returns O(path) rows."""
+    # long chain + wide star far from the path: V >> path length
+    chain = [(i, i + 1) for i in range(6)]
+    star = [(100, 100 + i) for i in range(1, 60)]
+    g = _graph(spark, chain + star + [(6, 100)])
+
+    # patch the CONCRETE DataFrame class (Spark 4's classic subclass
+    # overrides collect, so patching the abstract base misses it)
+    cls = type(g.edges)
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    rows = shortest_path(g, 0, 5, strategy="bsp").orderBy("pos").collect()
+    assert [r.id for r in rows] == [0, 1, 2, 3, 4, 5]
+    # path has 6 vertices; the graph has 67 — every driver-side collect
+    # must stay at path scale (the final result + 1-row probes only)
+    assert sizes and max(sizes) <= 8, sizes
