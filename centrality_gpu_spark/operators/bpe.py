@@ -87,8 +87,86 @@ def _merge_fold(l: str, r: str):
     )
 
 
+def _fold_py(s: list[str], l: str, r: str) -> list[str]:
+    """Pure-Python twin of ``_merge_fold`` — identical greedy
+    left-to-right non-cascading scan."""
+    out: list[str] = []
+    for x in s:
+        if out and out[-1] == l and x == r:
+            out[-1] = l + r
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_fit_inmemory(
+    items: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> tuple[list[tuple[str, str, int]], list[tuple[str, int, list[str]]]]:
+    """Classic heap-based BPE fit on a collected (word, cnt) histogram
+    (Sennrich et al. 2016 §3.2's incremental variant): pair counts are
+    updated only for the words a merge touched, and a lazy max-heap
+    picks each round's argmax — no per-merge corpus pass, no per-merge
+    Spark job. Tie-break: lexicographically smallest (l, r) among the
+    max-count pairs (same order as the distributed twin's
+    ``orderBy(desc(n), asc(l), asc(r))``)."""
+    import heapq
+    from collections import defaultdict
+
+    syms: list[list[str]] = []
+    cnts: list[int] = []
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, (word, cnt) in enumerate(items):
+        s = list(word) + [END_OF_WORD]
+        syms.append(s)
+        cnts.append(cnt)
+        for pair in zip(s, s[1:]):
+            counts[pair] += cnt
+            where[pair].add(i)
+
+    # lazy heap: stale entries are skipped when their recorded count no
+    # longer matches the live counts dict
+    heap = [(-n, p[0], p[1]) for p, n in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        neg_n, l, r = heapq.heappop(heap)
+        n = -neg_n
+        if counts.get((l, r), 0) != n:
+            continue  # stale
+        if n < min_pair_count:
+            break
+        merges.append((l, r, n))
+        touched: set[tuple[str, str]] = set()
+        for i in sorted(where[(l, r)]):
+            old = syms[i]
+            new = _fold_py(old, l, r)
+            c = cnts[i]
+            for pair in zip(old, old[1:]):
+                counts[pair] -= c
+                touched.add(pair)
+                if counts[pair] <= 0:
+                    counts.pop(pair, None)
+                where[pair].discard(i)
+            for pair in zip(new, new[1:]):
+                counts[pair] += c
+                touched.add(pair)
+                where[pair].add(i)
+            syms[i] = new
+        for pair in touched:
+            if pair in counts:
+                heapq.heappush(heap, (-counts[pair], pair[0], pair[1]))
+    return merges, [
+        (w, c, s) for (w, _), c, s in zip(items, cnts, syms)
+    ]
+
+
 def bpe_train(
-    documents: DataFrame, n_merges: int = 50, min_pair_count: int = 2
+    documents: DataFrame,
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+    fit_mode: str = "auto",
+    max_vocab_rows: int = 2_000_000,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus.
 
@@ -97,9 +175,37 @@ def bpe_train(
     segmentation table (the broadcast-able word→tokens mapping
     ``bpe_tokenize`` applies). Stops early when no pair reaches
     ``min_pair_count``.
+
+    The word-type histogram is vocabulary-sized regardless of corpus
+    size, so the merge recurrence itself is NOT distributed work:
+    ``fit_mode='driver'`` (the default when the histogram fits
+    ``max_vocab_rows``) collects it once and runs the classic
+    incremental heap fit — 32k merges in seconds instead of 32k
+    sequential Spark jobs. ``fit_mode='distributed'`` keeps every round
+    on the cluster (one pair-count job per merge) for vocabularies past
+    the guard; both paths emit the identical merge sequence (pinned by
+    the exact-equality pytest).
     """
+    hist = word_histogram(documents)
+    if fit_mode == "auto":
+        fit_mode = (
+            "driver" if hist.count() <= max_vocab_rows else "distributed"
+        )
+    if fit_mode == "driver":
+        items = [
+            (r.word, int(r.cnt))
+            for r in hist.orderBy("word").collect()
+        ]
+        merges, seg = _bpe_fit_inmemory(items, n_merges, min_pair_count)
+        segmented = documents.sparkSession.createDataFrame(
+            seg, "word string, cnt long, syms array<string>"
+        )
+        return merges, segmented
+    if fit_mode != "distributed":
+        raise ValueError(f"unknown fit_mode {fit_mode!r}")
+
     vocab = (
-        word_histogram(documents)
+        hist
         .select("word", "cnt", _initial_symbols().alias("syms"))
         .localCheckpoint()
     )

@@ -113,3 +113,16 @@ def test_tokenize_and_oov_fallback(spark):
     )
     assert got[100] == want_100
     assert got[101] == []  # empty doc stays, with no tokens
+
+
+def test_driver_and_distributed_fits_agree(spark):
+    """Both fit modes must emit the identical merge sequence and final
+    segmentation (the driver heap fit is an optimization, not a new
+    semantics)."""
+    docs = _docs(spark)
+    m_drv, seg_drv = bpe_train(docs, n_merges=12, fit_mode="driver")
+    m_dst, seg_dst = bpe_train(docs, n_merges=12, fit_mode="distributed")
+    assert m_drv == m_dst
+    got_drv = {r.word: list(r.syms) for r in seg_drv.collect()}
+    got_dst = {r.word: list(r.syms) for r in seg_dst.collect()}
+    assert got_drv == got_dst
