@@ -508,13 +508,20 @@ def _q_coarsen_events(spark: SparkSession, sf: str) -> DataFrame:
     return coarse
 
 
+# r3 multilevel pipeline: pendant collapse → 2 heavy-edge matching
+# levels → weighted-LPA community packing (init) → LPA refinement.
+# Every knob pinned so the DuckDB unroll is identical.
 PARTITION_K = 4
+PARTITION_KW = dict(levels=2, match_rounds=8, peel_rounds=4, lpa_iters=10)
+PARTITION_ORACLE_KW = dict(
+    levels=2, rounds=8, peel_rounds=4, lpa_iters=10
+)
 
 
 def _q_partition_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.partition import partition_graph
 
-    return partition_graph(events_graph(spark, sf), PARTITION_K, levels=1)
+    return partition_graph(events_graph(spark, sf), PARTITION_K, **PARTITION_KW)
 
 
 def _q_edge_cut_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -524,7 +531,7 @@ def _q_edge_cut_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     g = events_graph(spark, sf)
-    return edge_cut_summary(g, partition_graph(g, PARTITION_K, levels=1))
+    return edge_cut_summary(g, partition_graph(g, PARTITION_K, **PARTITION_KW))
 
 
 REFINE_QUERY_ROUNDS = 4
@@ -537,7 +544,7 @@ def _q_partition_refined_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     g = events_graph(spark, sf)
-    parts = partition_graph(g, PARTITION_K, levels=1)
+    parts = partition_graph(g, PARTITION_K, **PARTITION_KW)
     return refine_partition(g, parts, PARTITION_K, rounds=REFINE_QUERY_ROUNDS)
 
 
@@ -549,7 +556,7 @@ def _q_edge_cut_refined_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     g = events_graph(spark, sf)
-    parts = partition_graph(g, PARTITION_K, levels=1)
+    parts = partition_graph(g, PARTITION_K, **PARTITION_KW)
     return edge_cut_summary(
         g, refine_partition(g, parts, PARTITION_K, rounds=REFINE_QUERY_ROUNDS)
     )
@@ -1648,13 +1655,19 @@ FROM orders ORDER BY id
         ),
         "matching_events": matching_oracle_sql(EVENTS_EDGES_CTE),
         "coarsen_events": contraction_oracle_sql(EVENTS_EDGES_CTE),
-        "partition_events": partition_oracle_sql(EVENTS_EDGES_CTE, PARTITION_K),
-        "edge_cut_events": edge_cut_oracle_sql(EVENTS_EDGES_CTE, PARTITION_K),
+        "partition_events": partition_oracle_sql(
+            EVENTS_EDGES_CTE, PARTITION_K, **PARTITION_ORACLE_KW
+        ),
+        "edge_cut_events": edge_cut_oracle_sql(
+            EVENTS_EDGES_CTE, PARTITION_K, **PARTITION_ORACLE_KW
+        ),
         "partition_refined_events": refined_partition_oracle_sql(
-            EVENTS_EDGES_CTE, PARTITION_K, refine_rounds=REFINE_QUERY_ROUNDS
+            EVENTS_EDGES_CTE, PARTITION_K,
+            refine_rounds=REFINE_QUERY_ROUNDS, **PARTITION_ORACLE_KW
         ),
         "edge_cut_refined_events": refined_edge_cut_oracle_sql(
-            EVENTS_EDGES_CTE, PARTITION_K, refine_rounds=REFINE_QUERY_ROUNDS
+            EVENTS_EDGES_CTE, PARTITION_K,
+            refine_rounds=REFINE_QUERY_ROUNDS, **PARTITION_ORACLE_KW
         ),
         "shortest_path_events": shortest_path_oracle_sql(
             EVENTS_EDGES_CTE, PATH_SOURCE, PATH_TARGET

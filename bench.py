@@ -190,18 +190,112 @@ def main() -> None:
     )
     cut_holder = {}
 
-    def partition_job():
-        parts = partition_graph(g, 32, levels=2)
-        row = edge_cut_summary(g, parts).collect()[0]
-        cut_holder["cut_fraction"] = row.cut_fraction
-        refined = refine_partition(g, parts, 32, rounds=4)
-        row2 = edge_cut_summary(g, refined).collect()[0]
-        cut_holder["cut_fraction_refined"] = row2.cut_fraction
+    # q16: the clustered case — the customer↔order star forest (the
+    # transcript-shaped graph): pendant collapse + LPA packing should
+    # reach cut ≈ 0 with balanced parts
+    from centrality_gpu_spark.sources.testdata_graphs import custorder_graph
+
+    gco = custorder_graph(spark, sf_dir).persist()
+    gco.edges_by_src().count()
+
+    def partition_custorder_job():
+        parts = partition_graph(gco, 32, levels="auto", match_rounds=4)
+        parts = parts.localCheckpoint()
+        row = edge_cut_summary(gco, parts).collect()[0]
+        cut_holder["custorder_cut_fraction"] = row.cut_fraction
+        refined = refine_partition(gco, parts, 32, rounds=2)
+        row2 = edge_cut_summary(gco, refined).collect()[0]
+        cut_holder["custorder_cut_refined"] = row2.cut_fraction
+        cut_holder["custorder_balance"] = [
+            int(row2.min_part_size), int(row2.max_part_size)
+        ]
         return row2
 
-    timed("q16_partition_32way", partition_job)
-    extras["partition_cut_fraction"] = cut_holder["cut_fraction"]
-    extras["partition_cut_fraction_refined"] = cut_holder["cut_fraction_refined"]
+    timed("q16_partition_custorder_32way", partition_custorder_job)
+    extras["partition_custorder_cut"] = cut_holder["custorder_cut_fraction"]
+    extras["partition_custorder_cut_refined"] = cut_holder["custorder_cut_refined"]
+    extras["partition_custorder_balance"] = cut_holder["custorder_balance"]
+    gco.unpersist()
+
+    # q16b: the structure-free case — the copurchase co-occurrence graph
+    # is an expander (level-1 contraction merges <5% of its edges; its
+    # 254-vertex coarsest graph is 60% dense), so the auto stall gate
+    # stops after one level and hash-assigns: measuring that the engine
+    # REFUSES to burn compute where no partition helps is the honest
+    # scale behavior (r2 spent 59 s here for a 0.926 cut ≈ random)
+    def partition_expander_job():
+        parts = partition_graph(g, 32, levels="auto", match_rounds=2)
+        row = edge_cut_summary(g, parts).collect()[0]
+        cut_holder["copurchase_cut_fraction"] = row.cut_fraction
+        return row
+
+    timed("q16b_partition_expander_gate", partition_expander_job)
+    extras["partition_copurchase_cut"] = cut_holder["copurchase_cut_fraction"]
+
+    # q16c: ear-compression cost/benefit (the reference's deepest
+    # optimization, G7-G18 / bcc_bfs.cpp:611-894): subdivide events
+    # edges into 3-hop chains — ~90% of vertices become degree-2 ear
+    # interiors, the mesh/road-like regime the kernel targets — and
+    # time the all-source BC kernels head to head (outputs equal to
+    # 1e-9, tested in tests/test_ears.py). MEASURED RESULT (r3, full
+    # sf0.1 subdivision, n=16,505): plain 66.3 s vs ear 76.9 s —
+    # 0.86×. On CPU/numpy the per-interior-source reverse sweep costs
+    # as much as the forward BFS it avoids, so the kernel stays OFF by
+    # default (its value here is exact output parity with the
+    # reference's ear pipeline, not wall-time); the reference's win
+    # was GPU-specific. The bench keeps a capped rerun so the record
+    # stays measured, not asserted.
+    import numpy as np
+
+    from centrality_gpu_spark.operators.betweenness import brandes_kernel
+    from centrality_gpu_spark.operators.ears import brandes_ear_kernel
+    from centrality_gpu_spark.sources.testdata_graphs import events_graph
+
+    epd = (
+        events_graph(spark, sf_dir)
+        .edges_by_src()
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .orderBy("src", "dst")
+        .limit(1500)
+        .toPandas()
+    )
+    ids = np.unique(np.concatenate([epd["src"].to_numpy(), epd["dst"].to_numpy()]))
+    lut = {int(v): i for i, v in enumerate(ids)}
+    s0 = np.array([lut[int(v)] for v in epd["src"]], dtype=np.int64)
+    d0 = np.array([lut[int(v)] for v in epd["dst"]], dtype=np.int64)
+    n0, m0 = len(ids), len(s0)
+    mid1 = n0 + 2 * np.arange(m0, dtype=np.int64)
+    mid2 = mid1 + 1
+    es = np.concatenate([s0, mid1, mid2])
+    ed = np.concatenate([mid1, mid2, d0])
+    n_sub = n0 + 2 * m0
+    asrc = np.concatenate([es, ed])
+    adst = np.concatenate([ed, es])
+    order = np.argsort(asrc, kind="stable")
+    sub_indices = adst[order]
+    sub_indptr = np.zeros(n_sub + 1, dtype=np.int64)
+    np.add.at(sub_indptr, asrc + 1, 1)
+    sub_indptr = np.cumsum(sub_indptr)
+
+    holder = {}
+
+    def ear_kernel_job():
+        t0 = time.time()
+        plain = brandes_kernel(sub_indptr, sub_indices, np.arange(n_sub), n_sub)
+        t_plain = time.time() - t0
+        t0 = time.time()
+        eared = brandes_ear_kernel(sub_indptr, sub_indices, n_sub)
+        t_ear = time.time() - t0
+        assert np.allclose(plain, eared, atol=1e-6)
+        holder.update(plain=t_plain, ear=t_ear)
+        return eared
+
+    timed("q16c_ear_kernel_vs_brandes", ear_kernel_job)
+    extras["ear_kernel_vertices"] = int(n_sub)
+    extras["ear_brandes_plain_s"] = round(holder["plain"], 2)
+    extras["ear_brandes_ear_s"] = round(holder["ear"], 2)
+    extras["ear_kernel_speedup"] = round(holder["plain"] / holder["ear"], 2)
 
     # q17: the per-document curation signal scans (token/quality/langid/
     # entropy/repetition joined into the filter gate) + q18 sequence

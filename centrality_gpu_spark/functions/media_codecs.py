@@ -26,20 +26,54 @@ import wave
 
 import numpy as np
 
+# optional third-party decoders ---------------------------------------------
+#
+# Pillow (PNG/JPEG/GIF) and PyAV (MP4/Matroska) are NOT required: when
+# importable they extend sniff/decode to the compressed formats; when
+# absent those payloads keep raising the explicit NotImplementedError.
+# Import probes are functions (not module-level flags) so tests can
+# monkeypatch them to exercise both paths regardless of the container.
+
+
+def _optional_pillow():
+    """PIL.Image if Pillow is importable, else None."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _optional_av():
+    """The av module if PyAV is importable, else None."""
+    try:
+        import av  # type: ignore[import-not-found]
+
+        return av
+    except ImportError:
+        return None
+
+
 # magic-byte sniffing ------------------------------------------------------
 
+# compressed-image formats Pillow can decode when present
+_PILLOW_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+}
+_PILLOW_NAMES = {"png": "PNG", "jpeg": "JPEG", "gif": "GIF"}
 _COMPRESSED_MAGIC = {
-    b"\x89PNG": "PNG (needs Pillow)",
-    b"\xff\xd8\xff": "JPEG (needs Pillow)",
-    b"GIF8": "GIF (needs Pillow)",
     b"fLaC": "FLAC (needs soundfile)",
     b"OggS": "Ogg (needs soundfile)",
-    b"\x1a\x45\xdf\xa3": "Matroska/WebM (needs PyAV)",
 }
 
 
 def sniff_kind(payload: bytes) -> str:
-    """One of 'bmp', 'ppm', 'wav', 'y4m' — or raises for anything else."""
+    """One of 'bmp', 'ppm', 'wav', 'y4m' — plus 'png'/'jpeg'/'gif' when
+    Pillow is importable and 'mp4'/'mkv' when PyAV is — or raises for
+    anything else (NotImplementedError names the missing library)."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
@@ -48,17 +82,31 @@ def sniff_kind(payload: bytes) -> str:
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
+    for magic, kind in _PILLOW_MAGIC.items():
+        if payload[: len(magic)] == magic:
+            if _optional_pillow() is not None:
+                return kind
+            raise NotImplementedError(
+                f"compressed format {_PILLOW_NAMES[kind]} (needs Pillow) "
+                "is not decodable in this container; supported here: "
+                "BMP, PPM, WAV-PCM, Y4M"
+            )
+    is_mp4 = len(payload) > 4 and payload[4:8] == b"ftyp"
+    is_mkv = payload[:4] == b"\x1a\x45\xdf\xa3"
+    if is_mp4 or is_mkv:
+        if _optional_av() is not None:
+            return "mp4" if is_mp4 else "mkv"
+        raise NotImplementedError(
+            ("MP4/MOV" if is_mp4 else "Matroska/WebM")
+            + " (needs PyAV) is not decodable in this container; "
+            "supported here: BMP, PPM, WAV-PCM, Y4M"
+        )
     for magic, what in _COMPRESSED_MAGIC.items():
         if payload[: len(magic)] == magic:
             raise NotImplementedError(
                 f"compressed format {what} is not decodable in this "
                 "container; supported here: BMP, PPM, WAV-PCM, Y4M"
             )
-    if len(payload) > 4 and payload[4:8] == b"ftyp":
-        raise NotImplementedError(
-            "MP4/MOV (needs PyAV) is not decodable in this container; "
-            "supported here: BMP, PPM, WAV-PCM, Y4M"
-        )
     raise ValueError(
         "unrecognized media payload (no known magic bytes); supported "
         "formats: BMP, PPM (P6), WAV-PCM, YUV4MPEG2"
@@ -69,13 +117,25 @@ def sniff_kind(payload: bytes) -> str:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """(H, W, 3) uint8 RGB from a BMP or binary-PPM payload."""
+    """(H, W, 3) uint8 RGB from a BMP or binary-PPM payload — plus
+    PNG/JPEG/GIF when Pillow is importable (optional dependency)."""
     kind = sniff_kind(payload)
     if kind == "bmp":
         return _decode_bmp(payload)
     if kind == "ppm":
         return _decode_ppm(payload)
+    if kind in _PILLOW_NAMES:
+        return _decode_pillow(payload)
     raise ValueError(f"payload is {kind}, not an image")
+
+
+def _decode_pillow(payload: bytes) -> np.ndarray:
+    """Compressed-image decode via the optional Pillow dependency.
+    Only reachable when sniff_kind returned a Pillow kind, i.e. the
+    import probe already succeeded."""
+    image_mod = _optional_pillow()
+    with image_mod.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:

@@ -106,29 +106,49 @@ def lpa_oracle_sql(
     ``edges_cte`` must define ``edges(src, dst, weight)`` holding both
     directions. Output: (id, label).
     """
+    return (
+        "WITH " + edges_cte + ",\n"
+        + lpa_ctes("edges", iterations, weighted, self_weight)
+        + f"\nSELECT id, label FROM l{iterations} ORDER BY id"
+    )
+
+
+def lpa_ctes(
+    edges_name: str,
+    iterations: int,
+    weighted: bool = False,
+    self_weight: float = 1.0,
+    prefix: str = "",
+) -> str:
+    """CTE chunk (no WITH, no final SELECT) unrolling ``iterations`` of
+    the synchronous-LPA recurrence over the CTE named ``edges_name``.
+    All CTE names carry ``prefix`` so LPA can chain inside a larger
+    statement (the multilevel partitioner's coarsest-level init); the
+    labeling lands in ``{prefix}l{iterations}(id, label)``."""
+    p = prefix
     wexpr = "CAST(e.weight AS DOUBLE)" if weighted else "1.0"
     parts = [
-        edges_cte,
-        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges)",
+        f"{p}l0 AS (SELECT DISTINCT src AS id, src AS label "
+        f"FROM {edges_name})",
     ]
     for k in range(iterations):
+        # l{k+1} MATERIALIZED: each step reads its predecessor twice
+        # (neighbor join + self-vote) — without materialization DuckDB
+        # inlines the chain into a 2^iterations plan
         parts.append(
-            f"""v{k} AS (
+            f"""{p}v{k} AS (
   SELECT e.dst AS id, l.label, {wexpr} AS wt
-  FROM edges e JOIN l{k} l ON e.src = l.id
+  FROM {edges_name} e JOIN {p}l{k} l ON e.src = l.id
   UNION ALL
-  SELECT id, label, {float(self_weight)} AS wt FROM l{k}
+  SELECT id, label, {float(self_weight)} AS wt FROM {p}l{k}
 ),
-c{k} AS (SELECT id, label, SUM(wt) AS cnt FROM v{k} GROUP BY id, label),
-l{k + 1} AS (
+{p}c{k} AS (SELECT id, label, SUM(wt) AS cnt FROM {p}v{k} GROUP BY id, label),
+{p}l{k + 1} AS MATERIALIZED (
   SELECT id, label FROM (
     SELECT id, label,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
-    FROM c{k}
+    FROM {p}c{k}
   ) WHERE rn = 1
 )"""
         )
-    return (
-        "WITH " + ",\n".join(parts)
-        + f"\nSELECT id, label FROM l{iterations} ORDER BY id"
-    )
+    return ",\n".join(parts)

@@ -30,20 +30,45 @@ from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterat
 MATCHING_MAX_ROUNDS = 12
 
 
-def _edge_priority(src_col, dst_col):
+def _edge_priority(src_col, dst_col, weight_col=None):
     """Total-order edge priority: md5 of 'match:<src>:<dst>' with the
-    decimal endpoints appended as tie-break (identical in DuckDB)."""
+    decimal endpoints appended as tie-break (identical in DuckDB).
+
+    With ``weight_col``, a fixed-width ``10^12 − weight`` integer is
+    prepended so HEAVIER edges sort first (heavy-edge matching, the
+    Karypis/Kumar HEM rule — multiplicities merged by contraction are
+    exactly the edges a multilevel partitioner wants matched);
+    md5+endpoints still break ties. Weights must be integer-valued
+    (< 10^12) for the two engines to format identically."""
     s, d = src_col.cast("string"), dst_col.cast("string")
-    return F.concat(
+    prio = F.concat(
         F.md5(F.concat(F.lit("match:"), s, F.lit(":"), d)),
         F.lit("|"), F.lpad(s, 20, "0"), F.lit("|"), F.lpad(d, 20, "0"),
     )
+    if weight_col is not None:
+        prio = F.concat(
+            F.lpad(
+                (F.lit(10**12).cast("long") - weight_col.cast("long")).cast(
+                    "string"
+                ),
+                13,
+                "0",
+            ),
+            F.lit("|"),
+            prio,
+        )
+    return prio
 
 
 _EDGE_PRIORITY_SQL = (
     "md5('match:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)) "
     "|| '|' || lpad(CAST(src AS VARCHAR), 20, '0') "
     "|| '|' || lpad(CAST(dst AS VARCHAR), 20, '0')"
+)
+
+_WEIGHTED_PRIORITY_SQL = (
+    "lpad(CAST(1000000000000 - CAST(weight AS BIGINT) AS VARCHAR), 13, '0') "
+    "|| '|' || " + _EDGE_PRIORITY_SQL
 )
 
 
@@ -53,6 +78,7 @@ def maximal_matching(
     max_rounds: int = MATCHING_MAX_ROUNDS,
     checkpoint: CheckpointManager | None = None,
     allow_partial: bool = False,
+    by_weight: bool = False,
 ) -> DataFrame:
     """(src, dst, round) — the matched pairs (src < dst canonical
     orientation) with the round each pair was claimed in. Every vertex
@@ -69,11 +95,14 @@ def maximal_matching(
     time/quality knob; Karypis & Kumar run one heuristic pass).
     """
     ckpt = checkpoint or CheckpointManager(graph.spark)
+    wcol = F.col("weight") if by_weight else None
     ea = (
         graph.edges_by_src()
         .where(F.col("src") < F.col("dst"))
         .select(
-            "src", "dst", _edge_priority(F.col("src"), F.col("dst")).alias("prio")
+            "src",
+            "dst",
+            _edge_priority(F.col("src"), F.col("dst"), wcol).alias("prio"),
         )
         .distinct()
     )
@@ -140,6 +169,55 @@ def maximal_matching(
     return union_all(matched)
 
 
+def matching_ctes(
+    edges_name: str, rounds: int = MATCHING_MAX_ROUNDS, prefix: str = "",
+    by_weight: bool = False,
+) -> str:
+    """CTE chunk (no WITH, no final SELECT) unrolling ``rounds`` of the
+    local-min matching over the CTE named ``edges_name`` (both
+    directions present). All CTE names carry ``prefix`` so multiple
+    matchings (one per coarsening level) can chain in one statement;
+    the matched set lands in ``{prefix}m{rounds}(src, dst, round)``.
+    ``by_weight`` switches to the heavy-edge priority."""
+    p = prefix
+    prio = _WEIGHTED_PRIORITY_SQL if by_weight else _EDGE_PRIORITY_SQL
+    src_cols = "src, dst, weight" if by_weight else "src, dst"
+    parts = [
+        f"""{p}e0 AS MATERIALIZED (
+  SELECT src, dst, {prio} AS prio
+  FROM (SELECT DISTINCT {src_cols} FROM {edges_name} WHERE src < dst)
+)""",
+        f"{p}m0 AS (SELECT src, dst, 0 AS round FROM {p}e0 WHERE FALSE)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""{p}vmin{k} AS MATERIALIZED (
+  SELECT v, MIN(prio) AS mprio FROM (
+    SELECT src AS v, prio FROM {p}e{k}
+    UNION ALL SELECT dst AS v, prio FROM {p}e{k}
+  ) GROUP BY v
+),
+{p}w{k} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {p}e{k} e
+  JOIN {p}vmin{k} a ON a.v = e.src AND a.mprio = e.prio
+  JOIN {p}vmin{k} b ON b.v = e.dst AND b.mprio = e.prio
+),
+{p}mv{k} AS MATERIALIZED (
+  SELECT src AS v FROM {p}w{k} UNION SELECT dst AS v FROM {p}w{k}
+),
+{p}m{k + 1} AS MATERIALIZED (
+  SELECT * FROM {p}m{k}
+  UNION ALL SELECT src, dst, {k} AS round FROM {p}w{k}
+),
+{p}e{k + 1} AS MATERIALIZED (
+  SELECT e.* FROM {p}e{k} e
+  WHERE e.src NOT IN (SELECT v FROM {p}mv{k})
+    AND e.dst NOT IN (SELECT v FROM {p}mv{k})
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def matching_oracle_sql(edges_cte: str, rounds: int = MATCHING_MAX_ROUNDS) -> str:
     """DuckDB twin of ``maximal_matching``: identical priorities and
     local-min-at-both-endpoints rule, unrolled (extra rounds past the
@@ -147,42 +225,8 @@ def matching_oracle_sql(edges_cte: str, rounds: int = MATCHING_MAX_ROUNDS) -> st
     ``edges(src, dst, ...)`` with both directions present. Output
     (src, dst, round) ordered.
     """
-    parts = [
-        edges_cte,
-        f"""e0 AS MATERIALIZED (
-  SELECT src, dst, {_EDGE_PRIORITY_SQL} AS prio
-  FROM (SELECT DISTINCT src, dst FROM edges WHERE src < dst)
-)""",
-        "m0 AS (SELECT src, dst, 0 AS round FROM e0 WHERE FALSE)",
-    ]
-    for k in range(rounds):
-        parts.append(
-            f"""vmin{k} AS MATERIALIZED (
-  SELECT v, MIN(prio) AS mprio FROM (
-    SELECT src AS v, prio FROM e{k}
-    UNION ALL SELECT dst AS v, prio FROM e{k}
-  ) GROUP BY v
-),
-w{k} AS MATERIALIZED (
-  SELECT e.src, e.dst FROM e{k} e
-  JOIN vmin{k} a ON a.v = e.src AND a.mprio = e.prio
-  JOIN vmin{k} b ON b.v = e.dst AND b.mprio = e.prio
-),
-mv{k} AS MATERIALIZED (
-  SELECT src AS v FROM w{k} UNION SELECT dst AS v FROM w{k}
-),
-m{k + 1} AS MATERIALIZED (
-  SELECT * FROM m{k}
-  UNION ALL SELECT src, dst, {k} AS round FROM w{k}
-),
-e{k + 1} AS MATERIALIZED (
-  SELECT e.* FROM e{k} e
-  WHERE e.src NOT IN (SELECT v FROM mv{k})
-    AND e.dst NOT IN (SELECT v FROM mv{k})
-)"""
-        )
     return (
-        "WITH " + ",\n".join(parts)
+        "WITH " + edges_cte + ",\n" + matching_ctes("edges", rounds)
         + f"\nSELECT src, dst, round FROM m{rounds} ORDER BY src, dst"
     )
 
@@ -237,9 +281,8 @@ def contraction_oracle_sql(edges_cte: str, rounds: int = MATCHING_MAX_ROUNDS) ->
     """DuckDB twin of ``contract_matching`` over the unrolled matching:
     (src, dst, weight) coarse edges, ordered. Both directions of each
     coarse edge appear (the input CTE is symmetric), weights summed."""
-    base = matching_oracle_sql(edges_cte, rounds)
-    prefix = base[: base.rindex("SELECT src, dst, round")].rstrip()
-    return f"""{prefix},
+    return f"""WITH {edges_cte},
+{matching_ctes("edges", rounds)},
 mapping AS (
   SELECT v.id, COALESCE(m.src, v.id) AS rep
   FROM (SELECT DISTINCT src AS id FROM edges) v

@@ -103,7 +103,8 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 def _real_features(payload: bytes, dim: int) -> np.ndarray:
     kind = mc.sniff_kind(payload)
-    if kind in ("bmp", "ppm"):
+    if kind in ("bmp", "ppm", "png", "jpeg", "gif"):
+        # png/jpeg/gif only sniff through when Pillow is importable
         return mc.image_features(mc.decode_image(payload), dim)
     if kind == "wav":
         samples, _rate = mc.decode_wav(payload)

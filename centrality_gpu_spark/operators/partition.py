@@ -2,18 +2,38 @@
 
 The north rule demands partitioning handled *explicitly*; this operator
 makes partition assignment itself a first-class, deterministic output:
-the Karypis/Kumar multilevel scheme (coarsen by maximal matching →
-assign the coarsest graph → project back), plus a balanced
-label-propagation refinement sweep (``refine_partition``, the
-Spinner/ParMETIS local-move idea re-expressed with the Louvain
-operator's deterministic direction gate) that moves each vertex toward
-its neighbor-majority part under a hard per-part capacity.
+the Karypis/Kumar multilevel scheme (coarsen by maximal matching until
+the coarse graph is O(k) vertices → assign the coarsest graph → project
+back), plus a balanced label-propagation refinement sweep
+(``refine_partition``, the Spinner/ParMETIS local-move idea
+re-expressed with the Louvain operator's deterministic direction gate)
+that moves each vertex toward its neighbor-majority part under a hard
+per-part capacity.
 
-Assignment at the coarsest level is the engine-standard md5→int64 hash
-mod k: stateless, uniformly balanced in expectation, and identical in
-DuckDB — no global window, no driver state, so the whole pipeline stays
-oracle-checkable and scale-shaped (each level costs one matching run
-plus one mapping join; the mapping is the only shuffled state).
+The pipeline: **pendant collapse** (degree-1 chains/stars — the
+dominant shape of bipartite invocation graphs — merge into their
+anchors, and those edges can never be cut), **heavy-edge matching
+coarsening** (Karypis/Kumar HEM: multiplicities merged by contraction
+are exactly the edges to match), then a coarsest-level **initial
+assignment**: by default weighted label propagation finds the coarse
+graph's communities and packs them into k parts round-robin by
+descending fine-vertex size (on planted-partition inputs this + one
+refine sweep recovers the ground-truth cut exactly); greedy region
+growing (the GGGP idea made round-synchronous: degree-ranked seeds,
+capacity-bounded bid admission) and stateless hash are alternatives.
+Every step is a join / group-by / window, deterministic in both
+engines, so the whole pipeline stays oracle-checkable, and everything
+heavy runs on the coarse graph, which is small by construction.
+Vertices no method reaches (edgeless anchors) fall back to the
+engine-standard md5-mod-k hash.
+
+``partition_multilevel`` is the full METIS-style V-cycle (refinement
+at every level during uncoarsening, vertex-weighted capacity).
+
+On structure-free graphs (expanders — e.g. a dense random
+co-occurrence graph) no algorithm produces a materially-better-than-
+random k-way cut; the auto mode detects the edge-merge stall and stops
+coarsening instead of burning shuffles (see ``partition_graph``).
 
 Use cases at 100 TB: co-locating both endpoints of most edges before an
 iterative job (`df.repartition(part)`), sizing bucketed writes, and
@@ -34,6 +54,11 @@ from centrality_gpu_spark.plans.checkpoint import (
 PARTITION_LEVELS = 1
 REFINE_ROUNDS = 8
 REFINE_SLACK_PCT = 25
+GROW_ROUNDS = 16
+LPA_INIT_ITERS = 15
+# "auto" coarsening stops when |V_coarse| <= max(k * COARSE_PER_PART, 256)
+COARSE_PER_PART = 8
+AUTO_MAX_LEVELS = 12
 
 
 def _md5_int(col):
@@ -41,20 +66,223 @@ def _md5_int(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _hash_part(col, k: int):
+    """Deterministic fallback assignment: md5('part:'||id) mod k."""
+    return F.pmod(
+        _md5_int(F.concat(F.lit("part:"), col.cast("string"))), F.lit(k)
+    ).cast("int")
+
+
+PEEL_ROUNDS = 4
+
+
+def collapse_pendants(
+    graph: Graph,
+    rounds: int = PEEL_ROUNDS,
+    checkpoint: CheckpointManager | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(core_edges, pmap) — iterated pendant collapse, the partitioner's
+    pre-coarsening step (the reference peels pendants the same way
+    before its heavy phase, ``pendant_graph.cpp:9-58``).
+
+    Each round every degree-1 vertex collapses onto its single
+    neighbor — except the smaller id of an isolated *pair* of pendants,
+    which survives as the pair's anchor — and its edge disappears.
+    ``pmap`` (id, anchor) maps every fine vertex to its surviving
+    anchor (itself for core vertices); ``core_edges`` is what's left.
+
+    Pendant edges can never be cut by the final partition (pendant and
+    anchor share a coarse representative), and star/tree-shaped regions
+    — the dominant shape of bipartite invocation graphs like
+    conversation↔tool — collapse to single anchors in one or two
+    rounds, so the expensive matching levels only see the 2-core-ish
+    remainder. Per round: one degree aggregation + two anti-joins +
+    one O(collapsed) anchor-update join.
+    """
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    edges = ckpt.truncate(graph.edges_by_src().select("src", "dst", "weight"))
+    collapsed: DataFrame | None = None
+    for rnd in range(rounds):
+        dg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("deg"), F.min("dst").alias("nbr")
+        )
+        rm = (
+            dg.alias("a")
+            .join(dg.alias("b"), F.col("a.nbr") == F.col("b.id"))
+            .where(
+                (F.col("a.deg") == 1)
+                & ~((F.col("b.deg") == 1) & (F.col("a.id") < F.col("b.id")))
+            )
+            .select(F.col("a.id").alias("u"), F.col("a.nbr").alias("v"))
+        )
+        rm = ckpt.truncate(rm, eager=False)
+        n_rm = rm.count()
+        ckpt.record(op="collapse_pendants", iteration=rnd, changed=n_rm)
+        if n_rm == 0:
+            break
+        if collapsed is None:
+            collapsed = rm.select(F.col("u").alias("id"), F.col("v").alias("anchor"))
+        else:
+            collapsed = (
+                collapsed.join(
+                    rm.select(F.col("u").alias("anchor"), F.col("v").alias("va")),
+                    "anchor",
+                    "left",
+                )
+                .select("id", F.coalesce("va", F.col("anchor")).alias("anchor"))
+                .unionByName(
+                    rm.select(F.col("u").alias("id"), F.col("v").alias("anchor"))
+                )
+            )
+        collapsed = ckpt.truncate(collapsed)
+        mu = rm.select(F.col("u").alias("id"))
+        edges = ckpt.truncate(
+            edges.join(
+                F.broadcast(mu.select(F.col("id").alias("src"))), "src", "left_anti"
+            ).join(
+                F.broadcast(mu.select(F.col("id").alias("dst"))), "dst", "left_anti"
+            )
+        )
+    pmap = graph.vertices().select("id")
+    if collapsed is not None:
+        pmap = pmap.join(collapsed, "id", "left").select(
+            "id", F.coalesce("anchor", F.col("id")).alias("anchor")
+        )
+    else:
+        pmap = pmap.select("id", F.col("id").alias("anchor"))
+    return edges, pmap
+
+
+def grow_parts(
+    coarse_edges: DataFrame,
+    sizes: DataFrame,
+    k: int,
+    cap: int,
+    rounds: int = GROW_ROUNDS,
+    checkpoint: CheckpointManager | None = None,
+    spark=None,
+) -> DataFrame:
+    """(id, part) for every coarse vertex — greedy region growing.
+
+    ``coarse_edges`` is the symmetric (src, dst, weight) coarse edge
+    table; ``sizes`` is (id, size) — how many fine vertices each coarse
+    vertex represents, and also the vertex *universe* (it includes
+    anchors whose whole component collapsed away and so carry no
+    edges); ``cap`` bounds each part's *fine*-vertex load. Seeds: the
+    k max-degree vertices (degree desc, id asc — integer degree, so
+    the order is engine-exact). Each round, every unassigned vertex
+    with an assigned neighbor bids for its heaviest adjacent part
+    (ties → smallest part id); per part, bids are admitted in (bid
+    weight desc, id asc) order while load + running size fits in cap.
+    Extra rounds past the fixpoint are no-ops (the DuckDB twin unrolls
+    a fixed count). Unreached vertices fall back to hash-mod-k.
+
+    The single-task global window over the seed ranking is safe by
+    construction: it runs on the *coarsest* level, which auto
+    coarsening bounds at O(k) vertices.
+    """
+    ckpt = checkpoint or CheckpointManager(spark or sizes.sparkSession)
+    e = coarse_edges
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    seed_w = Window.orderBy(F.desc("deg"), F.asc("id"))
+    seeds = (
+        deg.withColumn("part", (F.row_number().over(seed_w) - 1).cast("int"))
+        .where(F.col("part") < k)
+        .select("id", "part")
+    )
+    assigned = ckpt.truncate(seeds.join(sizes, "id"))  # (id, part, size)
+    for rnd in range(rounds):
+        loads = assigned.groupBy("part").agg(F.sum("size").alias("load"))
+        bids = (
+            e.join(
+                assigned.select(F.col("id").alias("dst"), "part"), "dst"
+            )
+            .join(assigned.select(F.col("id").alias("src")), "src", "left_anti")
+            .groupBy(F.col("src").alias("id"), "part")
+            .agg(F.sum("weight").alias("w"))
+        )
+        best = bids.groupBy("id").agg(
+            F.max_by(
+                F.col("part"), F.struct(F.col("w"), (-F.col("part")).alias("np"))
+            ).alias("part"),
+            F.max("w").alias("w"),
+        )
+        adm = (
+            Window.partitionBy("part")
+            .orderBy(F.desc("w"), F.asc("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        newly = ckpt.truncate(
+            best.join(sizes, "id")
+            .join(loads, "part", "left")
+            .withColumn("load", F.coalesce("load", F.lit(0)))
+            .withColumn("csum", F.sum("size").over(adm))
+            .where(F.col("load") + F.col("csum") <= F.lit(cap))
+            .select("id", "part", "size"),
+            eager=False,
+        )
+        n_new = newly.count()
+        ckpt.record(op="grow_parts", iteration=rnd, changed=n_new)
+        if n_new == 0:
+            break
+        assigned = ckpt.truncate(assigned.unionByName(newly))
+    leftover = (
+        sizes.select("id")
+        .join(assigned.select("id"), "id", "left_anti")
+        .select("id", _hash_part(F.col("id"), k).alias("part"))
+    )
+    return assigned.select("id", "part").unionByName(leftover)
+
+
 def partition_graph(
-    graph: Graph, k: int, levels: int = PARTITION_LEVELS,
+    graph: Graph,
+    k: int,
+    levels: int | str = PARTITION_LEVELS,
     match_rounds: int | None = None,
+    init: str = "lpa",
+    grow_rounds: int = GROW_ROUNDS,
+    slack_pct: int = REFINE_SLACK_PCT,
+    peel_rounds: int = PEEL_ROUNDS,
+    lpa_iters: int = LPA_INIT_ITERS,
 ) -> DataFrame:
     """(id, part) — a deterministic k-way assignment of every vertex,
     part ∈ [0, k). ``levels`` coarsening rounds roughly halve V each
     time before assignment; matched pairs land in the same part by
     construction (they share a coarse representative).
 
+    ``levels="auto"`` coarsens until the coarse graph has at most
+    ``max(k * COARSE_PER_PART, 256)`` vertices, contraction stalls
+    (<10% shrink), or ``AUTO_MAX_LEVELS`` is hit — the Karypis/Kumar
+    stopping rule. Oracle-checked queries pin an integer ``levels`` so
+    the DuckDB twin can unroll the same count.
+
     ``match_rounds``: truncate each level's matching to this many
     local-min rounds (non-maximal, ``allow_partial``) — coarsening only
     needs *a* matching, and the early rounds claim most pairs, so a
     small budget buys nearly the same contraction at a fraction of the
-    supersteps. None = run to maximality (the oracle-checked default).
+    supersteps. None = run to maximality.
+
+    ``init``: coarsest-level assignment —
+
+    * ``"lpa"`` (default): weighted synchronous label propagation on
+      the coarse graph finds its communities, which are packed into k
+      parts round-robin by descending fine-vertex size (deterministic
+      LPT-style balancing); isolated anchors fall back to hash. On a
+      planted-partition graph this + one refine sweep recovers the
+      ground-truth cut exactly (see tests); on structure-free inputs
+      it degrades to roughly hash quality, which is all any method
+      achieves there.
+    * ``"grow"``: greedy region growing (see ``grow_parts``).
+    * ``"hash"``: stateless md5 mod k — the pre-r3 behavior;
+      uniformly balanced but structure-blind.
+
+    ``peel_rounds``: pendant-collapse rounds before matching (see
+    ``collapse_pendants``); 0 disables.
+
+    In auto mode coarsening also stops when a level fails to merge
+    ≥15% of the edges — an expander-shaped graph (e.g. a dense random
+    co-occurrence graph) has no cluster structure for contraction to
+    find, and further levels would burn shuffles for nothing.
     """
     from centrality_gpu_spark.operators.matching import (
         MATCHING_MAX_ROUNDS,
@@ -62,42 +290,266 @@ def partition_graph(
         maximal_matching,
     )
 
-    mappings: list[DataFrame] = []
-    cur = graph
-    for _ in range(levels):
+    auto = levels == "auto"
+    n_levels = AUTO_MAX_LEVELS if auto else int(levels)
+    target = max(k * COARSE_PER_PART, 256)
+    if peel_rounds > 0:
+        core_edges, pmap = collapse_pendants(graph, rounds=peel_rounds)
+        core_edges = core_edges.localCheckpoint()
+        full = pmap.select("id", F.col("anchor").alias("rep")).localCheckpoint()
+    else:
+        core_edges = graph.edges_by_src().select("src", "dst", "weight")
+        full = graph.vertices().select("id", F.col("id").alias("rep"))
+    prev_e = core_edges.count()
+    first_e = prev_e
+    cur = Graph.from_symmetric_edges(core_edges) if prev_e else None
+    for _ in range(n_levels):
+        if prev_e == 0:
+            break  # fully collapsed — the SQL twin's levels are no-ops
         m = maximal_matching(
             cur,
             max_rounds=match_rounds or MATCHING_MAX_ROUNDS,
             allow_partial=match_rounds is not None,
+            by_weight=True,
         )
         coarse, mapping = contract_matching(cur, m.localCheckpoint())
-        mappings.append(mapping.localCheckpoint())
+        mapping = mapping.localCheckpoint()
+        # left-compose: anchors whose entire component already
+        # contracted to a point are absent from this level's mapping
+        # and keep their rep
+        full = (
+            full.join(
+                mapping.select(
+                    F.col("id").alias("rep"), F.col("rep").alias("rep2")
+                ),
+                "rep",
+                "left",
+            )
+            .select("id", F.coalesce("rep2", F.col("rep")).alias("rep"))
+            .localCheckpoint()
+        )
         # checkpoint the coarse edge table: the next level's matching,
         # num_edges gate, and the final assignment all re-read it —
         # without this the whole contraction lineage re-executes per
         # consumer
-        cur = Graph.from_symmetric_edges(coarse.localCheckpoint())
-    # fine id -> coarsest representative
-    full = mappings[0]
-    for mp in mappings[1:]:
-        full = (
-            full.join(
-                mp.select(F.col("id").alias("rep"), F.col("rep").alias("rep2")),
-                "rep",
-            )
-            .select("id", F.col("rep2").alias("rep"))
-        )
-    assign = (
-        cur.vertices()
-        .select(
-            F.col("id").alias("rep"),
-            F.pmod(
-                _md5_int(F.concat(F.lit("part:"), F.col("id").cast("string"))),
-                F.lit(k),
-            ).cast("int").alias("part"),
+        coarse = coarse.localCheckpoint()
+        cur = Graph.from_symmetric_edges(coarse)
+        e_now = coarse.count()
+        if auto and (
+            e_now == 0
+            or e_now > 0.85 * prev_e
+            or cur.vertices().count() <= target
+        ):
+            prev_e = e_now
+            break
+        prev_e = e_now
+    coarse_edges = (
+        cur.edges_by_src().select("src", "dst", "weight")
+        if cur is not None and prev_e
+        else graph.spark.createDataFrame(
+            [], "src long, dst long, weight double"
         )
     )
+    sizes = full.groupBy(F.col("rep").alias("id")).agg(
+        F.count("*").alias("size")
+    )
+    if init == "lpa" and auto and first_e and prev_e > 0.8 * first_e:
+        # structureless fast path: coarsening merged <20% of the edges
+        # in total — an expander-shaped graph, where no assignment
+        # beats random by more than a few points. Don't burn LPA
+        # iterations on it; hash is unbiased and free. (Fixed-``levels``
+        # oracle queries never take this branch — auto only.)
+        init = "hash"
+        assign = sizes.select(
+            F.col("id").alias("rep"), _hash_part(F.col("id"), k).alias("part")
+        )
+    else:
+        n_fine = graph.vertices().count()
+        cap = (n_fine * (100 + slack_pct) + 100 * k - 1) // (100 * k)
+        if init == "lpa":
+            assign = lpa_pack(
+                cur if prev_e else None, sizes, k, lpa_iters,
+                graph.spark, cap,
+            ).select(F.col("id").alias("rep"), "part")
+        else:
+            assign = grow_parts(
+                coarse_edges, sizes, k, cap, rounds=grow_rounds,
+                spark=graph.spark,
+            ).select(F.col("id").alias("rep"), "part")
     return full.join(assign, "rep").select("id", "part")
+
+
+def lpa_pack(
+    coarse: Graph | None,
+    sizes: DataFrame,
+    k: int,
+    lpa_iters: int,
+    spark,
+    cap: int,
+) -> DataFrame:
+    """(id, part) for every coarse vertex: weighted LPA communities on
+    the coarse graph, packed into k parts.
+
+    Communities whose fine-vertex size fits under ``cap`` are packed
+    *whole*, round-robin by descending size (rank ties → smallest
+    label) — the LPT-style balance heuristic. A community larger than
+    cap (LPA's giant-label failure mode on structure-free graphs —
+    where no partition avoids cutting it anyway) is split: its members
+    spread round-robin by (size desc, id asc) rank across all k parts.
+    Vertices LPA never saw (edgeless anchors) fall back to hash-mod-k.
+    The global rank windows run over the community table — O(coarse V)
+    rows at most, tiny in practice."""
+    from centrality_gpu_spark.operators.labelprop import label_propagation
+
+    if coarse is None:
+        labels = spark.createDataFrame([], "id long, label long")
+    else:
+        labels = label_propagation(
+            coarse, max_iterations=lpa_iters, weighted=True
+        )
+    lab = labels.join(sizes, "id")
+    csz = lab.groupBy("label").agg(F.sum("size").alias("csz"))
+    small = csz.where(F.col("csz") <= F.lit(cap))
+    wv = Window.orderBy(F.desc("csz"), F.asc("label"))
+    packed = small.select(
+        "label",
+        ((F.row_number().over(wv) - 1) % k).cast("int").alias("part"),
+    )
+    whole = lab.join(packed, "label").select("id", "part")
+    wb = Window.partitionBy("label").orderBy(F.desc("size"), F.asc("id"))
+    split = (
+        lab.join(csz.where(F.col("csz") > F.lit(cap)).select("label"), "label")
+        .select(
+            "id",
+            ((F.row_number().over(wb) - 1) % k).cast("int").alias("part"),
+        )
+    )
+    leftover = (
+        sizes.select("id")
+        .join(labels.select("id"), "id", "left_anti")
+        .select("id", _hash_part(F.col("id"), k).alias("part"))
+    )
+    return whole.unionByName(split).unionByName(leftover)
+
+
+def partition_multilevel(
+    graph: Graph,
+    k: int,
+    match_rounds: int = 4,
+    grow_rounds: int = GROW_ROUNDS,
+    refine_rounds: int = 4,
+    slack_pct: int = REFINE_SLACK_PCT,
+    peel_rounds: int = PEEL_ROUNDS,
+    max_levels: int = AUTO_MAX_LEVELS,
+) -> DataFrame:
+    """(id, part) — the full METIS-style V-cycle: pendant collapse →
+    matching coarsening (auto depth: stops at O(k) vertices, on an
+    edge-merge stall, or at ``max_levels``) → greedy region growing at
+    the coarsest level → **weighted refinement at every level on the
+    way back up** (each level-L vertex weighs the fine vertices it
+    represents, so balance is enforced in fine units throughout).
+
+    This is the quality path; ``partition_graph`` +
+    ``refine_partition`` is the oracle-checked single-refine pipeline
+    (V-cycle output is deterministic too, but its DuckDB unroll —
+    levels × (matching + refine) — is impractical, so it is covered by
+    pytest quality/invariant tests instead of the driver gate).
+
+    Scale shape: per level one matching run + one mapping join; refine
+    rounds at level L cost O(E_L) — the level sizes decay
+    geometrically when the graph has cluster structure, and the stall
+    gate aborts the whole descent when it doesn't (an expander gains
+    nothing from any partitioner).
+    """
+    target = max(k * COARSE_PER_PART, 256)
+    from centrality_gpu_spark.operators.matching import (
+        contract_matching,
+        maximal_matching,
+    )
+
+    core_edges, pmap = collapse_pendants(graph, rounds=peel_rounds)
+    core_edges = core_edges.localCheckpoint()
+    comp = pmap.select("id", F.col("anchor").alias("rep")).localCheckpoint()
+    n_fine = graph.vertices().count()
+    cap = (n_fine * (100 + slack_pct) + 100 * k - 1) // (100 * k)
+    # levels[L] = (edge table, fine→level-L composed mapping)
+    lvls: list[tuple[DataFrame, DataFrame]] = [(core_edges, comp)]
+    prev_e = core_edges.count()
+    cur = Graph.from_symmetric_edges(core_edges) if prev_e else None
+    for _ in range(max_levels):
+        if prev_e == 0:
+            break
+        m = maximal_matching(
+            cur, max_rounds=match_rounds, allow_partial=True, by_weight=True
+        )
+        coarse, mapping = contract_matching(cur, m.localCheckpoint())
+        coarse = coarse.localCheckpoint()
+        comp = (
+            comp.join(
+                mapping.select(
+                    F.col("id").alias("rep"), F.col("rep").alias("rep2")
+                ),
+                "rep",
+                "left",
+            )
+            .select("id", F.coalesce("rep2", F.col("rep")).alias("rep"))
+            .localCheckpoint()
+        )
+        cur = Graph.from_symmetric_edges(coarse)
+        e_now = coarse.count()
+        lvls.append((coarse, comp))
+        if (
+            e_now == 0
+            or e_now > 0.85 * prev_e
+            or cur.vertices().count() <= target
+        ):
+            prev_e = e_now
+            break
+        prev_e = e_now
+    # coarsest assignment: LPA communities packed round-robin by size
+    deep_edges, deep_comp = lvls[-1]
+    sizes = deep_comp.groupBy(F.col("rep").alias("id")).agg(
+        F.count("*").alias("size")
+    )
+    assign = lpa_pack(
+        cur if prev_e else None, sizes, k, LPA_INIT_ITERS, graph.spark, cap
+    ).localCheckpoint()
+    # uncoarsen: refine at each level (weighted), then project one down
+    for lv in range(len(lvls) - 1, -1, -1):
+        edges_l, comp_l = lvls[lv]
+        sizes_l = comp_l.groupBy(F.col("rep").alias("id")).agg(
+            F.count("*").alias("size")
+        )
+        if lv < len(lvls) - 1:
+            # project: level-lv vertex → its level-(lv+1) rep's part
+            verts = sizes_l.select("id")
+            up = lvls[lv + 1][1].select(
+                F.col("id").alias("fid"), F.col("rep").alias("up")
+            )
+            down = comp_l.select(F.col("id").alias("fid"), F.col("rep").alias("id"))
+            link = down.join(up, "fid").select("id", "up").distinct()
+            assign = (
+                verts.join(link, "id")
+                .join(assign.select(F.col("id").alias("up"), "part"), "up")
+                .select("id", "part")
+            )
+        if edges_l.isEmpty():
+            assign = assign.localCheckpoint()
+            continue
+        assign = refine_partition(
+            Graph.from_symmetric_edges(edges_l),
+            assign,
+            k,
+            rounds=refine_rounds,
+            sizes=sizes_l,
+            cap=cap,
+        ).localCheckpoint()
+    # project through the pendant map to the fine graph
+    return (
+        pmap.select("id", F.col("anchor").alias("rep"))
+        .join(assign.select(F.col("id").alias("rep"), "part"), "rep")
+        .select("id", "part")
+    )
 
 
 @with_iterative_conf
@@ -108,6 +560,8 @@ def refine_partition(
     rounds: int = REFINE_ROUNDS,
     slack_pct: int = REFINE_SLACK_PCT,
     checkpoint: CheckpointManager | None = None,
+    sizes: DataFrame | None = None,
+    cap: int | None = None,
 ) -> DataFrame:
     """(id, part) — ``parts`` after up to ``rounds`` synchronous
     balanced label-propagation sweeps: each round every vertex scores
@@ -135,16 +589,34 @@ def refine_partition(
     reused), one (vertex, part) aggregation, one k-row load table.
     Refinement is best-effort (synchronous moves can transiently raise
     the cut); measure with ``edge_cut_summary``.
+
+    ``sizes`` (id, size) weights each vertex for the capacity rule
+    (V-cycle refinement on coarse levels, where a vertex stands for
+    many fine ones); ``cap`` overrides the computed capacity (pass the
+    fine-level cap when refining a coarse level). With both omitted
+    the behavior — and the DuckDB twin — is the historical unweighted
+    one (sizes all 1: the running-size admission sum degenerates to
+    the old row_number rule).
     """
     ckpt = checkpoint or CheckpointManager(graph.spark)
     e = graph.edges_by_src()
     assign = ckpt.truncate(
         parts.select("id", F.col("part").cast("int").alias("part"))
     )
-    n = assign.count()
-    cap = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
+    if sizes is None:
+        szd = assign.select("id", F.lit(1).cast("long").alias("size"))
+    else:
+        szd = sizes.select("id", F.col("size").cast("long").alias("size"))
+    if cap is None:
+        n = (
+            assign.count()
+            if sizes is None
+            else szd.agg(F.sum("size")).collect()[0][0]
+        )
+        cap = (n * (100 + slack_pct) + 100 * k - 1) // (100 * k)
+    assign = assign.join(szd, "id")
     for rnd in range(rounds):
-        loads = assign.groupBy("part").agg(F.count("*").alias("load"))
+        loads = assign.groupBy("part").agg(F.sum("size").alias("load"))
         nbrw = (
             e.join(
                 assign.select(
@@ -217,29 +689,35 @@ def refine_partition(
             best.unpersist()
             break
         if counts["this_dir"]:
-            adm = Window.partitionBy("target").orderBy(
-                F.desc("wbest"), F.asc("id")
+            # running-size admission: with all sizes 1 the cumulative
+            # sum equals the old row_number rule (same DuckDB twin)
+            adm = (
+                Window.partitionBy("target")
+                .orderBy(F.desc("wbest"), F.asc("id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
             moves = (
                 best.where(movable & dir_ok)
+                .join(szd, "id")
                 .join(
                     loads.select(F.col("part").alias("target"), "load"),
                     "target",
                     "left",
                 )
                 .withColumn("load", F.coalesce("load", F.lit(0)))
-                .withColumn("rn", F.row_number().over(adm))
-                .where(F.col("load") + F.col("rn") <= F.lit(cap))
+                .withColumn("csum", F.sum("size").over(adm))
+                .where(F.col("load") + F.col("csum") <= F.lit(cap))
                 .select("id", F.col("target").alias("np"))
             )
             assign = ckpt.truncate(
                 assign.join(moves, "id", "left").select(
                     "id",
                     F.coalesce("np", "part").cast("int").alias("part"),
+                    "size",
                 )
             )
         best.unpersist()
-    return assign
+    return assign.select("id", "part")
 
 
 def edge_cut_summary(graph: Graph, parts: DataFrame) -> DataFrame:
@@ -277,35 +755,235 @@ _MD5_INT_SQL = (
 )
 
 
-def _partition_ctes(edges_cte: str, k: int, rounds: int) -> str:
-    """CTE chain ending in ``parts(id, part)`` for one coarsening level
-    over the unrolled matching chain."""
-    from centrality_gpu_spark.operators.matching import matching_oracle_sql
+def _grow_ctes(edges_name: str, k: int, rounds: int, slack_pct: int) -> str:
+    """CTE chain from ``cmap(id, rep)`` + coarse ``{edges_name}`` to
+    ``cparts(rep, part)`` — the unrolled ``grow_parts`` (extra rounds
+    past the fixpoint are no-ops, so a fixed unroll is exact)."""
+    h = _MD5_INT_SQL.format(col="z.id")
+    out = [
+        "csize AS MATERIALIZED (SELECT rep AS id, COUNT(*) AS size "
+        "FROM cmap GROUP BY rep)",
+        f"gcap AS (SELECT (COUNT(*) * {100 + slack_pct} + {100 * k} - 1) "
+        f"// {100 * k} AS cap FROM cmap)",
+        f"""cdeg AS (SELECT src AS id, COUNT(*) AS deg
+  FROM {edges_name} GROUP BY src),
+g0 AS MATERIALIZED (
+  SELECT s.id, s.part, z.size FROM (
+    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, id ASC) - 1
+               AS INTEGER) AS part
+    FROM cdeg
+  ) s JOIN csize z ON z.id = s.id
+  WHERE s.part < {k}
+)""",
+    ]
+    for r in range(rounds):
+        out.append(f"""gl{r} AS (SELECT part, SUM(size) AS load FROM g{r} GROUP BY part),
+gs{r} AS MATERIALIZED (
+  SELECT e.src AS id, p.part, SUM(e.weight) AS w
+  FROM {edges_name} e JOIN g{r} p ON p.id = e.dst
+  WHERE e.src NOT IN (SELECT id FROM g{r})
+  GROUP BY e.src, p.part
+),
+gb{r} AS (
+  SELECT id, part, w FROM (
+    SELECT id, part, w,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, part ASC) AS rn
+    FROM gs{r}
+  ) WHERE rn = 1
+),
+ga{r} AS MATERIALIZED (
+  SELECT id, part, size FROM (
+    SELECT b.id, b.part, z.size,
+           SUM(z.size) OVER (PARTITION BY b.part ORDER BY b.w DESC, b.id ASC
+                             ROWS UNBOUNDED PRECEDING) AS csum,
+           COALESCE(l.load, 0) AS load
+    FROM gb{r} b
+    JOIN csize z ON z.id = b.id
+    LEFT JOIN gl{r} l ON l.part = b.part
+  ) WHERE load + csum <= (SELECT cap FROM gcap)
+),
+g{r + 1} AS MATERIALIZED (
+  SELECT * FROM g{r} UNION ALL SELECT * FROM ga{r}
+)""")
+    out.append(f"""cparts AS (
+  SELECT id AS rep, part FROM g{rounds}
+  UNION ALL
+  SELECT z.id AS rep, CAST({h} % {k} AS INTEGER) AS part
+  FROM csize z WHERE z.id NOT IN (SELECT id FROM g{rounds})
+)""")
+    return ",\n".join(out)
 
-    base = matching_oracle_sql(edges_cte, rounds)
-    prefix = base[len("WITH "): base.rindex("SELECT src, dst, round")].rstrip()
-    h = _MD5_INT_SQL.format(col="r.rep")
-    return f"""{prefix},
-mapping AS (
-  SELECT v.id, COALESCE(m.src, v.id) AS rep
+
+def _peel_ctes(rounds: int) -> str:
+    """CTE chain from ``edges`` to ``pmap(id, anchor)`` + the peeled
+    core edge table ``p{rounds}e`` — the unrolled ``collapse_pendants``
+    (extra rounds past the fixpoint are no-ops)."""
+    out = [
+        "p0e AS (SELECT src, dst, weight FROM edges)",
+        "pc0 AS (SELECT CAST(NULL AS BIGINT) AS id, "
+        "CAST(NULL AS BIGINT) AS anchor WHERE FALSE)",
+    ]
+    for r in range(rounds):
+        out.append(f"""pdg{r} AS (
+  SELECT src AS id, COUNT(*) AS deg, MIN(dst) AS nbr
+  FROM p{r}e GROUP BY src
+),
+prm{r} AS MATERIALIZED (
+  SELECT a.id AS u, a.nbr AS v
+  FROM pdg{r} a JOIN pdg{r} b ON b.id = a.nbr
+  WHERE a.deg = 1 AND NOT (b.deg = 1 AND a.id < b.id)
+),
+pc{r + 1} AS MATERIALIZED (
+  SELECT c.id, COALESCE(m.v, c.anchor) AS anchor
+  FROM pc{r} c LEFT JOIN prm{r} m ON m.u = c.anchor
+  UNION ALL
+  SELECT u AS id, v AS anchor FROM prm{r}
+),
+p{r + 1}e AS MATERIALIZED (
+  SELECT e.* FROM p{r}e e
+  WHERE e.src NOT IN (SELECT u FROM prm{r})
+    AND e.dst NOT IN (SELECT u FROM prm{r})
+)""")
+    out.append(f"""pmap AS MATERIALIZED (
+  SELECT v.id, COALESCE(c.anchor, v.id) AS anchor
   FROM (SELECT DISTINCT src AS id FROM edges) v
-  LEFT JOIN m{rounds} m ON m.dst = v.id
+  LEFT JOIN pc{rounds} c ON c.id = v.id
+)""")
+    return ",\n".join(out)
+
+
+def _partition_ctes(
+    edges_cte: str,
+    k: int,
+    rounds: int,
+    levels: int = 1,
+    init: str = "lpa",
+    grow_rounds: int = GROW_ROUNDS,
+    slack_pct: int = REFINE_SLACK_PCT,
+    peel_rounds: int = PEEL_ROUNDS,
+    lpa_iters: int = LPA_INIT_ITERS,
+) -> str:
+    """CTE chain ending in ``parts(id, part)``: unrolled pendant
+    collapse (``p*``/``pmap``), ``levels`` unrolled matching+
+    contraction levels (CTEs prefixed ``l{L}``/``lv{L}``), composed
+    mapping ``cmap(id, rep)`` (LEFT joins: anchors of fully-contracted
+    components keep their rep), then the coarsest-level assignment
+    (``grow`` region growing or ``hash`` md5 mod k)."""
+    from centrality_gpu_spark.operators.matching import matching_ctes
+
+    parts = [
+        edges_cte,
+        _peel_ctes(peel_rounds),
+        f"lv0e AS (SELECT src, dst, weight FROM p{peel_rounds}e)",
+    ]
+    for lv in range(levels):
+        parts.append(
+            matching_ctes(f"lv{lv}e", rounds, prefix=f"l{lv}", by_weight=True)
+        )
+        parts.append(f"""lv{lv}map AS MATERIALIZED (
+  SELECT v.id, COALESCE(m.src, v.id) AS rep
+  FROM (SELECT DISTINCT src AS id FROM lv{lv}e) v
+  LEFT JOIN l{lv}m{rounds} m ON m.dst = v.id
 ),
-assign AS (
+lv{lv + 1}e AS MATERIALIZED (
+  SELECT a.rep AS src, b.rep AS dst, SUM(e.weight) AS weight
+  FROM lv{lv}e e
+  JOIN lv{lv}map a ON a.id = e.src
+  JOIN lv{lv}map b ON b.id = e.dst
+  WHERE a.rep <> b.rep
+  GROUP BY 1, 2
+)""")
+    parts.append(
+        "cm0 AS (SELECT p.id, COALESCE(m.rep, p.anchor) AS rep "
+        "FROM pmap p LEFT JOIN lv0map m ON m.id = p.anchor)"
+    )
+    for lv in range(1, levels):
+        parts.append(
+            f"cm{lv} AS (SELECT c.id, COALESCE(m.rep, c.rep) AS rep "
+            f"FROM cm{lv - 1} c LEFT JOIN lv{lv}map m ON m.id = c.rep)"
+        )
+    parts.append(
+        f"cmap AS MATERIALIZED (SELECT id, rep FROM cm{levels - 1})"
+    )
+    if init == "hash":
+        h = _MD5_INT_SQL.format(col="r.rep")
+        parts.append(f"""cparts AS (
   SELECT r.rep, CAST({h} % {k} AS INTEGER) AS part
-  FROM (SELECT DISTINCT rep FROM mapping) r
+  FROM (SELECT DISTINCT rep FROM cmap) r
+)""")
+    elif init == "lpa":
+        from centrality_gpu_spark.operators.labelprop import lpa_ctes
+
+        h = _MD5_INT_SQL.format(col="z.id")
+        parts.append(
+            "csize AS MATERIALIZED (SELECT rep AS id, COUNT(*) AS size "
+            "FROM cmap GROUP BY rep)"
+        )
+        parts.append(
+            lpa_ctes(f"lv{levels}e", lpa_iters, weighted=True, prefix="q")
+        )
+        parts.append(f"""qcap AS (
+  SELECT (COUNT(*) * {100 + slack_pct} + {100 * k} - 1) // {100 * k} AS cap
+  FROM cmap
 ),
-parts AS (
-  SELECT mp.id, a.part FROM mapping mp JOIN assign a ON a.rep = mp.rep
-)"""
+qsz AS (
+  SELECT l.label, SUM(z.size) AS csz
+  FROM ql{lpa_iters} l JOIN csize z ON z.id = l.id
+  GROUP BY l.label
+),
+qpk AS (
+  SELECT label,
+         CAST((ROW_NUMBER() OVER (ORDER BY csz DESC, label ASC) - 1) % {k}
+              AS INTEGER) AS part
+  FROM qsz WHERE csz <= (SELECT cap FROM qcap)
+),
+qsp AS (
+  SELECT l.id,
+         CAST((ROW_NUMBER() OVER (PARTITION BY l.label
+               ORDER BY z.size DESC, l.id ASC) - 1) % {k}
+              AS INTEGER) AS part
+  FROM ql{lpa_iters} l
+  JOIN csize z ON z.id = l.id
+  JOIN qsz s ON s.label = l.label
+  WHERE s.csz > (SELECT cap FROM qcap)
+),
+cparts AS (
+  SELECT l.id AS rep, p.part
+  FROM ql{lpa_iters} l JOIN qpk p ON p.label = l.label
+  UNION ALL
+  SELECT id AS rep, part FROM qsp
+  UNION ALL
+  SELECT z.id AS rep, CAST({h} % {k} AS INTEGER) AS part
+  FROM csize z WHERE z.id NOT IN (SELECT id FROM ql{lpa_iters})
+)""")
+    else:
+        parts.append(_grow_ctes(f"lv{levels}e", k, grow_rounds, slack_pct))
+    parts.append(
+        "parts AS (SELECT m.id, p.part FROM cmap m JOIN cparts p "
+        "ON p.rep = m.rep)"
+    )
+    return ",\n".join(parts)
 
 
-def partition_oracle_sql(edges_cte: str, k: int, rounds: int | None = None) -> str:
-    """DuckDB twin of ``partition_graph(levels=1)``. Output (id, part)
-    ordered by id."""
+def partition_oracle_sql(
+    edges_cte: str,
+    k: int,
+    rounds: int | None = None,
+    levels: int = 1,
+    init: str = "lpa",
+    grow_rounds: int = GROW_ROUNDS,
+    slack_pct: int = REFINE_SLACK_PCT,
+    peel_rounds: int = PEEL_ROUNDS,
+    lpa_iters: int = LPA_INIT_ITERS,
+) -> str:
+    """DuckDB twin of ``partition_graph``. Output (id, part) ordered
+    by id."""
     from centrality_gpu_spark.operators.matching import MATCHING_MAX_ROUNDS
 
-    ctes = _partition_ctes(edges_cte, k, rounds or MATCHING_MAX_ROUNDS)
+    ctes = _partition_ctes(
+        edges_cte, k, rounds or MATCHING_MAX_ROUNDS, levels, init,
+        grow_rounds, slack_pct, peel_rounds, lpa_iters,
+    )
     return f"WITH {ctes}\nSELECT id, part FROM parts ORDER BY id"
 
 
@@ -366,12 +1044,20 @@ def refined_partition_oracle_sql(
     rounds: int | None = None,
     refine_rounds: int = REFINE_ROUNDS,
     slack_pct: int = REFINE_SLACK_PCT,
+    levels: int = 1,
+    init: str = "lpa",
+    grow_rounds: int = GROW_ROUNDS,
+    peel_rounds: int = PEEL_ROUNDS,
+    lpa_iters: int = LPA_INIT_ITERS,
 ) -> str:
-    """DuckDB twin of ``refine_partition(partition_graph(levels=1))``.
+    """DuckDB twin of ``refine_partition(partition_graph(...))``.
     Output (id, part) ordered by id."""
     from centrality_gpu_spark.operators.matching import MATCHING_MAX_ROUNDS
 
-    ctes = _partition_ctes(edges_cte, k, rounds or MATCHING_MAX_ROUNDS)
+    ctes = _partition_ctes(
+        edges_cte, k, rounds or MATCHING_MAX_ROUNDS, levels, init,
+        grow_rounds, slack_pct, peel_rounds, lpa_iters,
+    )
     refine = _refine_ctes(k, refine_rounds, slack_pct)
     return (
         f"WITH {ctes},\n{refine}\n"
@@ -385,12 +1071,20 @@ def refined_edge_cut_oracle_sql(
     rounds: int | None = None,
     refine_rounds: int = REFINE_ROUNDS,
     slack_pct: int = REFINE_SLACK_PCT,
+    levels: int = 1,
+    init: str = "lpa",
+    grow_rounds: int = GROW_ROUNDS,
+    peel_rounds: int = PEEL_ROUNDS,
+    lpa_iters: int = LPA_INIT_ITERS,
 ) -> str:
-    """DuckDB twin of ``edge_cut_summary`` over the refined level-1
+    """DuckDB twin of ``edge_cut_summary`` over the refined multilevel
     partition. One row."""
     from centrality_gpu_spark.operators.matching import MATCHING_MAX_ROUNDS
 
-    ctes = _partition_ctes(edges_cte, k, rounds or MATCHING_MAX_ROUNDS)
+    ctes = _partition_ctes(
+        edges_cte, k, rounds or MATCHING_MAX_ROUNDS, levels, init,
+        grow_rounds, slack_pct, peel_rounds, lpa_iters,
+    )
     refine = _refine_ctes(k, refine_rounds, slack_pct)
     return f"""WITH {ctes},
 {refine},
@@ -411,12 +1105,25 @@ SELECT CAST(COUNT(*) AS BIGINT) AS k_parts,
 FROM sizes"""
 
 
-def edge_cut_oracle_sql(edges_cte: str, k: int, rounds: int | None = None) -> str:
-    """DuckDB twin of ``edge_cut_summary`` over the level-1 partition.
-    One row."""
+def edge_cut_oracle_sql(
+    edges_cte: str,
+    k: int,
+    rounds: int | None = None,
+    levels: int = 1,
+    init: str = "lpa",
+    grow_rounds: int = GROW_ROUNDS,
+    slack_pct: int = REFINE_SLACK_PCT,
+    peel_rounds: int = PEEL_ROUNDS,
+    lpa_iters: int = LPA_INIT_ITERS,
+) -> str:
+    """DuckDB twin of ``edge_cut_summary`` over the multilevel
+    partition. One row."""
     from centrality_gpu_spark.operators.matching import MATCHING_MAX_ROUNDS
 
-    ctes = _partition_ctes(edges_cte, k, rounds or MATCHING_MAX_ROUNDS)
+    ctes = _partition_ctes(
+        edges_cte, k, rounds or MATCHING_MAX_ROUNDS, levels, init,
+        grow_rounds, slack_pct, peel_rounds, lpa_iters,
+    )
     return f"""WITH {ctes},
 cut AS (
   SELECT SUM(CASE WHEN a.part <> b.part THEN e.weight ELSE 0 END) / 2 AS cut_weight,

@@ -58,13 +58,64 @@ def test_y4m_roundtrip_and_sampling():
     assert np.array_equal(sampled[5], frames[5])
 
 
-def test_sniff_rejects_compressed():
+def test_sniff_rejects_compressed(monkeypatch):
+    # pin the probes to "absent" so this test documents the no-Pillow
+    # path even if the container ever grows the optional libraries
+    monkeypatch.setattr(mc, "_optional_pillow", lambda: None)
+    monkeypatch.setattr(mc, "_optional_av", lambda: None)
     with pytest.raises(NotImplementedError, match="Pillow"):
         mc.sniff_kind(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError, match="PyAV"):
         mc.sniff_kind(b"\x00\x00\x00\x18ftypmp42....")
     with pytest.raises(ValueError, match="unrecognized"):
         mc.sniff_kind(b"\x01\x02\x03\x04 random junk")
+
+
+class _FakePillowImage:
+    """Stand-in for PIL.Image.open()'s result: context manager with a
+    convert('RGB') that yields an array-like."""
+
+    _ARR = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+
+    def convert(self, mode):
+        assert mode == "RGB"
+        return self._ARR
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _FakePillowModule:
+    opened: list = []
+
+    @classmethod
+    def open(cls, buf):
+        cls.opened.append(buf.read()[:8])
+        return _FakePillowImage()
+
+
+def test_sniff_and_decode_with_pillow_present(monkeypatch):
+    """When Pillow is importable, PNG/JPEG sniff through and
+    decode_image routes to it (mocked import — Pillow isn't in this
+    container)."""
+    monkeypatch.setattr(mc, "_optional_pillow", lambda: _FakePillowModule)
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    assert mc.sniff_kind(png) == "png"
+    assert mc.sniff_kind(jpg) == "jpeg"
+    out = mc.decode_image(png)
+    assert out.shape == (4, 5, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, _FakePillowImage._ARR)
+    assert _FakePillowModule.opened[-1] == png[:8]
+
+
+def test_sniff_mp4_with_av_present(monkeypatch):
+    monkeypatch.setattr(mc, "_optional_av", lambda: object())
+    assert mc.sniff_kind(b"\x00\x00\x00\x18ftypmp42....") == "mp4"
+    assert mc.sniff_kind(b"\x1a\x45\xdf\xa3....") == "mkv"
 
 
 def test_resize_nearest_identity_and_shape():

@@ -164,6 +164,35 @@ def main() -> None:
     out["jobs"]["closeness_msbfs_full"] = round(dt, 3)
     out["closeness_sources_per_sec"] = round(g1.num_vertices() / dt, 2)
 
+    # --- non-graph jobs (r2 verdict #8: scaling evidence beyond
+    # centrality): the full MinHash-LSH dedup decision over documents,
+    # and the temporal earliest-arrival fixpoint over the events
+    # handoff stream — one shuffle-per-round iterative job and one
+    # banded-join corpus job, both shapes the corpus/temporal sides
+    # run in production
+    from centrality_gpu_spark.operators.dedup import dedup_clusters
+    from centrality_gpu_spark.operators.temporal import earliest_arrival
+    from centrality_gpu_spark.sources.testdata_graphs import (
+        events_temporal_edges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    t0 = time.time()
+    n_docs = dedup_clusters(docs, threshold=0.5).count()
+    dt = time.time() - t0
+    out["jobs"]["dedup_clusters"] = round(dt, 3)
+    out["dedup_docs_per_sec"] = round(n_docs / dt, 2)
+    docs.unpersist()
+
+    te = events_temporal_edges(spark, sf_dir).persist()
+    te.count()
+    srcs10 = spark.range(10).select(F.col("id"))
+    t0 = time.time()
+    earliest_arrival(te, srcs10, rounds=256, to_fixpoint=True).count()
+    out["jobs"]["temporal_arrival_fixpoint"] = round(time.time() - t0, 3)
+    te.unpersist()
+
     out["jobs"]["hw_control_gather"] = hardware_control(cores)
 
     print(json.dumps(out))
