@@ -537,6 +537,14 @@ def _q_edge_cut_events(spark: SparkSession, sf: str) -> DataFrame:
 REFINE_QUERY_ROUNDS = 4
 
 
+def _q_partition_vcycle_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.operators.partition import partition_multilevel
+
+    return partition_multilevel(
+        events_graph(spark, sf), PARTITION_K, match_rounds=8, refine_rounds=4
+    )
+
+
 def _q_partition_refined_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.partition import (
         partition_graph,
@@ -1450,6 +1458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_near_dups": _q_semantic_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
+        # rows-only (no oracle): the METIS-style V-cycle — deterministic,
+        # but its DuckDB unroll (levels × (matching + weighted refine))
+        # is impractical; quality and Spark↔DuckDB init parity are
+        # pytest-pinned in tests/test_partition.py instead
+        "partition_vcycle_events": _q_partition_vcycle_events,
     }
 
 

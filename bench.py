@@ -224,7 +224,11 @@ def main() -> None:
     # REFUSES to burn compute where no partition helps is the honest
     # scale behavior (r2 spent 59 s here for a 0.926 cut ≈ random)
     def partition_expander_job():
-        parts = partition_graph(g, 32, levels="auto", match_rounds=2)
+        # localCheckpoint: edge_cut_summary joins parts twice; without
+        # it the peel+matching pipeline would execute once per side
+        parts = partition_graph(
+            g, 32, levels="auto", match_rounds=2
+        ).localCheckpoint()
         row = edge_cut_summary(g, parts).collect()[0]
         cut_holder["copurchase_cut_fraction"] = row.cut_fraction
         return row
@@ -237,14 +241,16 @@ def main() -> None:
     # edges into 3-hop chains — ~90% of vertices become degree-2 ear
     # interiors, the mesh/road-like regime the kernel targets — and
     # time the all-source BC kernels head to head (outputs equal to
-    # 1e-9, tested in tests/test_ears.py). MEASURED RESULT (r3, full
-    # sf0.1 subdivision, n=16,505): plain 66.3 s vs ear 76.9 s —
-    # 0.86×. On CPU/numpy the per-interior-source reverse sweep costs
-    # as much as the forward BFS it avoids, so the kernel stays OFF by
-    # default (its value here is exact output parity with the
-    # reference's ear pipeline, not wall-time); the reference's win
-    # was GPU-specific. The bench keeps a capped rerun so the record
-    # stays measured, not asserted.
+    # 1e-9, tested in tests/test_ears.py). MEASURED RESULTS (r3):
+    # n=3,305 (this capped job): ear 1.16–1.37× FASTER across 3 bench
+    # passes; n=16,505 (full sf0.1 subdivision): 0.86× — SLOWER. The
+    # win is cache-residency-bound: once the per-source rows spill out
+    # of LLC, the per-interior-source reverse sweep costs as much as
+    # the forward BFS it avoids, so the kernel stays OFF by default
+    # for large graphs (its value there is exact output parity with
+    # the reference's ear pipeline; the reference's win was
+    # GPU-specific). The capped rerun keeps the record measured, not
+    # asserted.
     import numpy as np
 
     from centrality_gpu_spark.operators.betweenness import brandes_kernel

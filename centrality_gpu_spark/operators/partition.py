@@ -252,7 +252,8 @@ def partition_graph(
 
     ``levels="auto"`` coarsens until the coarse graph has at most
     ``max(k * COARSE_PER_PART, 256)`` vertices, contraction stalls
-    (<10% shrink), or ``AUTO_MAX_LEVELS`` is hit — the Karypis/Kumar
+    (a level merges <15% of the edges), or ``AUTO_MAX_LEVELS`` is hit
+    — the Karypis/Kumar
     stopping rule. Oracle-checked queries pin an integer ``levels`` so
     the DuckDB twin can unroll the same count.
 
