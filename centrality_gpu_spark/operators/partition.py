@@ -473,8 +473,9 @@ def partition_multilevel(
     comp = pmap.select("id", F.col("anchor").alias("rep")).localCheckpoint()
     n_fine = graph.vertices().count()
     cap = (n_fine * (100 + slack_pct) + 100 * k - 1) // (100 * k)
-    # levels[L] = (edge table, fine→level-L composed mapping)
-    lvls: list[tuple[DataFrame, DataFrame]] = [(core_edges, comp)]
+    # levels[L] = (edge table, fine→level-L composed mapping,
+    #              level-L→level-(L+1) adjacent mapping or None)
+    lvls: list[list] = [[core_edges, comp, None]]
     prev_e = core_edges.count()
     cur = Graph.from_symmetric_edges(core_edges) if prev_e else None
     for _ in range(max_levels):
@@ -485,6 +486,8 @@ def partition_multilevel(
         )
         coarse, mapping = contract_matching(cur, m.localCheckpoint())
         coarse = coarse.localCheckpoint()
+        mapping = mapping.localCheckpoint()
+        lvls[-1][2] = mapping
         comp = (
             comp.join(
                 mapping.select(
@@ -498,7 +501,7 @@ def partition_multilevel(
         )
         cur = Graph.from_symmetric_edges(coarse)
         e_now = coarse.count()
-        lvls.append((coarse, comp))
+        lvls.append([coarse, comp, None])
         if (
             e_now == 0
             or e_now > 0.85 * prev_e
@@ -508,7 +511,7 @@ def partition_multilevel(
             break
         prev_e = e_now
     # coarsest assignment: LPA communities packed round-robin by size
-    deep_edges, deep_comp = lvls[-1]
+    deep_edges, deep_comp, _ = lvls[-1]
     sizes = deep_comp.groupBy(F.col("rep").alias("id")).agg(
         F.count("*").alias("size")
     )
@@ -517,20 +520,21 @@ def partition_multilevel(
     ).localCheckpoint()
     # uncoarsen: refine at each level (weighted), then project one down
     for lv in range(len(lvls) - 1, -1, -1):
-        edges_l, comp_l = lvls[lv]
+        edges_l, comp_l, map_l = lvls[lv]
         sizes_l = comp_l.groupBy(F.col("rep").alias("id")).agg(
             F.count("*").alias("size")
         )
         if lv < len(lvls) - 1:
             # project: level-lv vertex → its level-(lv+1) rep's part
-            verts = sizes_l.select("id")
-            up = lvls[lv + 1][1].select(
-                F.col("id").alias("fid"), F.col("rep").alias("up")
-            )
-            down = comp_l.select(F.col("id").alias("fid"), F.col("rep").alias("id"))
-            link = down.join(up, "fid").select("id", "up").distinct()
+            # via the O(V_lv) adjacent mapping; vertices absent from it
+            # (edgeless at lv — their component fully contracted at an
+            # earlier level) keep their own id upward
             assign = (
-                verts.join(link, "id")
+                sizes_l.select("id")
+                .join(
+                    map_l.select("id", F.col("rep").alias("up")), "id", "left"
+                )
+                .select("id", F.coalesce("up", F.col("id")).alias("up"))
                 .join(assign.select(F.col("id").alias("up"), "part"), "up")
                 .select("id", "part")
             )
