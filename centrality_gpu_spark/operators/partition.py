@@ -725,6 +725,36 @@ def refine_partition(
     return assign.select("id", "part")
 
 
+def partition_edges(graph: Graph, parts: DataFrame, k: int) -> DataFrame:
+    """The assignment made physical: the symmetric edge table annotated
+    with both endpoint parts (``src_part``, ``dst_part``) and
+    repartitioned into exactly ``k`` Spark partitions on ``src_part`` —
+    every intra-part edge (1 − cut_fraction of them, by construction
+    of a good assignment) has both endpoints' state in the same task,
+    so an iterative job that keys its vertex state the same way
+    shuffles only the cut edges per superstep.
+
+    This is the consumer side of the north rule's "partitioning
+    handled explicitly": compute ``parts`` once (multilevel +
+    refinement), write/cache the result of this function, and run the
+    superstep loop on it. One O(E) double join + one exchange, never
+    again per iteration.
+    """
+    e = graph.edges_by_src()
+    annotated = (
+        e.join(
+            parts.select(F.col("id").alias("src"), F.col("part").alias("src_part")),
+            "src",
+        )
+        .join(
+            parts.select(F.col("id").alias("dst"), F.col("part").alias("dst_part")),
+            "dst",
+        )
+        .select("src", "dst", "weight", "src_part", "dst_part")
+    )
+    return annotated.repartition(k, "src_part")
+
+
 def edge_cut_summary(graph: Graph, parts: DataFrame) -> DataFrame:
     """One row (k_parts, cut_weight, total_weight, cut_fraction,
     min_part_size, max_part_size) for an assignment ``parts(id, part)``

@@ -348,3 +348,26 @@ def test_refine_weighted_capacity(spark):
         g2, parts2, 2, rounds=2, sizes=sizes2, cap=7
     ).collect()
     assert {r.id: r.part for r in fit}[3] == 0  # 2+5 <= 7: admitted
+
+
+def test_partition_edges_colocates_intra_part_edges(spark):
+    """partition_edges physically co-locates each src_part: every edge
+    with the same src_part lands in the same Spark partition, and
+    intra-part edges carry src_part == dst_part."""
+    from pyspark.sql import functions as F
+
+    from centrality_gpu_spark.operators.partition import partition_edges
+
+    edges = [(c * 100, c * 100 + i) for c in range(8) for i in range(1, 7)]
+    g = _graph(spark, edges)
+    parts = partition_graph(g, 4, levels=2, match_rounds=6)
+    pe = partition_edges(g, parts, 4)
+    assert pe.rdd.getNumPartitions() == 4
+    rows = pe.withColumn("spid", F.spark_partition_id()).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.src_part, set()).add(r.spid)
+    # one Spark partition per src_part value
+    assert all(len(s) == 1 for s in by_part.values())
+    # star forest partitions with zero cut: every edge intra-part
+    assert all(r.src_part == r.dst_part for r in rows)
