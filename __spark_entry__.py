@@ -234,6 +234,10 @@ from centrality_gpu_spark.operators.truss import EDGE_SUPPORT_SQL
 from centrality_gpu_spark.sources.reference_samples import (
     sample_edges_cte as _sample_cte,
 )
+from centrality_gpu_spark.sources.transcripts import (
+    CONVERSATION_STATS_SQL as _CONVERSATION_STATS_SQL,
+    TOOL_TRANSITIONS_SQL as _TOOL_TRANSITIONS_SQL,
+)
 from centrality_gpu_spark.sources.testdata_graphs import (
     COPURCHASE_EDGES_CTE,
     CUSTORDER_EDGES_CTE,
@@ -241,9 +245,12 @@ from centrality_gpu_spark.sources.testdata_graphs import (
     EVENTS_EDGES_CTE,
     EVENTS_TEMPORAL_CTE,
     LINEITEM_CYCLE_CTE,
+    TRANSCRIPTS_CTE,
+    TRANSCRIPT_EDGES_CTE,
     copurchase_graph,
     events_directed_edges,
     events_graph,
+    events_transcripts,
 )
 
 PR_ITERS = 5
@@ -577,6 +584,61 @@ def _q_shortest_path_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.paths import shortest_path
 
     return shortest_path(events_graph(spark, sf), PATH_SOURCE, PATH_TARGET)
+
+
+# --- north-rule transcripts pipeline (input_hint table synthesized
+# deterministically from events, SQL twin in testdata_graphs.py) ---
+
+
+def _q_conversation_stats_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.sources.transcripts import conversation_stats
+
+    return conversation_stats(events_transcripts(spark, sf))
+
+
+def _q_tool_transitions_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.sources.transcripts import tool_transitions
+
+    return tool_transitions(events_transcripts(spark, sf))
+
+
+def _q_reply_invariant_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    # input_hint's per-row invariant (per-turn text equality under
+    # stable turn ordering), as a driver-checked summary row
+    from centrality_gpu_spark.sources.transcripts import reply_chain_check
+
+    t = events_transcripts(spark, sf)
+    v = reply_chain_check(t).agg(
+        F.count("*").cast("long").alias("n_violations")
+    )
+    n = t.agg(F.count("*").cast("long").alias("n_turns"))
+    return v.crossJoin(n)
+
+
+def _q_transcript_edges(spark: SparkSession, sf: str) -> DataFrame:
+    # the engine's PRIMARY edge builder (north rule: vertices =
+    # conversations/tools, edges from reply adjacency + tool
+    # invocation), all three edge types, canonical Graph form
+    from centrality_gpu_spark.sources.transcripts import transcript_graph
+
+    tg = transcript_graph(
+        events_transcripts(spark, sf),
+        edge_types=("tool", "coinvocation", "reply"),
+    )
+    return tg.graph.edges.select("src", "dst", "weight")
+
+
+def _q_pagerank_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    # transcripts → edge table → PageRank: the full north-rule pipeline
+    # end-to-end under the driver's hash gate
+    from centrality_gpu_spark.sources.transcripts import transcript_graph
+
+    tg = transcript_graph(
+        events_transcripts(spark, sf),
+        edge_types=("tool", "coinvocation", "reply"),
+    )
+    pr = pagerank(tg.graph, fixed_iterations=PR_ITERS, mode="csr")
+    return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
 
 
 def _q_wl_labels_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -1319,22 +1381,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literal VALUES CTEs (measure_energy.py:89's four graphs):
         "betweenness_sample1": _q_betweenness_sample1,
         "betweenness_sample2": _q_betweenness_sample2,
-        "betweenness_sample3": _q_betweenness_sample3,
-        "betweenness_sample4": _q_betweenness_sample4,
         # --- closeness / harmonic / eccentricity (same MS-BFS machinery) ---
         "closeness_events": _q_closeness_events,
         "closeness_custorder": _q_closeness_custorder,
-        "closeness_bsp_custorder": _q_closeness_bsp_custorder,
         "closeness_weighted_events": _q_closeness_weighted_events,
-        "closeness_sampled_events": _q_closeness_sampled_events,
         "harmonic_events": _q_harmonic_events,
         "harmonic_weighted_events": _q_harmonic_weighted_events,
         "eccentricity_events": _q_eccentricity_events,
-        "eccentricity_bsp_events": _q_eccentricity_bsp_events,
         "eccentricity_weighted_events": _q_eccentricity_weighted_events,
         "graph_extent_events": _q_graph_extent_events,
         "sssp_events": _q_sssp_events,
         "shortest_path_events": _q_shortest_path_events,
+        # --- north-rule transcripts pipeline: input_hint table →
+        # stats/transitions/invariant → edge build → PageRank, each
+        # hash-checked against a full-chain DuckDB twin ---
+        "conversation_stats_transcripts": _q_conversation_stats_transcripts,
+        "tool_transitions_transcripts": _q_tool_transitions_transcripts,
+        "reply_invariant_transcripts": _q_reply_invariant_transcripts,
+        "transcript_edges": _q_transcript_edges,
+        "pagerank_transcripts": _q_pagerank_transcripts,
         # --- triangles / clustering ---
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
@@ -1366,6 +1431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_cut_refined_events": _q_edge_cut_refined_events,
         "scc_lineitem": _q_scc_lineitem,
         # ---------------- end of the driver's ~50-key window ----------------
+        # strategy variants of in-window queries (same operators, second
+        # physical path / sampled mode / extra goldens):
+        "betweenness_sample3": _q_betweenness_sample3,
+        "betweenness_sample4": _q_betweenness_sample4,
+        "closeness_bsp_custorder": _q_closeness_bsp_custorder,
+        "closeness_sampled_events": _q_closeness_sampled_events,
+        "eccentricity_bsp_events": _q_eccentricity_bsp_events,
         "condensation_lineitem": _q_condensation_lineitem,
         "temporal_reach_events": _q_temporal_reach_events,
         "temporal_departure_events": _q_temporal_departure_events,
@@ -1684,6 +1756,38 @@ FROM orders ORDER BY id
         ),
         "shortest_path_events": shortest_path_oracle_sql(
             EVENTS_EDGES_CTE, PATH_SOURCE, PATH_TARGET
+        ),
+        # --- north-rule transcripts pipeline (full-chain twins over the
+        # synthesized input_hint table, testdata_graphs.TRANSCRIPTS_CTE) ---
+        "conversation_stats_transcripts": (
+            "WITH " + TRANSCRIPTS_CTE + ",\n"
+            + _CONVERSATION_STATS_SQL[len("WITH ") :]
+            if _CONVERSATION_STATS_SQL.startswith("WITH ")
+            else f"WITH {TRANSCRIPTS_CTE}\n{_CONVERSATION_STATS_SQL}"
+        ),
+        "tool_transitions_transcripts": (
+            "WITH " + TRANSCRIPTS_CTE + ",\n"
+            + _TOOL_TRANSITIONS_SQL[len("WITH ") :]
+        ),
+        "reply_invariant_transcripts": f"""WITH {TRANSCRIPTS_CTE},
+tr_checked AS (
+  SELECT text,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':' || role
+           AS prefix,
+         turn_idx,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS next_idx
+  FROM transcripts
+)
+SELECT CAST(SUM(CASE WHEN NOT starts_with(text, prefix)
+                       OR (next_idx IS NOT NULL AND next_idx <> turn_idx + 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM tr_checked""",
+        "transcript_edges": f"WITH {TRANSCRIPT_EDGES_CTE}\n"
+        "SELECT src, dst, weight FROM edges ORDER BY src, dst",
+        "pagerank_transcripts": pagerank_oracle_sql(
+            TRANSCRIPT_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
         ),
         "eccentricity_weighted_events": eccentricity_weighted_oracle_sql(
             WEVENTS_EDGES_CTE

@@ -312,3 +312,163 @@ tedges AS (
   SELECT src, dst, ts FROM hand WHERE dst IS NOT NULL AND dst <> src
 )
 """.strip()
+
+
+# ------------------------------------------------ transcripts (north rule)
+#
+# The north rule's input table is an Iceberg table of multi-turn
+# conversation / agent transcripts with columns (conv_id:string,
+# turn_idx:int32, role:string, text:string, tool:string, ts:timestamp).
+# No such parquet exists in the testdata, so `events_transcripts`
+# synthesizes one DETERMINISTICALLY from events — with a line-for-line
+# DuckDB twin (TRANSCRIPTS_CTE) so every transcript-pipeline operator
+# (conversation_stats, tool_transitions, transcript_graph, PageRank over
+# the built graph) can ride the driver's hash-match correctness gate.
+#
+# Mapping: user → conversation ("conv_<user_id>"); turn_idx = dense rank
+# of the user's events under the stable (ts, event_id) order; roles
+# alternate user/assistant; assistant turns carry the event_type as the
+# invoked tool; text = "{conv_id}:{turn_idx}:{role}:{event_type}", which
+# satisfies reply_chain_check's per-turn text invariant (input_hint) by
+# construction.
+
+
+def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcripts-shaped table (input_hint schema) derived
+    from ``events``. One window shuffle keyed by user_id — at 10¹² turns
+    this is the natural partitioning (conversations are small and
+    independent), and everything downstream is expressed over the
+    declared schema, never over the synthesis."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias(
+            "conv_id"
+        ),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "event_type",
+        # naive-as-UTC convention shared with DuckDB (session tz is UTC)
+        F.col("ts").cast("timestamp").alias("ts"),
+    ).withColumn(
+        "role",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    return seq.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.concat_ws(
+            ":",
+            "conv_id",
+            F.col("turn_idx").cast("string"),
+            "role",
+            "event_type",
+        ).alias("text"),
+        F.when(F.col("role") == "assistant", F.col("event_type")).alias(
+            "tool"
+        ),
+        "ts",
+    )
+
+
+# DuckDB twin; final CTE is `transcripts(conv_id, turn_idx, role, text,
+# tool, ts)` — identical rows to events_transcripts().
+TRANSCRIPTS_CTE = """
+tr_seq AS (
+  SELECT 'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER)
+           AS turn_idx,
+         event_type, ts
+  FROM events
+),
+transcripts AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':'
+           || CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+           || ':' || event_type AS text,
+         CASE WHEN turn_idx % 2 = 1 THEN event_type END AS tool,
+         ts
+  FROM tr_seq
+)
+""".strip()
+
+
+# DuckDB twin of transcript_graph(events_transcripts(...), edge_types=
+# ("tool", "coinvocation", "reply"), max_tool_degree=1000,
+# id_mode="dense") followed by Graph.from_undirected_edges' canonical
+# form (drop self-loops, symmetrize, dedup parallel edges to MIN
+# weight). Final CTE is `edges(src, dst, weight)`, both directions.
+TRANSCRIPT_EDGES_CTE = (
+    TRANSCRIPTS_CTE
+    + ""","""
+    + """
+tr_inv AS (
+  SELECT conv_id, tool, CAST(COUNT(*) AS BIGINT) AS n
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY conv_id, tool
+),
+tr_vnames AS (
+  SELECT DISTINCT conv_id AS name, 'conv' AS kind FROM transcripts
+  UNION ALL
+  SELECT DISTINCT tool AS name, 'tool' AS kind FROM transcripts
+  WHERE tool IS NOT NULL
+),
+tr_vmap AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY name, kind) - 1 AS BIGINT) AS id,
+         name, kind
+  FROM tr_vnames
+),
+tr_tool_deg AS (SELECT tool, COUNT(*) AS td FROM tr_inv GROUP BY tool),
+tr_proj_inv AS (
+  SELECT tr_inv.conv_id, tr_inv.tool FROM tr_inv
+  JOIN tr_tool_deg USING (tool) WHERE td <= 1000
+),
+tr_copairs AS (
+  SELECT l.conv_id AS a, r.conv_id AS b, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM tr_proj_inv l
+  JOIN tr_proj_inv r ON l.tool = r.tool AND l.conv_id < r.conv_id
+  GROUP BY l.conv_id, r.conv_id
+),
+tr_hand AS (
+  SELECT src_tool, dst_tool FROM (
+    SELECT tool AS src_tool,
+           LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS dst_tool
+    FROM transcripts WHERE tool IS NOT NULL
+  ) WHERE dst_tool IS NOT NULL AND src_tool <> dst_tool
+),
+tr_reply AS (
+  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS weight FROM (
+    SELECT LEAST(src_tool, dst_tool) AS a,
+           GREATEST(src_tool, dst_tool) AS b
+    FROM tr_hand
+  ) GROUP BY a, b
+),
+tr_name_edges AS (
+  SELECT conv_id AS a, 'conv' AS a_kind, tool AS b, 'tool' AS b_kind,
+         CAST(n AS DOUBLE) AS weight
+  FROM tr_inv
+  UNION ALL
+  SELECT a, 'conv', b, 'conv', weight FROM tr_copairs
+  UNION ALL
+  SELECT a, 'tool', b, 'tool', weight FROM tr_reply
+),
+tr_dir_edges AS (
+  SELECT va.id AS src, vb.id AS dst, ne.weight
+  FROM tr_name_edges ne
+  JOIN tr_vmap va ON va.name = ne.a AND va.kind = ne.a_kind
+  JOIN tr_vmap vb ON vb.name = ne.b AND vb.kind = ne.b_kind
+  WHERE va.id <> vb.id
+),
+edges AS (
+  SELECT src, dst, MIN(weight) AS weight FROM (
+    SELECT src, dst, weight FROM tr_dir_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM tr_dir_edges
+  ) GROUP BY src, dst
+)
+""".strip()
+)

@@ -4,12 +4,18 @@ Prints one JSON line: per-job wall seconds at this core count.
 Invoked by tools/bench_scaling.py at two core counts on the SAME input
 (the sandbox stand-in for N vs 4N executors mandated by the driver).
 
-Jobs:
-- pagerank_csr: 10 fixed CSR supersteps on the scale graph (shuffle-
-  bound; the headline metric)
-- betweenness: broadcast-CSR Brandes over 192 sources (compute-bound,
-  embarrassingly source-parallel — the reference's own regime)
-- bfs_wave: one 128-source distributed BFS wave (frontier-join path)
+Jobs (subset-selectable via $SCALE_JOBS, comma list; default all):
+- pagerank: 10 fixed CSR supersteps on the scale graph (shuffle-
+  bound; the headline metric) + one-time block build
+- betweenness: broadcast-CSR Brandes over $SCALE_SOURCES sources
+  (compute-bound, embarrassingly source-parallel — the reference's
+  own regime)
+- bfs: one 128-source distributed BFS wave (frontier-join path)
+- bfs_bcast: 1024-source broadcast-CSR BFS (numpy-kernel fast path)
+- closeness: bit-parallel MS-BFS over ALL sources
+- dedup: full MinHash-LSH dedup decision over documents (corpus side)
+- temporal: earliest-arrival fixpoint over the events handoff stream
+- control: raw-numpy gather hardware ceiling (no engine code)
 """
 
 from __future__ import annotations
@@ -87,82 +93,102 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     copies = int(os.environ.get("SCALE_COPIES", "128"))
     n_sources = int(os.environ.get("SCALE_SOURCES", "3072"))
+    # SCALE_JOBS: comma list to run a subset ("pagerank,betweenness,
+    # bfs,bfs_bcast,closeness,dedup,temporal,control"); default all.
+    wanted = {
+        j.strip()
+        for j in os.environ.get("SCALE_JOBS", "all").split(",")
+        if j.strip()
+    }
+
+    def want(name: str) -> bool:
+        return "all" in wanted or name in wanted
+
     spark = get_spark(app_name=f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
 
     out = {"cores": cores, "jobs": {}}
 
-    import tempfile
-
     # --- PageRank: large multi-copy graph so per-superstep compute
     # dominates fixed per-iteration costs (one-time block build timed
     # separately — it is amortized over the run in production)
-    g = scale_graph(spark, sf_dir, copies).persist()
-    m = g.edges.count()
-    out["directed_edges_pagerank"] = m
-    # fixed n_blocks (independent of cores) + content-keyed store path:
-    # the store is built once and reused across parallelism levels —
-    # it is the same input either way
-    pb = os.environ.get("SCALE_PARTITION_BY", "dst")
-    store = os.environ.get(
-        "SCALE_STORE", f"/tmp/cgs_scale_store_c{copies}_{pb}"
-    )
-    t0 = time.time()
-    blocked = block_edges(
-        g, n_blocks=32, scratch_dir=store, reuse_existing=True, partition_by=pb
-    )
-    out["jobs"]["block_build"] = round(time.time() - t0, 3)
-    # 2 untimed warmup iterations fault the mmap'd blocks into the OS
-    # page cache (one-time I/O, amortized in production), then time 10
-    pagerank(g, fixed_iterations=2, mode="csr", blocked=blocked).count()
-    t0 = time.time()
-    pagerank(g, fixed_iterations=10, mode="csr", blocked=blocked).agg(
-        F.sum("rank")
-    ).collect()
-    dt = time.time() - t0
-    out["jobs"]["pagerank_csr_10it"] = round(dt, 3)
-    out["pagerank_edges_per_sec"] = round(m * 10 / dt, 1)
-    blocked.unpersist()
-    g.unpersist()
+    if want("pagerank"):
+        g = scale_graph(spark, sf_dir, copies).persist()
+        m = g.edges.count()
+        out["directed_edges_pagerank"] = m
+        # fixed n_blocks (independent of cores) + content-keyed store path:
+        # the store is built once and reused across parallelism levels —
+        # it is the same input either way
+        pb = os.environ.get("SCALE_PARTITION_BY", "dst")
+        store = os.environ.get(
+            "SCALE_STORE", f"/tmp/cgs_scale_store_c{copies}_{pb}"
+        )
+        t0 = time.time()
+        blocked = block_edges(
+            g, n_blocks=32, scratch_dir=store, reuse_existing=True, partition_by=pb
+        )
+        out["jobs"]["block_build"] = round(time.time() - t0, 3)
+        # 2 untimed warmup iterations fault the mmap'd blocks into the OS
+        # page cache (one-time I/O, amortized in production), then time 10
+        pagerank(g, fixed_iterations=2, mode="csr", blocked=blocked).count()
+        t0 = time.time()
+        pagerank(g, fixed_iterations=10, mode="csr", blocked=blocked).agg(
+            F.sum("rank")
+        ).collect()
+        dt = time.time() - t0
+        out["jobs"]["pagerank_csr_10it"] = round(dt, 3)
+        out["pagerank_edges_per_sec"] = round(m * 10 / dt, 1)
+        blocked.unpersist()
+        g.unpersist()
+
+    if want("betweenness") or want("bfs") or want("bfs_bcast") or want("closeness"):
+        g1 = copurchase_graph(spark, sf_dir).persist()
+        g1.edges.count()
+        srcs = [
+            r.id for r in g1.vertices().orderBy("id").limit(n_sources).collect()
+        ]
 
     # --- betweenness: single-copy graph (cheap one-time CSR collect),
     # many sources — the source-parallel numpy-kernel regime
-    g1 = copurchase_graph(spark, sf_dir).persist()
-    g1.edges.count()
-    srcs = [r.id for r in g1.vertices().orderBy("id").limit(n_sources).collect()]
-    t0 = time.time()
-    betweenness_broadcast(g1, sources=srcs).agg(F.sum("bc")).collect()
-    dt = time.time() - t0
-    out["jobs"][f"betweenness_{n_sources}src"] = round(dt, 3)
-    out["bc_sources_per_sec"] = round(n_sources / dt, 2)
+    if want("betweenness"):
+        t0 = time.time()
+        betweenness_broadcast(g1, sources=srcs).agg(F.sum("bc")).collect()
+        dt = time.time() - t0
+        out["jobs"][f"betweenness_{n_sources}src"] = round(dt, 3)
+        out["bc_sources_per_sec"] = round(n_sources / dt, 2)
 
     # --- distributed BFS wave (shuffle-bound frontier supersteps)
-    src_df = spark.createDataFrame([(int(s),) for s in srcs[:128]], "source long")
-    t0 = time.time()
-    multi_source_bfs(g1, src_df).visited.count()
-    out["jobs"]["bfs_128src"] = round(time.time() - t0, 3)
+    if want("bfs"):
+        src_df = spark.createDataFrame(
+            [(int(s),) for s in srcs[:128]], "source long"
+        )
+        t0 = time.time()
+        multi_source_bfs(g1, src_df).visited.count()
+        out["jobs"]["bfs_128src"] = round(time.time() - t0, 3)
 
     # --- broadcast-CSR BFS fast path (source-parallel numpy kernel,
     # the regime bfs_visited auto-routes to at this scale)
-    from centrality_gpu_spark.operators.bfs import multi_source_bfs_broadcast
+    if want("bfs_bcast"):
+        from centrality_gpu_spark.operators.bfs import multi_source_bfs_broadcast
 
-    src_df2 = spark.createDataFrame(
-        [(int(s),) for s in srcs[:1024]], "source long"
-    )
-    t0 = time.time()
-    multi_source_bfs_broadcast(g1, src_df2).count()
-    dt = time.time() - t0
-    out["jobs"]["bfs_bcast_1024src"] = round(dt, 3)
-    out["bfs_bcast_sources_per_sec"] = round(1024 / dt, 2)
+        src_df2 = spark.createDataFrame(
+            [(int(s),) for s in srcs[:1024]], "source long"
+        )
+        t0 = time.time()
+        multi_source_bfs_broadcast(g1, src_df2).count()
+        dt = time.time() - t0
+        out["jobs"]["bfs_bcast_1024src"] = round(dt, 3)
+        out["bfs_bcast_sources_per_sec"] = round(1024 / dt, 2)
 
     # --- bit-parallel MS-BFS closeness: all 20k sources, 64 lanes per
     # pass (the distance-centrality fast path; source-chunk-parallel)
-    from centrality_gpu_spark.operators.closeness import closeness_broadcast
+    if want("closeness"):
+        from centrality_gpu_spark.operators.closeness import closeness_broadcast
 
-    t0 = time.time()
-    closeness_broadcast(g1).agg(F.sum("closeness")).collect()
-    dt = time.time() - t0
-    out["jobs"]["closeness_msbfs_full"] = round(dt, 3)
-    out["closeness_sources_per_sec"] = round(g1.num_vertices() / dt, 2)
+        t0 = time.time()
+        closeness_broadcast(g1).agg(F.sum("closeness")).collect()
+        dt = time.time() - t0
+        out["jobs"]["closeness_msbfs_full"] = round(dt, 3)
+        out["closeness_sources_per_sec"] = round(g1.num_vertices() / dt, 2)
 
     # --- non-graph jobs (r2 verdict #8: scaling evidence beyond
     # centrality): the full MinHash-LSH dedup decision over documents,
@@ -170,30 +196,34 @@ def main() -> None:
     # handoff stream — one shuffle-per-round iterative job and one
     # banded-join corpus job, both shapes the corpus/temporal sides
     # run in production
-    from centrality_gpu_spark.operators.dedup import dedup_clusters
-    from centrality_gpu_spark.operators.temporal import earliest_arrival
-    from centrality_gpu_spark.sources.testdata_graphs import (
-        events_temporal_edges,
-    )
+    if want("dedup"):
+        from centrality_gpu_spark.operators.dedup import dedup_clusters
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
-    docs.count()
-    t0 = time.time()
-    n_docs = dedup_clusters(docs, threshold=0.5).count()
-    dt = time.time() - t0
-    out["jobs"]["dedup_clusters"] = round(dt, 3)
-    out["dedup_docs_per_sec"] = round(n_docs / dt, 2)
-    docs.unpersist()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+        docs.count()
+        t0 = time.time()
+        n_docs = dedup_clusters(docs, threshold=0.5).count()
+        dt = time.time() - t0
+        out["jobs"]["dedup_clusters"] = round(dt, 3)
+        out["dedup_docs_per_sec"] = round(n_docs / dt, 2)
+        docs.unpersist()
 
-    te = events_temporal_edges(spark, sf_dir).persist()
-    te.count()
-    srcs10 = spark.range(10).select(F.col("id"))
-    t0 = time.time()
-    earliest_arrival(te, srcs10, rounds=256, to_fixpoint=True).count()
-    out["jobs"]["temporal_arrival_fixpoint"] = round(time.time() - t0, 3)
-    te.unpersist()
+    if want("temporal"):
+        from centrality_gpu_spark.operators.temporal import earliest_arrival
+        from centrality_gpu_spark.sources.testdata_graphs import (
+            events_temporal_edges,
+        )
 
-    out["jobs"]["hw_control_gather"] = hardware_control(cores)
+        te = events_temporal_edges(spark, sf_dir).persist()
+        te.count()
+        srcs10 = spark.range(10).select(F.col("id"))
+        t0 = time.time()
+        earliest_arrival(te, srcs10, rounds=256, to_fixpoint=True).count()
+        out["jobs"]["temporal_arrival_fixpoint"] = round(time.time() - t0, 3)
+        te.unpersist()
+
+    if want("control"):
+        out["jobs"]["hw_control_gather"] = hardware_control(cores)
 
     print(json.dumps(out))
     spark.stop()
