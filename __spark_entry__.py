@@ -259,9 +259,16 @@ LPA_ITERS = 8
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: PageRank over the events graph at sf0.001."""
-    g = events_graph(spark, "/root/testdata/sf0.001")
-    return pagerank(g, fixed_iterations=10, mode="csr")
+    """Flagship: the north-rule pipeline end to end — synthesize the
+    input_hint transcript table at sf0.001, build the conv/tool edge
+    table (tool invocation + co-invocation + reply adjacency under
+    stable turn ordering), and run PageRank over it. Returns (id, rank).
+    """
+    from centrality_gpu_spark.sources.transcripts import transcript_graph
+
+    t = events_transcripts(spark, "/root/testdata/sf0.001")
+    tg = transcript_graph(t, edge_types=("tool", "coinvocation", "reply"))
+    return pagerank(tg.graph, fixed_iterations=10, mode="csr")
 
 
 # --------------------------------------------------------------- queries
