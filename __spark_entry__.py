@@ -648,6 +648,20 @@ def _q_pagerank_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
 
 
+def _q_betweenness_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    # the reference's core metric over the north-rule input: Brandes
+    # betweenness on the transcript-built graph, vs the pair-dependency
+    # APSP oracle on the identical DuckDB-twin edge table
+    from centrality_gpu_spark.sources.transcripts import transcript_graph
+
+    tg = transcript_graph(
+        events_transcripts(spark, sf),
+        edge_types=("tool", "coinvocation", "reply"),
+    )
+    bc = betweenness_broadcast(tg.graph)
+    return bc.select("id", F.round("bc", 6).alias("bc"))
+
+
 def _q_wl_labels_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.wl import wl_labels
 
@@ -1381,7 +1395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_bsp_custorder": _q_betweenness_bsp_custorder,
         "betweenness_weighted_events": _q_betweenness_weighted_events,
         "betweenness_decomposed_events": _q_betweenness_decomposed_events,
-        "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
         "betweenness_sampled_events": _q_betweenness_sampled_events,
         "edge_betweenness_events": _q_edge_betweenness_events,
         # the reference's own sample_input/test{1..4}.txt fixtures as
@@ -1407,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_invariant_transcripts": _q_reply_invariant_transcripts,
         "transcript_edges": _q_transcript_edges,
         "pagerank_transcripts": _q_pagerank_transcripts,
+        "betweenness_transcripts": _q_betweenness_transcripts,
         # --- triangles / clustering ---
         "triangle_count_copurchase": _q_triangle_count_copurchase,
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
@@ -1442,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # physical path / sampled mode / extra goldens):
         "betweenness_sample3": _q_betweenness_sample3,
         "betweenness_sample4": _q_betweenness_sample4,
+        "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
         "closeness_bsp_custorder": _q_closeness_bsp_custorder,
         "closeness_sampled_events": _q_closeness_sampled_events,
         "eccentricity_bsp_events": _q_eccentricity_bsp_events,
@@ -1795,6 +1810,9 @@ FROM tr_checked""",
         "SELECT src, dst, weight FROM edges ORDER BY src, dst",
         "pagerank_transcripts": pagerank_oracle_sql(
             TRANSCRIPT_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
+        ),
+        "betweenness_transcripts": brandes_apsp_oracle_sql(
+            TRANSCRIPT_EDGES_CTE
         ),
         "eccentricity_weighted_events": eccentricity_weighted_oracle_sql(
             WEVENTS_EDGES_CTE
