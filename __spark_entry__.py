@@ -39,6 +39,7 @@ from centrality_gpu_spark.operators.labelprop import label_propagation, lpa_orac
 from centrality_gpu_spark.operators.pagerank import (
     pagerank,
     pagerank_oracle_sql,
+    pagerank_residuals_oracle_sql,
     personalized_pagerank,
     ppr_oracle_sql,
 )
@@ -860,6 +861,14 @@ def _q_harmonic_events(spark: SparkSession, sf: str) -> DataFrame:
     return h.select("id", F.round("harmonic", 6).alias("harmonic"))
 
 
+def _q_pagerank_residuals_events(spark: SparkSession, sf: str) -> DataFrame:
+    # the north metric's convergence trace (iterations-to-tol) itself,
+    # hash-checked per iteration against the unrolled DuckDB recurrence
+    from centrality_gpu_spark.operators.pagerank import pagerank_residuals
+
+    return pagerank_residuals(events_graph(spark, sf), iterations=PR_ITERS)
+
+
 PPR_SEEDS = 3
 PPR_ITERS = 5
 
@@ -1432,7 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_events": _q_components_events,
         # --- PageRank family / spectral ---
         "pagerank_events": _q_pagerank_events,
-        "pagerank_copurchase": _q_pagerank_copurchase,
+        "pagerank_residuals_events": _q_pagerank_residuals_events,
         "pagerank_weighted_events": _q_pagerank_weighted_events,
         "ppr_events": _q_ppr_events,
         "eigenvector_copurchase": _q_eigenvector_copurchase,
@@ -1457,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sample3": _q_betweenness_sample3,
         "betweenness_sample4": _q_betweenness_sample4,
         "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
+        "pagerank_copurchase": _q_pagerank_copurchase,
         "closeness_bsp_custorder": _q_closeness_bsp_custorder,
         "closeness_sampled_events": _q_closeness_sampled_events,
         "eccentricity_bsp_events": _q_eccentricity_bsp_events,
@@ -1655,6 +1665,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_copurchase": pagerank_oracle_sql(
             COPURCHASE_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
+        ),
+        "pagerank_residuals_events": pagerank_residuals_oracle_sql(
+            EVENTS_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
         ),
         "pagerank_weighted_events": pagerank_oracle_sql(
             EVENTS_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND,

@@ -264,6 +264,108 @@ def pagerank_oracle_sql(
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+def pagerank_residuals(
+    graph: Graph,
+    alpha: float = 0.85,
+    iterations: int = 5,
+    round_digits: int = 8,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """Per-iteration convergence trace: (iteration:int, linf_delta:
+    double) — ‖r_k − r_{k−1}‖∞ for k = 1..iterations, the quantity the
+    north metric's "PageRank iterations-to-1e-6" stopping rule watches
+    (and what ``pagerank(tol=...)`` tests against each step).
+
+    Same recurrence as ``pagerank(mode="sql")``; the residual is one
+    O(V) distributed join+max per iteration (collecting a single scalar,
+    never the vector). The unrolled DuckDB twin
+    (``pagerank_residuals_oracle_sql``) replays the identical trace, so
+    convergence behavior itself — not just the final vector — rides the
+    driver's hash gate.
+    """
+    from centrality_gpu_spark.operators.superstep import spmv_sql
+
+    ckpt = checkpoint or CheckpointManager(graph.spark)
+    verts = ckpt.truncate(graph.vertices())
+    n = verts.count()
+    schema = "iteration int, linf_delta double"
+    if n == 0:
+        return graph.spark.createDataFrame([], schema)
+    base = (1.0 - alpha) / n
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    rows: list[tuple[int, float]] = []
+    for it in range(iterations):
+        vals = ranks.select("id", F.col("rank").alias("val"))
+        msgs = spmv_sql(graph, vals, weighted=False, divide_by_src_degree=True)
+        new_ranks = ckpt.truncate(
+            msgs.select(
+                "id", (F.lit(base) + F.lit(alpha) * F.col("msg")).alias("rank")
+            )
+        )
+        d = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "id")
+            .agg(
+                F.round(
+                    F.max(F.abs(F.col("n.rank") - F.col("o.rank"))),
+                    round_digits,
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        rows.append((it + 1, float(d)))
+        ranks = new_ranks
+    return graph.spark.createDataFrame(rows, schema)
+
+
+def pagerank_residuals_oracle_sql(
+    edges_cte: str, alpha: float = 0.85, iterations: int = 5,
+    round_digits: int = 8,
+) -> str:
+    """DuckDB twin of ``pagerank_residuals``: the same unrolled
+    recurrence as ``pagerank_oracle_sql`` plus one max-abs-delta select
+    per step. Output (iteration, linf_delta) ordered by iteration."""
+    parts = [
+        edges_cte,
+        "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)",
+        "verts AS (SELECT id FROM deg)",
+        "nv AS (SELECT COUNT(*) AS n FROM verts)",
+        "pr0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    for k in range(iterations):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS id, SUM(p.rank / d.degree) AS msg
+  FROM edges e
+  JOIN pr{k} p ON e.src = p.id
+  JOIN deg d ON e.src = d.id
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""pr{k + 1} AS (
+  SELECT v.id,
+         (1.0 - {alpha})/(SELECT n FROM nv) + {alpha} * COALESCE(c.msg, 0.0) AS rank
+  FROM verts v LEFT JOIN c{k} c ON v.id = c.id
+)"""
+        )
+        parts.append(
+            f"""d{k} AS (
+  SELECT {k + 1} AS iteration,
+         ROUND(MAX(ABS(n.rank - o.rank)), {round_digits}) AS linf_delta
+  FROM pr{k + 1} n JOIN pr{k} o ON n.id = o.id
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM d{k}" for k in range(iterations)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(iteration AS INTEGER) AS iteration, linf_delta"
+        f" FROM ({union}) ORDER BY iteration"
+    )
+
+
 # ------------------------------------------------- personalized PageRank
 
 def personalized_pagerank(

@@ -197,3 +197,36 @@ def test_pagerank_dense_loop_convergence_matches_sql(spark):
     for k in a:
         assert b[k] == pytest.approx(a[k], abs=1e-7)
     blocked.unpersist()
+
+
+def test_pagerank_residuals_trace_decreasing_and_hits_tol(spark):
+    """The convergence trace behind the north metric: residuals are
+    positive, strictly decreasing on the events graph (alpha<1 power
+    iteration), and the first iteration whose trailing residual falls
+    under tol agrees with where pagerank(tol=...) actually stops."""
+    from centrality_gpu_spark.operators.pagerank import pagerank_residuals
+    from centrality_gpu_spark.sources.testdata_graphs import events_graph
+
+    g = events_graph(spark, SF_SMALL)
+    trace = {
+        r.iteration: r.linf_delta
+        for r in pagerank_residuals(g, iterations=12).collect()
+    }
+    assert sorted(trace) == list(range(1, 13))
+    assert all(d > 0 for d in trace.values())
+    deltas = [trace[i] for i in range(1, 13)]
+    assert all(a > b for a, b in zip(deltas, deltas[1:]))
+    # the residual contracts geometrically at rate <= alpha each step
+    # (so iterations-to-1e-6 is O(log 1/tol) and readable off the trace)
+    # (1e-6 slack: trace values are rounded to 8 dp before the ratio)
+    assert all(b / a <= 0.85 + 1e-6 for a, b in zip(deltas, deltas[1:]))
+    # iterations-to-tol from the trace == observed stopping point
+    # (tol chosen inside the traced range; the 1e-6 rule is identical)
+    tol = trace[8] + (trace[7] - trace[8]) / 2
+    want_iters = next(i for i in range(1, 13) if trace[i] < tol)
+    ranks_conv = pagerank(g, tol=tol, mode="sql")
+    ranks_fixed = pagerank(g, fixed_iterations=want_iters, mode="sql")
+    a = {r.id: r["rank"] for r in ranks_conv.collect()}
+    b = {r.id: r["rank"] for r in ranks_fixed.collect()}
+    for k in a:
+        assert b[k] == pytest.approx(a[k], abs=1e-9)
