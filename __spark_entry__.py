@@ -649,6 +649,21 @@ def _q_pagerank_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
 
 
+def _q_pagerank_weighted_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    # invocation-count-weighted ranking — the natural scoring on the
+    # conv/tool graph, where edge weight = how often the tool was used
+    from centrality_gpu_spark.sources.transcripts import transcript_graph
+
+    tg = transcript_graph(
+        events_transcripts(spark, sf),
+        edge_types=("tool", "coinvocation", "reply"),
+    )
+    pr = pagerank(
+        tg.graph, fixed_iterations=PR_ITERS, mode="csr", weighted=True
+    )
+    return pr.select("id", F.round("rank", PR_ROUND).alias("rank"))
+
+
 def _q_betweenness_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     # the reference's core metric over the north-rule input: Brandes
     # betweenness on the transcript-built graph, vs the pair-dependency
@@ -1429,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_invariant_transcripts": _q_reply_invariant_transcripts,
         "transcript_edges": _q_transcript_edges,
         "pagerank_transcripts": _q_pagerank_transcripts,
+        "pagerank_weighted_transcripts": _q_pagerank_weighted_transcripts,
         "betweenness_transcripts": _q_betweenness_transcripts,
         # --- triangles / clustering ---
         "triangle_count_copurchase": _q_triangle_count_copurchase,
@@ -1444,7 +1460,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_residuals_events": _q_pagerank_residuals_events,
         "pagerank_weighted_events": _q_pagerank_weighted_events,
         "ppr_events": _q_ppr_events,
-        "eigenvector_copurchase": _q_eigenvector_copurchase,
         "katz_events": _q_katz_events,
         "hits_events": _q_hits_events,
         "salsa_events": _q_salsa_events,
@@ -1467,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_sample4": _q_betweenness_sample4,
         "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
         "pagerank_copurchase": _q_pagerank_copurchase,
+        "eigenvector_copurchase": _q_eigenvector_copurchase,
         "closeness_bsp_custorder": _q_closeness_bsp_custorder,
         "closeness_sampled_events": _q_closeness_sampled_events,
         "eccentricity_bsp_events": _q_eccentricity_bsp_events,
@@ -1823,6 +1839,10 @@ FROM tr_checked""",
         "SELECT src, dst, weight FROM edges ORDER BY src, dst",
         "pagerank_transcripts": pagerank_oracle_sql(
             TRANSCRIPT_EDGES_CTE, iterations=PR_ITERS, round_digits=PR_ROUND
+        ),
+        "pagerank_weighted_transcripts": pagerank_oracle_sql(
+            TRANSCRIPT_EDGES_CTE, iterations=PR_ITERS,
+            round_digits=PR_ROUND, weighted=True,
         ),
         "betweenness_transcripts": brandes_apsp_oracle_sql(
             TRANSCRIPT_EDGES_CTE
