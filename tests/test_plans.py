@@ -173,3 +173,35 @@ def test_curate_corpus_single_pass_signals(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(curate_corpus(docs, "src0", fraction=0.5))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_transcript_pipeline_pruned_scan_no_cartesian(spark):
+    """The transcripts synthesis + edge build must (a) prune the events
+    scan to the four columns the synthesis touches (value/props never
+    read), (b) window-partition by user_id/conv_id — never a global
+    single-partition window, and (c) join without cartesian products."""
+    from centrality_gpu_spark.sources.testdata_graphs import (
+        events_transcripts,
+    )
+    from centrality_gpu_spark.sources.transcripts import (
+        tool_transitions,
+        transcript_graph,
+    )
+
+    t = events_transcripts(spark, "/root/testdata/sf0.001")
+    tplan = _plan(t)
+    schema = tplan.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" not in schema and "props" not in schema  # pruned
+    assert "windowspecdefinition(user_id" in tplan  # keyed window
+
+    tt = tool_transitions(t)
+    ttplan = _plan(tt)
+    assert "windowspecdefinition(conv_id" in ttplan
+    assert "CartesianProduct" not in ttplan
+    assert "BroadcastHashJoin" in ttplan  # per-source totals broadcast
+
+    edges = transcript_graph(
+        t, edge_types=("tool", "coinvocation", "reply")
+    ).graph.edges
+    eplan = _plan(edges)
+    assert "CartesianProduct" not in eplan
