@@ -227,6 +227,7 @@ from centrality_gpu_spark.operators.wl import (
     wl_labels_oracle_sql,
 )
 from centrality_gpu_spark.operators.stats import (
+    degree_skew_oracle_sql,
     rich_club_oracle_sql,
     assortativity_oracle_sql,
     graph_summary_oracle_sql,
@@ -971,6 +972,14 @@ def _q_rich_club_events(spark: SparkSession, sf: str) -> DataFrame:
     return rich_club(events_graph(spark, sf))
 
 
+def _q_degree_skew_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    # the hub-skew planning signal (salting threshold / AQE skew):
+    # rank-exact percentiles, blockwise-exact gini, power-law slope
+    from centrality_gpu_spark.operators.stats import degree_skew
+
+    return degree_skew(copurchase_graph(spark, sf))
+
+
 def _q_assortativity_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.stats import degree_assortativity
 
@@ -1504,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_allocation_events": _q_resource_allocation_events,
         "pref_attachment_events": _q_pref_attachment_events,
         "assortativity_copurchase": _q_assortativity_copurchase,
+        "degree_skew_copurchase": _q_degree_skew_copurchase,
         "rich_club_events": _q_rich_club_events,
         "graph_summary_copurchase": _q_graph_summary_copurchase,
         "edge_support_copurchase": _q_edge_support_copurchase,
@@ -1902,6 +1912,9 @@ FROM tr_checked""",
         ),
         "pref_attachment_events": preferential_attachment_oracle_sql(
             EVENTS_EDGES_CTE, min_common=1
+        ),
+        "degree_skew_copurchase": degree_skew_oracle_sql(
+            COPURCHASE_EDGES_CTE
         ),
         "assortativity_copurchase": assortativity_oracle_sql(
             COPURCHASE_EDGES_CTE

@@ -168,3 +168,137 @@ SELECT nk.k,
 FROM nk LEFT JOIN ek USING (k)
 WHERE nk.n_nodes >= 2
 ORDER BY nk.k""".strip()
+
+
+def degree_skew(graph: Graph, round_digits: int = 6) -> DataFrame:
+    """One-row skew profile of the degree distribution — the signal the
+    engine's hub-salting threshold and AQE skew planning act on (north
+    rule: power-law degree distributions / hub-vertex skew):
+
+    (n_vertices, max_degree, p50_degree, p99_degree, gini,
+    powerlaw_slope)
+
+    - p50/p99: degree at ascending rank ceil(q·n) (exact, rank-based —
+      no engine-specific percentile interpolation).
+    - gini: (2·Σᵢ i·dᵢ − (n+1)·Σd) / (n·Σd) over ascending-sorted
+      degrees — computed blockwise from the histogram via cumulative
+      counts (rank sums of equal-degree blocks are closed-form), so
+      every term is integer arithmetic, exact in doubles.
+    - powerlaw_slope: OLS slope of ln(cnt) on ln(degree) over the
+      degree histogram — ≈ −γ for p(d) ∝ d^−γ.
+
+    Scale shape: everything derives from ``degree_histogram()`` (one
+    groupBy of a groupBy); the histogram has at most max-degree rows, so
+    the window/sort below runs on a broadcast-sized frame no matter how
+    large the graph is. The DuckDB twin (``degree_skew_oracle_sql``)
+    replays the identical arithmetic.
+    """
+    from pyspark.sql import Window
+
+    hist = graph.degree_histogram()  # (degree, cnt) — tiny
+    w = Window.orderBy("degree").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h = hist.select(
+        "degree",
+        "cnt",
+        F.sum("cnt").over(w).alias("chi"),  # cumulative count incl. row
+    ).select(
+        "degree",
+        "cnt",
+        "chi",
+        (F.col("chi") - F.col("cnt")).alias("clo"),  # cumulative before
+    )
+    # Σ i·dᵢ for the block of ranks (clo, chi]:
+    #   degree · (chi(chi+1) − clo(clo+1)) / 2
+    ranksum = (
+        F.col("degree")
+        * (
+            F.col("chi") * (F.col("chi") + 1)
+            - F.col("clo") * (F.col("clo") + 1)
+        )
+        / F.lit(2.0)
+    )
+    lx = F.log(F.col("degree").cast("double"))
+    ly = F.log(F.col("cnt").cast("double"))
+    agg = h.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.sum(F.col("degree") * F.col("cnt")).cast("long").alias("dsum"),
+        F.sum(ranksum).alias("irank"),
+        F.count("*").cast("long").alias("nb"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    q = agg.collect()[0]
+    n, dsum = int(q.n), int(q.dsum)
+    gini = (2.0 * float(q.irank) - (n + 1) * dsum) / (n * dsum)
+    slope = (
+        (q.sxy - q.sx * q.sy / q.nb) / (q.sxx - q.sx * q.sx / q.nb)
+        if q.nb > 1
+        else 0.0
+    )
+    import math
+
+    r50 = math.ceil(0.50 * n)
+    r99 = math.ceil(0.99 * n)
+    pct = h.where(F.col("chi") >= r50).agg(
+        F.min("degree").alias("p50")
+    ).collect()[0]
+    pct99 = h.where(F.col("chi") >= r99).agg(
+        F.min("degree").alias("p99")
+    ).collect()[0]
+    row = (
+        n,
+        int(q.max_degree),
+        int(pct.p50),
+        int(pct99.p99),
+        round(float(gini), round_digits),
+        round(float(slope), round_digits),
+    )
+    return graph.spark.createDataFrame(
+        [row],
+        "n_vertices long, max_degree long, p50_degree long, "
+        "p99_degree long, gini double, powerlaw_slope double",
+    )
+
+
+def degree_skew_oracle_sql(edges_cte: str, round_digits: int = 6) -> str:
+    """DuckDB twin of ``degree_skew`` — identical histogram-blockwise
+    arithmetic (ROUND applied to the same double expressions)."""
+    return f"""WITH {edges_cte},
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src),
+hist AS (SELECT degree, COUNT(*) AS cnt FROM deg GROUP BY degree),
+cum AS (
+  SELECT degree, cnt,
+         SUM(cnt) OVER (ORDER BY degree) AS chi,
+         SUM(cnt) OVER (ORDER BY degree) - cnt AS clo
+  FROM hist
+),
+agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(MAX(degree) AS BIGINT) AS max_degree,
+         CAST(SUM(degree * cnt) AS BIGINT) AS dsum,
+         SUM(degree * (chi * (chi + 1) - clo * (clo + 1)) / 2.0) AS irank,
+         COUNT(*) AS nb,
+         SUM(LN(degree)) AS sx,
+         SUM(LN(cnt)) AS sy,
+         SUM(LN(degree) * LN(cnt)) AS sxy,
+         SUM(LN(degree) * LN(degree)) AS sxx
+  FROM cum
+)
+SELECT a.n AS n_vertices,
+       a.max_degree,
+       (SELECT CAST(MIN(degree) AS BIGINT) FROM cum
+        WHERE chi >= CEIL(0.50 * a.n)) AS p50_degree,
+       (SELECT CAST(MIN(degree) AS BIGINT) FROM cum
+        WHERE chi >= CEIL(0.99 * a.n)) AS p99_degree,
+       ROUND((2.0 * a.irank - (a.n + 1) * a.dsum)
+             / (a.n * CAST(a.dsum AS DOUBLE)), {round_digits}) AS gini,
+       ROUND(CASE WHEN a.nb > 1
+                  THEN (a.sxy - a.sx * a.sy / a.nb)
+                       / (a.sxx - a.sx * a.sx / a.nb)
+                  ELSE 0.0 END, {round_digits}) AS powerlaw_slope
+FROM agg a"""
