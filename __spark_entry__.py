@@ -240,6 +240,9 @@ from centrality_gpu_spark.sources.transcripts import (
     CONVERSATION_STATS_SQL as _CONVERSATION_STATS_SQL,
     TOOL_TRANSITIONS_SQL as _TOOL_TRANSITIONS_SQL,
 )
+from centrality_gpu_spark.streaming.progress import (
+    conversation_progress_oracle_sql as _conversation_progress_oracle_sql,
+)
 from centrality_gpu_spark.sources.testdata_graphs import (
     COPURCHASE_EDGES_CTE,
     CUSTORDER_EDGES_CTE,
@@ -603,6 +606,17 @@ def _q_conversation_stats_transcripts(spark: SparkSession, sf: str) -> DataFrame
     from centrality_gpu_spark.sources.transcripts import conversation_stats
 
     return conversation_stats(events_transcripts(spark, sf))
+
+
+def _q_conversation_progress_transcripts(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # batch twin of the applyInPandasWithState stateful streaming
+    # operator (streaming/progress.py): assembled-prefix frontier,
+    # pending gap count, replay-safe distinct-turn counts
+    from centrality_gpu_spark.streaming.progress import conversation_progress
+
+    return conversation_progress(events_transcripts(spark, sf))
 
 
 def _q_tool_transitions_transcripts(spark: SparkSession, sf: str) -> DataFrame:
@@ -1487,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- end of the driver's ~50-key window ----------------
         # strategy variants of in-window queries (same operators, second
         # physical path / sampled mode / extra goldens):
+        "conversation_progress_transcripts": _q_conversation_progress_transcripts,
         "betweenness_sample3": _q_betweenness_sample3,
         "betweenness_sample4": _q_betweenness_sample4,
         "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
@@ -1829,6 +1844,10 @@ FROM orders ORDER BY id
         "tool_transitions_transcripts": (
             "WITH " + TRANSCRIPTS_CTE + ",\n"
             + _TOOL_TRANSITIONS_SQL[len("WITH ") :]
+        ),
+        "conversation_progress_transcripts": (
+            "WITH " + TRANSCRIPTS_CTE + ",\n"
+            + _conversation_progress_oracle_sql()[len("WITH ") :]
         ),
         "reply_invariant_transcripts": f"""WITH {TRANSCRIPTS_CTE},
 tr_checked AS (
