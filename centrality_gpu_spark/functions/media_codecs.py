@@ -305,6 +305,39 @@ def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
     return b"".join(out)
 
 
+def decode_video_frame(payload: bytes, position: float = 0.5) -> np.ndarray:
+    """(H, W, 3) uint8 RGB frame at relative ``position`` from an
+    MP4/Matroska payload via the optional PyAV dependency — the decode
+    path ``sniff_kind``'s 'mp4'/'mkv' answers promise. Only reachable
+    when the PyAV probe succeeds (sniff raises NotImplementedError
+    otherwise), but re-checks so direct callers get the same contract.
+
+    Frame targeting uses the stream's frame-count metadata when the
+    container carries it and falls back to the first frame otherwise
+    (sequential decode, no seek — payloads here are single cells of a
+    media column, not hour-long files)."""
+    av_mod = _optional_av()
+    if av_mod is None:
+        raise NotImplementedError(
+            "MP4/Matroska decode needs PyAV, which is not importable "
+            "in this container"
+        )
+    import io
+
+    with av_mod.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        n = int(getattr(stream, "frames", 0) or 0)
+        target = min(int(n * position), n - 1) if n else 0
+        last = None
+        for idx, frame in enumerate(container.decode(stream)):
+            last = frame
+            if idx >= target:
+                break
+        if last is None:
+            raise ValueError("video payload contains no decodable frames")
+        return last.to_ndarray(format="rgb24")
+
+
 def count_y4m_frames(payload: bytes) -> int:
     """Frame count by offset arithmetic (no plane decode)."""
     nl = payload.index(b"\x0a")

@@ -38,8 +38,10 @@ def _edge_priority(src_col, dst_col, weight_col=None):
     prepended so HEAVIER edges sort first (heavy-edge matching, the
     Karypis/Kumar HEM rule — multiplicities merged by contraction are
     exactly the edges a multilevel partitioner wants matched);
-    md5+endpoints still break ties. Weights must be integer-valued
-    (< 10^12) for the two engines to format identically."""
+    md5+endpoints still break ties. Fractional weights are floor()ed
+    on BOTH engines before formatting (a bare cast would truncate in
+    Spark but round in DuckDB, silently picking different matchings);
+    weights must be < 10^12."""
     s, d = src_col.cast("string"), dst_col.cast("string")
     prio = F.concat(
         F.md5(F.concat(F.lit("match:"), s, F.lit(":"), d)),
@@ -48,7 +50,10 @@ def _edge_priority(src_col, dst_col, weight_col=None):
     if weight_col is not None:
         prio = F.concat(
             F.lpad(
-                (F.lit(10**12).cast("long") - weight_col.cast("long")).cast(
+                (
+                    F.lit(10**12).cast("long")
+                    - F.floor(weight_col).cast("long")
+                ).cast(
                     "string"
                 ),
                 13,
@@ -67,8 +72,8 @@ _EDGE_PRIORITY_SQL = (
 )
 
 _WEIGHTED_PRIORITY_SQL = (
-    "lpad(CAST(1000000000000 - CAST(weight AS BIGINT) AS VARCHAR), 13, '0') "
-    "|| '|' || " + _EDGE_PRIORITY_SQL
+    "lpad(CAST(1000000000000 - CAST(floor(weight) AS BIGINT) AS VARCHAR), "
+    "13, '0') || '|' || " + _EDGE_PRIORITY_SQL
 )
 
 

@@ -109,6 +109,9 @@ def _real_features(payload: bytes, dim: int) -> np.ndarray:
     if kind == "wav":
         samples, _rate = mc.decode_wav(payload)
         return mc.audio_features(samples, dim)
+    if kind in ("mp4", "mkv"):
+        # mp4/mkv only sniff through when PyAV is importable
+        return mc.image_features(mc.decode_video_frame(payload), dim)
     # y4m: features of the middle frame (cheap single-frame decode)
     mid = mc.count_y4m_frames(payload) // 2
     for _idx, luma in mc.decode_y4m(payload, frame_indices=[mid]):

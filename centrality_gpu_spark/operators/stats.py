@@ -195,7 +195,10 @@ def degree_skew(graph: Graph, round_digits: int = 6) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    hist = graph.degree_histogram()  # (degree, cnt) — tiny
+    # (degree, cnt) — tiny; cached because three actions below (agg +
+    # two percentile probes) would otherwise each re-run the O(E)
+    # degree groupBy lineage
+    hist = graph.degree_histogram().cache()
     w = Window.orderBy("degree").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -233,6 +236,13 @@ def degree_skew(graph: Graph, round_digits: int = 6) -> DataFrame:
         F.sum(lx * lx).alias("sxx"),
     )
     q = agg.collect()[0]
+    if q.n is None:  # empty graph → empty profile, not a TypeError
+        hist.unpersist()
+        return graph.spark.createDataFrame(
+            [],
+            "n_vertices long, max_degree long, p50_degree long, "
+            "p99_degree long, gini double, powerlaw_slope double",
+        )
     n, dsum = int(q.n), int(q.dsum)
     gini = (2.0 * float(q.irank) - (n + 1) * dsum) / (n * dsum)
     slope = (
@@ -250,6 +260,7 @@ def degree_skew(graph: Graph, round_digits: int = 6) -> DataFrame:
     pct99 = h.where(F.col("chi") >= r99).agg(
         F.min("degree").alias("p99")
     ).collect()[0]
+    hist.unpersist()
     row = (
         n,
         int(q.max_degree),

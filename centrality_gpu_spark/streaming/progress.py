@@ -128,23 +128,25 @@ def _fold_batch(
     """
     upto, pending, n_turns, n_tools, first_us, last_us, seq = state_row
     pending_arr = np.asarray(pending if pending is not None else [], dtype=np.int64)
-    # Dedupe the batch itself by turn_idx (keep first occurrence).
-    dd = pdf.drop_duplicates(subset=["turn_idx"])
+    # Dedupe the batch itself by turn_idx (keep first occurrence) and
+    # drop malformed negative indexes — turns are 0-indexed per the
+    # input hint; the batch twin filters them identically.
+    dd = pdf[pdf["turn_idx"] >= 0].drop_duplicates(subset=["turn_idx"])
     idx = dd["turn_idx"].to_numpy(dtype=np.int64)
     new_upto, new_pending, fresh = _advance_frontier(upto, pending_arr, idx)
     accepted = dd[dd["turn_idx"].isin(fresh)] if fresh.size else dd.iloc[0:0]
     n_new = int(len(accepted))
     n_new_tools = int(accepted["tool"].notna().sum())
-    if len(pdf):
-        # normalize to epoch-micros regardless of the frame's native
-        # unit (Arrow hands us datetime64[ns] or [us], tz-naive or UTC)
-        ts_us = (
-            pd.to_datetime(pdf["ts"], utc=True)
-            .astype("datetime64[us, UTC]")
-            .astype("int64")
-        )
-    else:
-        ts_us = pd.Series([], dtype="int64")
+    # normalize to epoch-micros regardless of the frame's native unit
+    # (Arrow hands us datetime64[ns] or [us], tz-naive or UTC); dropna
+    # first — NaT would otherwise become the int64 sentinel and corrupt
+    # the extent (the batch twin's unix_micros skips nulls the same way)
+    ts_us = (
+        pd.to_datetime(pdf["ts"], utc=True)
+        .dropna()
+        .astype("datetime64[us, UTC]")
+        .astype("int64")
+    )
     lo = int(ts_us.min()) if len(ts_us) else None
     hi = int(ts_us.max()) if len(ts_us) else None
     first_us = lo if first_us is None else (min(first_us, lo) if lo is not None else first_us)
@@ -254,7 +256,12 @@ def conversation_progress(transcripts: DataFrame) -> DataFrame:
     turn counts are distinct-by-turn_idx, matching the streaming
     operator's replay-safe fold.
     """
-    dd = transcripts.dropDuplicates(["conv_id", "turn_idx"])
+    # negative turn_idx is malformed per the input hint (turns are
+    # 0-indexed) — ignored on both the batch and streaming side so the
+    # two stay equal; ts extent still spans ALL rows, as in streaming.
+    dd = transcripts.where(F.col("turn_idx") >= 0).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
     # pos = rank among the conversation's distinct turn idxs (0-based);
     # a row sits on the contiguous prefix iff turn_idx == pos.
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
@@ -295,7 +302,7 @@ def conversation_progress_oracle_sql(table: str = "transcripts") -> str:
     return f"""
 WITH dd AS (
   SELECT DISTINCT ON (conv_id, turn_idx) conv_id, turn_idx, tool
-  FROM {table} ORDER BY conv_id, turn_idx
+  FROM {table} WHERE turn_idx >= 0 ORDER BY conv_id, turn_idx
 ),
 ranked AS (
   SELECT conv_id, turn_idx, tool,

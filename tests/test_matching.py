@@ -98,3 +98,35 @@ def test_contract_matching_vs_brute(spark):
     # a coarsening level must shrink V by exactly |matching|
     n_coarse = len({r for r in rep.values()})
     assert n_coarse == nxg.number_of_nodes() - len(m)
+
+
+def test_weighted_priority_fractional_weights_match_duckdb(spark):
+    """Fractional weights must format identically on both engines
+    (floor on both — a bare cast truncates in Spark but rounds in
+    DuckDB, silently picking different matchings)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from centrality_gpu_spark.operators.matching import (
+        _WEIGHTED_PRIORITY_SQL,
+        _edge_priority,
+    )
+
+    rows = [(1, 2, 1.7), (3, 4, 2.5), (5, 6, 3.0), (7, 8, 0.2)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = [
+        r.p
+        for r in df.select(
+            _edge_priority(F.col("src"), F.col("dst"), F.col("weight")).alias("p")
+        ).orderBy("src").collect()
+    ]
+    con = duckdb.connect()
+    exp = [
+        r[0]
+        for r in con.execute(
+            "SELECT " + _WEIGHTED_PRIORITY_SQL + " FROM (SELECT * FROM (VALUES "
+            + ", ".join(f"({s}, {d}, {w})" for s, d, w in rows)
+            + ") AS t(src, dst, weight)) ORDER BY src"
+        ).fetchall()
+    ]
+    assert got == exp

@@ -214,3 +214,69 @@ def test_features_feed_ann(spark, real_media):
     )
     top = cosine_topk_sql(emb, k=3)
     assert top.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 3
+
+
+class _FakeAvFrame:
+    def __init__(self, idx):
+        self.idx = idx
+
+    def to_ndarray(self, format):
+        assert format == "rgb24"
+        return np.full((6, 8, 3), self.idx, dtype=np.uint8)
+
+
+class _FakeAvStream:
+    frames = 5
+
+
+class _FakeAvContainer:
+    def __init__(self):
+        class _S:
+            video = [_FakeAvStream()]
+
+        self.streams = _S()
+
+    def decode(self, stream):
+        for i in range(_FakeAvStream.frames):
+            yield _FakeAvFrame(i)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeAvModule:
+    @staticmethod
+    def open(fh):
+        return _FakeAvContainer()
+
+
+def test_decode_video_frame_with_av_present(monkeypatch):
+    """With PyAV importable, sniffed mp4/mkv payloads have a REAL
+    decode path: middle frame (metadata-targeted) as rgb24."""
+    monkeypatch.setattr(mc, "_optional_av", lambda: _FakeAvModule)
+    out = mc.decode_video_frame(b"\x00\x00\x00\x18ftypmp42....")
+    # 5 frames, position 0.5 -> frame index 2
+    assert out.shape == (6, 8, 3) and out[0, 0, 0] == 2
+    first = mc.decode_video_frame(b"\x1a\x45\xdf\xa3....", position=0.0)
+    assert first[0, 0, 0] == 0
+
+
+def test_decode_video_frame_without_av(monkeypatch):
+    monkeypatch.setattr(mc, "_optional_av", lambda: None)
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        mc.decode_video_frame(b"\x00\x00\x00\x18ftypmp42....")
+
+
+def test_real_features_routes_mp4_through_av(monkeypatch):
+    """_real_features must not fall through to the y4m branch for
+    sniffed video payloads (it used to, crashing on garbage parse)."""
+    from centrality_gpu_spark.operators.multimodal import _real_features
+
+    monkeypatch.setattr(mc, "_optional_av", lambda: _FakeAvModule)
+    feats = _real_features(b"\x00\x00\x00\x18ftypmp42....", 32)
+    exp = mc.image_features(np.full((6, 8, 3), 2, dtype=np.uint8), 32)
+    assert feats.shape == (32,)
+    assert np.allclose(feats, exp)

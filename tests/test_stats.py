@@ -56,3 +56,18 @@ def test_degree_skew_uniform_graph(spark):
     assert (row.max_degree, row.p50_degree, row.p99_degree) == (2, 2, 2)
     assert row.gini == 0.0
     assert row.powerlaw_slope == 0.0  # single histogram row
+
+
+def test_degree_skew_empty_graph(spark):
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.stats import degree_skew
+
+    g = Graph.from_undirected_edges(
+        spark.createDataFrame([], "src long, dst long")
+    )
+    out = degree_skew(g)
+    assert out.count() == 0
+    assert out.columns == [
+        "n_vertices", "max_degree", "p50_degree",
+        "p99_degree", "gini", "powerlaw_slope",
+    ]

@@ -275,3 +275,48 @@ def test_stream_timeout_finalizes_idle_conversations(spark, tmp_path):
     finally:
         q.stop()
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_negative_turn_idx_ignored_both_sides(spark):
+    """Malformed negative turn_idx rows are dropped identically by the
+    batch twin (and its oracle) and the streaming fold — they used to
+    shift the batch frontier rank and break streaming == batch."""
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1)
+    tr = spark.createDataFrame(
+        [
+            ("a", -2, "user", "t", None, t0),
+            ("a", 0, "user", "t", None, t0),
+            ("a", 1, "tool", "t", "grep", t0),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    row = conversation_progress(tr).collect()[0]
+    assert row.contiguous_upto == 1 and row.n_pending == 0
+    assert row.n_turns == 2 and row.n_tool_calls == 1
+    # streaming fold: same answer
+    st, n_new, _ = _fold_batch(
+        _EMPTY_STATE,
+        _pdf(
+            [
+                ("a", -2, None, "2026-01-01"),
+                ("a", 0, None, "2026-01-01"),
+                ("a", 1, "grep", "2026-01-01"),
+            ]
+        ),
+    )
+    assert (st[0], st[1], st[2], st[3]) == (1, [], 2, 1) and n_new == 2
+
+
+def test_fold_batch_null_ts_does_not_corrupt_extent():
+    pdf = _pdf(
+        [
+            ("c", 0, None, "2026-01-01 00:00:01"),
+            ("c", 1, None, None),  # NaT must not become the int64 sentinel
+        ]
+    )
+    st, _, _ = _fold_batch(_EMPTY_STATE, pdf)
+    assert st[4] == st[5]  # extent spans only the one real timestamp
+    assert st[4] > 0
