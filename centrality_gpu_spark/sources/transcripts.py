@@ -83,44 +83,71 @@ def transcript_graph(
     max_tool_degree: int | None = 1000,
     id_mode: str = "dense",
 ) -> TranscriptGraph:
-    """Build the canonical Graph from a transcripts table."""
-    vmap = vertex_ids(transcripts, id_mode=id_mode).persist()
-    inv = tool_invocations(transcripts).persist()
+    """Build the canonical Graph from a transcripts table.
 
-    # edge lists carry the endpoint KIND: a tool name that happens to
-    # collide with a conv_id must not resolve to the conv vertex (the
-    # vertex map is keyed by (name, kind), so a name-only join would
-    # fan out and mis-wire edges)
-    name_edges: list[DataFrame] = []
+    Plan shape (100 TB lens): vertex ids are resolved on the PRE-fan-out
+    tables — the (conv, tool) invocation list (one shuffle join on
+    conv_id, before the quadratic co-invocation projection multiplies
+    rows) and the broadcast-sized tool vocabulary — so every downstream
+    shuffle (the projection self-join, the pair groupBy, symmetrize)
+    keys on longs, and the edge table never round-trips through a
+    string join. The old shape joined the *post*-projection edge list
+    (~5.9M string-keyed rows at sf0.1 bench scale, quadratically more
+    at 100×) against the vertex map twice; resolving first cut the
+    sf0.1 build from 13.6 s to the invocation-join cost.
+
+    The endpoint KIND still guards collisions: a tool name equal to
+    some conv_id maps to its own vertex because conv ids resolve
+    against the kind='conv' slice and tool names against kind='tool'.
+    """
+    vmap = vertex_ids(transcripts, id_mode=id_mode).persist()
+    conv_ids = vmap.where(F.col("kind") == "conv").select(
+        F.col("name").alias("conv_id"), F.col("id").alias("conv_vid")
+    )
+    # tool vocabulary is small by construction — always broadcast
+    tool_ids = F.broadcast(
+        vmap.where(F.col("kind") == "tool").select(
+            F.col("name").alias("tool"), F.col("id").alias("tool_vid")
+        )
+    )
+    inv = (
+        tool_invocations(transcripts)
+        .join(tool_ids, "tool")
+        .join(conv_ids, "conv_id")
+        .select("tool", "tool_vid", "conv_vid", "n")
+        .persist()
+    )
+
+    id_edges: list[DataFrame] = []
     if "tool" in edge_types:
-        name_edges.append(
+        id_edges.append(
             inv.select(
-                F.col("conv_id").alias("a"),
-                F.col("tool").alias("b"),
+                F.col("conv_vid").alias("src"),
+                F.col("tool_vid").alias("dst"),
                 F.col("n").cast("double").alias("weight"),
-                F.lit("conv").alias("a_kind"),
-                F.lit("tool").alias("b_kind"),
             )
         )
     if "coinvocation" in edge_types:
         proj_inv = inv
         if max_tool_degree is not None:
-            tool_deg = inv.groupBy("tool").agg(F.count("*").alias("td"))
+            tool_deg = inv.groupBy("tool_vid").agg(F.count("*").alias("td"))
             proj_inv = inv.join(
-                tool_deg.where(F.col("td") <= max_tool_degree), "tool"
+                F.broadcast(tool_deg.where(F.col("td") <= max_tool_degree)),
+                "tool_vid",
             )
-        l = proj_inv.select("tool", F.col("conv_id").alias("a"))
-        r = proj_inv.select("tool", F.col("conv_id").alias("b"))
+        l = proj_inv.select("tool_vid", F.col("conv_vid").alias("a"))
+        r = proj_inv.select("tool_vid", F.col("conv_vid").alias("b"))
         pairs = (
-            l.join(r, "tool")
+            l.join(r, "tool_vid")
             .where(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count("*").alias("shared"))
         )
-        name_edges.append(
+        id_edges.append(
             pairs.select(
-                "a", "b", F.col("shared").cast("double").alias("weight"),
-                F.lit("conv").alias("a_kind"), F.lit("conv").alias("b_kind"),
+                F.col("a").alias("src"),
+                F.col("b").alias("dst"),
+                F.col("shared").cast("double").alias("weight"),
             )
         )
 
@@ -129,34 +156,45 @@ def transcript_graph(
         undirected = (
             tt.where(F.col("src_tool") != F.col("dst_tool"))
             .groupBy(
-                F.least("src_tool", "dst_tool").alias("a"),
-                F.greatest("src_tool", "dst_tool").alias("b"),
+                F.least("src_tool", "dst_tool").alias("ta"),
+                F.greatest("src_tool", "dst_tool").alias("tb"),
             )
             .agg(F.sum("n").cast("double").alias("weight"))
         )
-        name_edges.append(
-            undirected.select(
-                "a", "b", "weight",
-                F.lit("tool").alias("a_kind"), F.lit("tool").alias("b_kind"),
+        ta = tool_ids.withColumnRenamed("tool", "ta").withColumnRenamed(
+            "tool_vid", "src"
+        )
+        tb = tool_ids.withColumnRenamed("tool", "tb").withColumnRenamed(
+            "tool_vid", "dst"
+        )
+        id_edges.append(
+            undirected.join(ta, "ta").join(tb, "tb").select(
+                "src", "dst", "weight"
             )
         )
 
     from centrality_gpu_spark.graph import union_all
 
-    ne = union_all(name_edges)
-    va = vmap.select(
-        F.col("name").alias("a"), F.col("kind").alias("a_kind"),
-        F.col("id").alias("src"),
+    edges = union_all(id_edges)
+    # The three edge lists are pairwise-unique and self-loop-free BY
+    # CONSTRUCTION (disjoint vertex kinds between lists; strict a<b /
+    # least<greatest canonicalization within each; conv≠tool always),
+    # so the canonical invariant holds after a bare symmetrize —
+    # from_undirected_edges' dedup groupBy would re-shuffle the full
+    # edge table (11.8M rows at sf0.1 bench scale) for nothing. Hash
+    # id_mode collisions could in principle violate this (~n²/2⁶⁴,
+    # documented in vertex_ids); dense mode cannot.
+    sym = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
     )
-    vb = vmap.select(
-        F.col("name").alias("b"), F.col("kind").alias("b_kind"),
-        F.col("id").alias("dst"),
+    sym = sym.unionByName(
+        sym.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
     )
-    edges = (
-        ne.join(va, ["a", "a_kind"]).join(vb, ["b", "b_kind"])
-        .select("src", "dst", "weight")
-    )
-    g = Graph.from_undirected_edges(edges, weight_col="weight")
+    g = Graph.from_symmetric_edges(sym)
     inv.unpersist()
     return TranscriptGraph(g, vmap)
 
