@@ -221,6 +221,18 @@ def _mh_slot(shingles_col, h: int, hash_mode: str):
     return F.array_min(F.transform(shingles_col, lambda s: F.xxhash64(s, F.lit(h))))
 
 
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, hash_mode: str
+) -> DataFrame:
+    """Signature rows from an existing (doc_id, shingles) frame — lets
+    a pipeline that also needs the shingles for verify share one
+    normalization/tokenization pass instead of recomputing it."""
+    sig = F.array(
+        *[_mh_slot(F.col("shingles"), h, hash_mode) for h in range(num_hashes)]
+    )
+    return sh.select("doc_id", sig.alias("sig"))
+
+
 def minhash_signatures(
     documents: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -229,11 +241,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array) — sig[h] = min over shingles of
     hash_h(shingle). All JVM array ops (array_min ∘ transform)."""
-    sh = with_shingles(documents, n)
-    sig = F.array(
-        *[_mh_slot(F.col("shingles"), h, hash_mode) for h in range(num_hashes)]
+    return _signatures_from_shingles(
+        with_shingles(documents, n), num_hashes, hash_mode
     )
-    return sh.select("doc_id", sig.alias("sig"))
 
 
 def band_buckets(
@@ -313,11 +323,27 @@ def minhash_dedup(
     hash_mode: str = "md5",
 ) -> DataFrame:
     """Candidates filtered by *exact* Jaccard ≥ threshold (the
-    verify-after-LSH pattern): (doc_a, doc_b, jaccard)."""
-    cand = minhash_candidates(
-        documents, num_hashes, bands, n, hash_mode
-    ).select("doc_a", "doc_b")
+    verify-after-LSH pattern): (doc_a, doc_b, jaccard).
+
+    Plan: candidate ids straight off the bucket self-join — the
+    est_jaccard signature-array joins that ``minhash_candidates``
+    layers on top are for callers who want the estimate, not needed
+    when the exact verify follows anyway. Caching choice (measured):
+    persist the NARROW bucket table so the self-join's two sides don't
+    re-run the shingle+signature chain; the wide shingles array is
+    deliberately NOT cached — recomputing it inside whole-stage codegen
+    on each verify branch is cheaper than materializing it."""
     sh = with_shingles(documents, n)
+    sigs = _signatures_from_shingles(sh, num_hashes, hash_mode)
+    buckets = band_buckets(sigs, num_hashes, bands, hash_mode).persist()
+    pa = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    pb = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    cand = (
+        pa.join(pb, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     j = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shA")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shB")), "doc_b")
@@ -561,7 +587,13 @@ def dedup_clusters(
     from centrality_gpu_spark.graph import Graph
     from centrality_gpu_spark.operators.components import connected_components
 
-    pairs = minhash_dedup(documents, threshold, num_hashes, bands, n, hash_mode)
+    # materialize the (tiny) verified pair set before handing it to the
+    # iterative CC operator — its supersteps would otherwise re-derive
+    # the whole LSH lineage (shingle → signature → bucket join →
+    # verify) on every pointer-jumping round
+    pairs = minhash_dedup(
+        documents, threshold, num_hashes, bands, n, hash_mode
+    ).persist()
     pair_graph = Graph.from_undirected_edges(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
