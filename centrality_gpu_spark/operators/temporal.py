@@ -89,8 +89,24 @@ def earliest_arrival(
     return arr
 
 
+def _arrival_stats(arr):
+    row = arr.agg(
+        F.count("*").alias("c"), F.sum("arrival").alias("s")
+    ).first()
+    return (row.c, row.s)
+
+
 def _arrival_loop(e, arr, ckpt, rounds: int, to_fixpoint: bool):
     it = 0
+    # Fixpoint detection without a per-round join: the min-merge makes
+    # the arrival vector MONOTONE (per-id arrivals never increase, the
+    # id set never shrinks), so the vector changed iff its (count,
+    # sum) changed — one tiny agg on the new vector, folded into the
+    # same job that materializes the lazy truncate. The old shape ran a
+    # second full join+count action every round; on a
+    # hundreds-of-tiny-rounds fixpoint run the per-round action count
+    # is the whole cost.
+    prev = _arrival_stats(arr) if to_fixpoint else None
     while True:
         msgs = (
             e.join(arr, e.src == arr.id)
@@ -105,20 +121,16 @@ def _arrival_loop(e, arr, ckpt, rounds: int, to_fixpoint: bool):
             .groupBy("id")
             .agg(F.min("arrival").alias("arrival"))
         )
-        new_arr = ckpt.truncate(new_arr)
         if to_fixpoint:
-            improved = (
-                new_arr.alias("n")
-                .join(arr.alias("o"), "id", "left")
-                .where(
-                    F.col("o.arrival").isNull()
-                    | (F.col("n.arrival") < F.col("o.arrival"))
-                )
-                .count()
+            new_arr = ckpt.truncate(new_arr, eager=False)
+            stats = _arrival_stats(new_arr)  # materializes the truncate
+            changed = stats != prev
+            ckpt.record(
+                op="earliest_arrival", iteration=it,
+                n_reached=stats[0], arrival_sum=stats[1],
             )
-            ckpt.record(op="earliest_arrival", iteration=it, improved=improved)
-            arr = new_arr
-            if improved == 0:
+            arr, prev = new_arr, stats
+            if not changed:
                 break
             it += 1
             if it >= rounds:
@@ -127,6 +139,7 @@ def _arrival_loop(e, arr, ckpt, rounds: int, to_fixpoint: bool):
                     f"rounds={rounds}; raise the cap"
                 )
         else:
+            new_arr = ckpt.truncate(new_arr)
             ckpt.record(op="earliest_arrival", iteration=it)
             arr = new_arr
             it += 1
