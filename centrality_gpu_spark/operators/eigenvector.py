@@ -96,13 +96,17 @@ def eigenvector_centrality(
             y = verts.join(msgs, "id", "left").select(
                 "id", F.coalesce("msg", F.lit(0.0)).alias("y")
             )
-            y = ckpt.truncate(y)
+            # lazy truncate folded into the norm agg: one job cuts the
+            # lineage AND computes the norm; new_x then stays a cheap
+            # projection over the checkpointed y (no second truncate —
+            # lineage depth is O(1) per iteration regardless)
+            y = ckpt.truncate(y, eager=False)
             norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("n")).collect()[0]["n"]
             if not norm or norm == 0.0:
                 x = y.select("id", F.col("y").alias("score"))
                 break
-            new_x = ckpt.truncate(
-                y.select("id", (F.col("y") / F.lit(float(norm))).alias("score"))
+            new_x = y.select(
+                "id", (F.col("y") / F.lit(float(norm))).alias("score")
             )
             if fixed_iterations is None:
                 delta = (
@@ -315,14 +319,15 @@ def katz_centrality(
                 msgs = spmv(blocked, vals, weighted=weighted)
             else:
                 msgs = spmv_sql(graph, vals, weighted=weighted)
-            new_x = ckpt.truncate(
-                verts.join(msgs, "id", "left").select(
-                    "id",
-                    (F.lit(alpha) * F.coalesce("msg", F.lit(0.0))
-                     + F.lit(float(beta))).alias("katz"),
-                )
+            new_x = verts.join(msgs, "id", "left").select(
+                "id",
+                (F.lit(alpha) * F.coalesce("msg", F.lit(0.0))
+                 + F.lit(float(beta))).alias("katz"),
             )
             if fixed_iterations is None:
+                # lazy truncate: the delta agg materializes the
+                # checkpoint — one job per iteration, not two
+                new_x = ckpt.truncate(new_x, eager=False)
                 delta = (
                     new_x.alias("a")
                     .join(x.alias("b"), "id")
@@ -330,6 +335,7 @@ def katz_centrality(
                     .collect()[0]["d"]
                 )
             else:
+                new_x = ckpt.truncate(new_x)
                 delta = None
             ckpt.record(op="katz", iteration=it, delta=delta, secs=time.time() - t0)
             x = new_x

@@ -98,19 +98,21 @@ def hits(
 
 
 def _l2_normalized(verts: DataFrame, raw: DataFrame, ckpt) -> DataFrame:
+    # lazy truncate folded into the norm agg (one job), and the
+    # normalized frame stays a projection over the checkpointed rows —
+    # lineage depth is O(1) per call without a second checkpoint job
     full = ckpt.truncate(
         verts.join(raw, "id", "left").select(
             "id", F.coalesce("raw", F.lit(0.0)).alias("raw")
-        )
+        ),
+        eager=False,
     )
     norm = full.agg(
         F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("n")
     ).collect()[0]["n"]
     if not norm:
         return full.select("id", F.col("raw").alias("s"))
-    return ckpt.truncate(
-        full.select("id", (F.col("raw") / F.lit(float(norm))).alias("s"))
-    )
+    return full.select("id", (F.col("raw") / F.lit(float(norm))).alias("s"))
 
 
 def hits_oracle_sql(

@@ -154,9 +154,12 @@ def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
         new_ranks = msgs.select(
             "id", (F.lit(base) + F.lit(alpha) * F.col("msg")).alias("rank")
         )
-        new_ranks = ckpt.truncate(new_ranks)
 
         if fixed_iterations is None:
+            # lazy truncate: the delta agg is the action that
+            # materializes the checkpoint, so tol mode runs ONE job per
+            # iteration instead of checkpoint-then-join
+            new_ranks = ckpt.truncate(new_ranks, eager=False)
             delta = (
                 new_ranks.alias("n")
                 .join(ranks.alias("o"), "id")
@@ -164,6 +167,7 @@ def _pagerank_loop(graph, ranks, verts, start_iter, n_iter, base, alpha, mode,
                 .collect()[0]["d"]
             )
         else:
+            new_ranks = ckpt.truncate(new_ranks)
             delta = None
         ckpt.record(op=name, iteration=it, delta=delta, secs=time.time() - t0)
         ranks = new_ranks
