@@ -325,6 +325,13 @@ def decode_video_frame(payload: bytes, position: float = 0.5) -> np.ndarray:
     import io
 
     with av_mod.open(io.BytesIO(payload)) as container:
+        if not len(container.streams.video):
+            # e.g. audio-only m4a: the 'ftyp' magic sniffs as mp4 but
+            # carries no video — keep the module's error taxonomy
+            # (ValueError for undecodable-as-requested payloads)
+            raise ValueError(
+                "MP4/Matroska payload contains no video stream"
+            )
         stream = container.streams.video[0]
         n = int(getattr(stream, "frames", 0) or 0)
         target = min(int(n * position), n - 1) if n else 0

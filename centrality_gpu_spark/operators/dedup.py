@@ -329,13 +329,18 @@ def minhash_dedup(
     est_jaccard signature-array joins that ``minhash_candidates``
     layers on top are for callers who want the estimate, not needed
     when the exact verify follows anyway. Caching choice (measured):
-    persist the NARROW bucket table so the self-join's two sides don't
-    re-run the shingle+signature chain; the wide shingles array is
-    deliberately NOT cached — recomputing it inside whole-stage codegen
-    on each verify branch is cheaper than materializing it."""
+    materialize the NARROW bucket table (eager localCheckpoint — a
+    function-local persist would either be a no-op before the caller's
+    first action or leak for the app lifetime) so the self-join's two
+    sides don't re-run the shingle+signature chain; the wide shingles
+    array is deliberately NOT cached — recomputing it inside
+    whole-stage codegen on each verify branch is cheaper than
+    materializing it."""
     sh = with_shingles(documents, n)
     sigs = _signatures_from_shingles(sh, num_hashes, hash_mode)
-    buckets = band_buckets(sigs, num_hashes, bands, hash_mode).persist()
+    buckets = band_buckets(sigs, num_hashes, bands, hash_mode).localCheckpoint(
+        eager=True
+    )
     pa = buckets.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     pb = buckets.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -590,10 +595,11 @@ def dedup_clusters(
     # materialize the (tiny) verified pair set before handing it to the
     # iterative CC operator — its supersteps would otherwise re-derive
     # the whole LSH lineage (shingle → signature → bucket join →
-    # verify) on every pointer-jumping round
+    # verify) on every pointer-jumping round; eager localCheckpoint so
+    # nothing is left pinned after the frames go out of scope
     pairs = minhash_dedup(
         documents, threshold, num_hashes, bands, n, hash_mode
-    ).persist()
+    ).localCheckpoint(eager=True)
     pair_graph = Graph.from_undirected_edges(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )

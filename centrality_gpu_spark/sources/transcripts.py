@@ -110,12 +110,20 @@ def transcript_graph(
             F.col("name").alias("tool"), F.col("id").alias("tool_vid")
         )
     )
+    # localCheckpoint (eager) rather than persist: the builder returns a
+    # lazy graph, so a persist-then-unpersist inside this function would
+    # be a no-op (nothing materializes the cache before the caller's
+    # first action) and a bare persist would leak for the app lifetime.
+    # One small job here materializes the id-resolved invocation table
+    # that every edge branch (tool list, degree cap, both sides of the
+    # co-invocation self-join) reuses. Long ids only — the string name
+    # stays out of the shuffled table.
     inv = (
         tool_invocations(transcripts)
         .join(tool_ids, "tool")
         .join(conv_ids, "conv_id")
-        .select("tool", "tool_vid", "conv_vid", "n")
-        .persist()
+        .select("tool_vid", "conv_vid", "n")
+        .localCheckpoint(eager=True)
     )
 
     id_edges: list[DataFrame] = []
@@ -195,7 +203,6 @@ def transcript_graph(
         )
     )
     g = Graph.from_symmetric_edges(sym)
-    inv.unpersist()
     return TranscriptGraph(g, vmap)
 
 

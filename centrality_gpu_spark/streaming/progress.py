@@ -128,10 +128,19 @@ def _fold_batch(
     """
     upto, pending, n_turns, n_tools, first_us, last_us, seq = state_row
     pending_arr = np.asarray(pending if pending is not None else [], dtype=np.int64)
-    # Dedupe the batch itself by turn_idx (keep first occurrence) and
-    # drop malformed negative indexes — turns are 0-indexed per the
-    # input hint; the batch twin filters them identically.
-    dd = pdf[pdf["turn_idx"] >= 0].drop_duplicates(subset=["turn_idx"])
+    # Malformed negative turn indexes are dropped for EVERY statistic
+    # (frontier, counts, ts extent) — turns are 0-indexed per the input
+    # hint; the stream wiring and the batch twin filter identically.
+    pdf = pdf[pdf["turn_idx"] >= 0]
+    # Dedupe the batch by turn_idx, preferring a tool-bearing row so an
+    # in-batch duplicate with conflicting tool nullity resolves the
+    # same way as the batch twin's any-row-has-tool rule. (Across
+    # batches first-accepted wins: duplicate deliveries are assumed to
+    # be byte-identical replays — conflicting payloads for the same
+    # turn in different batches are out of contract.)
+    dd = pdf.sort_values("tool", na_position="last").drop_duplicates(
+        subset=["turn_idx"]
+    )
     idx = dd["turn_idx"].to_numpy(dtype=np.int64)
     new_upto, new_pending, fresh = _advance_frontier(upto, pending_arr, idx)
     accepted = dd[dd["turn_idx"].isin(fresh)] if fresh.size else dd.iloc[0:0]
@@ -241,6 +250,10 @@ def streaming_conversation_progress(
 
     return (
         stream.select("conv_id", "turn_idx", "tool", "ts")
+        # malformed rows never reach the state store, so a conversation
+        # whose rows are ALL malformed produces no state and no output
+        # row — exactly like the batch twin, which omits it
+        .where(F.col("turn_idx") >= 0)
         .groupBy("conv_id")
         .applyInPandasWithState(
             fn, OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
@@ -257,10 +270,15 @@ def conversation_progress(transcripts: DataFrame) -> DataFrame:
     operator's replay-safe fold.
     """
     # negative turn_idx is malformed per the input hint (turns are
-    # 0-indexed) — ignored on both the batch and streaming side so the
-    # two stay equal; ts extent still spans ALL rows, as in streaming.
-    dd = transcripts.where(F.col("turn_idx") >= 0).dropDuplicates(
-        ["conv_id", "turn_idx"]
+    # 0-indexed) — dropped from EVERY statistic on both the batch and
+    # streaming side (the stream filters before the state store), so a
+    # conversation with only malformed rows appears in neither output.
+    valid = transcripts.where(F.col("turn_idx") >= 0)
+    # collapse duplicate (conv, turn) rows first with the deterministic
+    # any-row-has-tool rule — dropDuplicates would pick an arbitrary
+    # row and flake the oracle hash when duplicates disagree on tool
+    dd = valid.groupBy("conv_id", "turn_idx").agg(
+        F.max(F.col("tool").isNotNull()).alias("has_tool")
     )
     # pos = rank among the conversation's distinct turn idxs (0-based);
     # a row sits on the contiguous prefix iff turn_idx == pos.
@@ -271,12 +289,15 @@ def conversation_progress(transcripts: DataFrame) -> DataFrame:
             F.when(F.col("turn_idx") == F.col("pos"), F.col("turn_idx"))
         ).alias("upto_raw"),
         F.count("*").alias("n_turns"),
-        F.count("tool").alias("n_tool_calls"),
+        F.sum(F.col("has_tool").cast("long")).alias("n_tool_calls"),
     )
-    extent = transcripts.groupBy("conv_id").agg(
-        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
-            "duration_us"
-        )
+    # all-null ts folds to 0, matching the streaming operator's "no
+    # extent observed yet" emission
+    extent = valid.groupBy("conv_id").agg(
+        F.coalesce(
+            F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")),
+            F.lit(0).cast("long"),
+        ).alias("duration_us")
     )
     return (
         per_turn.join(extent, "conv_id")
@@ -301,11 +322,11 @@ def conversation_progress_oracle_sql(table: str = "transcripts") -> str:
     """DuckDB twin of :func:`conversation_progress` over ``table``."""
     return f"""
 WITH dd AS (
-  SELECT DISTINCT ON (conv_id, turn_idx) conv_id, turn_idx, tool
-  FROM {table} WHERE turn_idx >= 0 ORDER BY conv_id, turn_idx
+  SELECT conv_id, turn_idx, MAX(tool IS NOT NULL) AS has_tool
+  FROM {table} WHERE turn_idx >= 0 GROUP BY conv_id, turn_idx
 ),
 ranked AS (
-  SELECT conv_id, turn_idx, tool,
+  SELECT conv_id, turn_idx, has_tool,
          ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
            AS pos
   FROM dd
@@ -314,14 +335,15 @@ per_turn AS (
   SELECT conv_id,
          MAX(CASE WHEN turn_idx = pos THEN turn_idx END) AS upto_raw,
          CAST(COUNT(*) AS BIGINT) AS n_turns,
-         CAST(COUNT(tool) AS BIGINT) AS n_tool_calls
+         CAST(SUM(CASE WHEN has_tool THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls
   FROM ranked GROUP BY conv_id
 ),
 extent AS (
   SELECT conv_id,
-         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+         CAST(COALESCE(epoch_us(MAX(ts)) - epoch_us(MIN(ts)), 0) AS BIGINT)
            AS duration_us
-  FROM {table} GROUP BY conv_id
+  FROM {table} WHERE turn_idx >= 0 GROUP BY conv_id
 )
 SELECT p.conv_id,
        CAST(COALESCE(upto_raw, -1) AS BIGINT) AS contiguous_upto,

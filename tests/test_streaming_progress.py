@@ -320,3 +320,55 @@ def test_fold_batch_null_ts_does_not_corrupt_extent():
     st, _, _ = _fold_batch(_EMPTY_STATE, pdf)
     assert st[4] == st[5]  # extent spans only the one real timestamp
     assert st[4] > 0
+
+
+def test_all_malformed_conv_absent_and_conflicting_dups_deterministic(spark):
+    """A conversation with only negative turn_idx appears in NEITHER
+    output (the stream filters before the state store); duplicate
+    (conv, turn) rows with conflicting tool nullity resolve by the
+    any-row-has-tool rule on batch, oracle, and in-batch fold."""
+    import duckdb
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1)
+    tr = spark.createDataFrame(
+        [
+            ("bad", -1, "user", "t", None, t0),
+            ("bad", -7, "user", "t", None, t0),
+            ("c", 0, "user", "t", None, t0),
+            ("c", 0, "tool", "t", "grep", t0),  # conflicting duplicate
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = conversation_progress(tr).toPandas()
+    assert sorted(got["conv_id"]) == ["c"]
+    assert got.iloc[0]["n_tool_calls"] == 1  # any-row-has-tool
+    con = duckdb.connect()
+    con.register("transcripts", tr.toPandas())
+    exp = con.execute(conversation_progress_oracle_sql()).df()
+    assert sorted(exp["conv_id"]) == ["c"]
+    assert exp.iloc[0]["n_tool_calls"] == 1
+    # in-batch fold: tool-bearing duplicate wins the dedupe
+    st, n_new, n_tools = _fold_batch(
+        _EMPTY_STATE,
+        _pdf(
+            [
+                ("c", 0, None, "2026-01-01"),
+                ("c", 0, "grep", "2026-01-01"),
+            ]
+        ),
+    )
+    assert (st[2], st[3]) == (1, 1)
+
+
+def test_all_null_ts_duration_zero_both_sides(spark):
+    tr = spark.createDataFrame(
+        [("c", 0, "user", "t", None, None)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    row = conversation_progress(tr).collect()[0]
+    assert row.duration_us == 0
+    st, _, _ = _fold_batch(_EMPTY_STATE, _pdf([("c", 0, None, None)]))
+    assert st[4] is None and st[5] is None  # emitted as duration 0
