@@ -10,7 +10,11 @@ watermark + tumbling-window append-mode idiom.
 ``streaming.sessions`` adds the stateful gap-session operator:
 ``streaming_session_stats`` (native ``session_window`` merging state,
 watermark-bounded) provably equals the batch ``session_stats`` on the
-same rows (tests/test_streaming.py).
+same rows (tests/test_streaming.py). ``streaming.progress`` covers the
+third stateful idiom — ``applyInPandasWithState`` per-key state in
+Spark's state store (``streaming_conversation_progress``: assembled
+turn prefixes under out-of-order delivery, idle-timeout finalization,
+≡ its batch twin in any delivery order).
 
 The reference engine is strictly batch (SURVEY.md §2.8); this module is
 the Spark-native extension its transcript source implies at
@@ -21,6 +25,10 @@ and the streamed edge table provably converges to the batch
 count over distinct turns; tested in tests/test_streaming.py).
 """
 
+from centrality_gpu_spark.streaming.progress import (  # noqa: F401
+    conversation_progress,
+    streaming_conversation_progress,
+)
 from centrality_gpu_spark.streaming.sessions import (  # noqa: F401
     streaming_session_stats,
 )
