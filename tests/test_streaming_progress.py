@@ -372,3 +372,78 @@ def test_all_null_ts_duration_zero_both_sides(spark):
     assert row.duration_us == 0
     st, _, _ = _fold_batch(_EMPTY_STATE, _pdf([("c", 0, None, None)]))
     assert st[4] is None and st[5] is None  # emitted as duration 0
+
+
+def test_stream_resumes_from_checkpoint_across_restart(spark, tmp_path):
+    """Kill the query between micro-batches and restart it on the same
+    checkpointLocation: per-key state comes back from the state store
+    (not from reprocessing old files) and the final rows still equal
+    the batch twin — the resumable-after-executor-loss contract for
+    the applyInPandasWithState path."""
+    tr = generate_transcripts(
+        spark, n_conversations=12, seed=21, embed_samples=False
+    )
+    rows = tr.collect()
+    rng = np.random.default_rng(5)
+    rows = [rows[i] for i in rng.permutation(len(rows))]
+    in_dir = str(tmp_path / "turns_in")
+    ckpt = str(tmp_path / "ckpt")
+    half = len(rows) // 2
+
+    def write(part):
+        spark.createDataFrame(part, tr.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run(out_dir):
+        # memory sink can't recover a checkpoint; foreachBatch can —
+        # append each micro-batch's update rows to parquet
+        stream = (
+            spark.readStream.schema(tr.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            streaming_conversation_progress(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    write(rows[:half])
+    run(out1)
+    # restart: only the SECOND half of the data is new; the first run's
+    # frontier/counts must come back from the state store
+    write(rows[half:])
+    run(out2)
+    out = (
+        spark.read.parquet(out2).orderBy("update_seq").toPandas()
+    )
+    last = out.groupby("conv_id").tail(1).set_index("conv_id")
+    exp = conversation_progress(tr).toPandas().set_index("conv_id")
+    # every conversation touched after restart must carry its full
+    # pre-restart history (counts/frontier restored, not restarted)
+    for conv in last.index:
+        for col in (
+            "contiguous_upto", "n_pending", "n_turns",
+            "n_tool_calls", "duration_us",
+        ):
+            assert last.loc[conv, col] == exp.loc[conv, col], (
+                conv, col, last.loc[conv, col], exp.loc[conv, col],
+            )
+    # update_seq proves state continuity: a restarted-from-zero key
+    # would restart its sequence, but continuing keys strictly increase
+    run1 = spark.read.parquet(out1).toPandas()
+    seq1 = run1.groupby("conv_id")["update_seq"].max()
+    for conv in set(seq1.index) & set(last.index):
+        assert last.loc[conv, "update_seq"] > seq1.loc[conv]
