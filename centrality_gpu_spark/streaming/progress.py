@@ -242,6 +242,11 @@ def streaming_conversation_progress(
     timeout batch hits a Spark-internal planner NPE (the update rows
     all land first, but the query then terminates with an error);
     availableNow replays should leave ``timeout_ms=None``.
+
+    Lifecycle note: ``final=true`` is terminal for that state. If the
+    same conv_id produces rows AFTER its timeout, a fresh state starts
+    and ``update_seq`` restarts from 1 — a consumer keying "latest row
+    per conv" must scope it to rows since the last ``final`` marker.
     """
     timeout = "ProcessingTimeTimeout" if timeout_ms else "NoTimeout"
 
