@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -84,7 +85,7 @@ def main() -> None:
     )
     if iter_secs:
         extras["pagerank_per_iter_median_s"] = round(
-            iter_secs[len(iter_secs) // 2], 3
+            statistics.median(iter_secs), 3
         )
 
     # q2: PageRank SQL mode (Catalyst/Tungsten reference point)

@@ -90,10 +90,16 @@ def earliest_arrival(
 
 
 def _arrival_stats(arr):
+    # Exact decimal(38,0) sum: arrivals are epoch-microsecond longs
+    # (~1.7e15), so a plain bigint SUM overflows under ANSI mode once the
+    # reached set passes ~5,400 vertices. decimal keeps the sum exact, so
+    # the monotone changed-iff-(count,sum)-changed fixpoint argument is
+    # untouched.
     row = arr.agg(
-        F.count("*").alias("c"), F.sum("arrival").alias("s")
+        F.count("*").alias("c"),
+        F.sum(F.col("arrival").cast("decimal(38,0)")).alias("s"),
     ).first()
-    return (row.c, row.s)
+    return (row.c, None if row.s is None else int(row.s))
 
 
 def _arrival_loop(e, arr, ckpt, rounds: int, to_fixpoint: bool):

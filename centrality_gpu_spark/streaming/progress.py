@@ -22,7 +22,22 @@ of the conversation under the input-hint's stable turn ordering:
 - ``pending`` — out-of-order turn indexes beyond the frontier, kept
   sorted; bounded by the stream's out-of-orderness, NOT by
   conversation length (rows at/behind the frontier fold in and are
-  dropped immediately — a fully in-order stream keeps this empty);
+  dropped immediately — a fully in-order stream keeps this empty).
+  **Caveat**: that bound assumes every turn is eventually delivered.
+  A turn that is permanently LOST (e.g. turn 0 dropped at the
+  producer) pins the frontier forever, so pending then grows with
+  conversation length — and with ``timeout_ms=None`` that state never
+  frees. Pass ``max_pending`` to bound the blast radius: a key whose
+  pending set exceeds the cap is finalized (terminal ``final=true``
+  row, state dropped) instead of growing without bound;
+- ``pending_tool`` — has-tool bit per pending turn (parallel array,
+  same out-of-orderness bound). Used to DETECT contract violations:
+  a cross-batch re-delivery of a pending turn whose tool nullity
+  disagrees with the first-accepted row increments ``n_conflicts``
+  in the output instead of silently skewing ``n_tool_calls``.
+  Conflicting replays of turns already folded into the contiguous
+  frontier are not distinguishable from benign replays without O(n)
+  per-turn state and stay undetected — documented residual;
 - ``n_turns`` / ``n_tool_calls`` — distinct turns seen (replay-safe:
   a re-delivered turn_idx is recognized against the frontier+pending
   set and ignored);
@@ -66,11 +81,13 @@ STATE_SCHEMA = StructType(
     [
         StructField("contiguous_upto", LongType()),
         StructField("pending", ArrayType(LongType())),
+        StructField("pending_tool", ArrayType(LongType())),
         StructField("n_turns", LongType()),
         StructField("n_tool_calls", LongType()),
         StructField("first_us", LongType()),
         StructField("last_us", LongType()),
         StructField("update_seq", LongType()),
+        StructField("n_conflicts", LongType()),
     ]
 )
 
@@ -84,6 +101,7 @@ OUTPUT_SCHEMA = StructType(
         StructField("duration_us", LongType()),
         StructField("update_seq", LongType()),
         StructField("final", BooleanType()),
+        StructField("n_conflicts", LongType()),
     ]
 )
 
@@ -120,14 +138,21 @@ def _fold_batch(
 ) -> Tuple[Tuple, int, int]:
     """Fold one micro-batch group into a state tuple.
 
-    ``state_row`` is ``(contiguous_upto, pending, n_turns,
-    n_tool_calls, first_us, last_us, update_seq)`` with ``pending`` a
-    list. Returns the new state tuple plus the accepted-turn count and
-    accepted-tool-call count (for observability). Replayed turn
-    indexes are no-ops.
+    ``state_row`` is ``(contiguous_upto, pending, pending_tool,
+    n_turns, n_tool_calls, first_us, last_us, update_seq,
+    n_conflicts)`` with ``pending``/``pending_tool`` parallel sorted
+    lists. Returns the new state tuple plus the accepted-turn count
+    and accepted-tool-call count (for observability). Replayed turn
+    indexes are no-ops — except that a replay of a *still-pending*
+    turn with a different tool nullity increments ``n_conflicts``
+    (contract-violation observability; see module docstring).
     """
-    upto, pending, n_turns, n_tools, first_us, last_us, seq = state_row
+    (upto, pending, pending_tool, n_turns, n_tools, first_us, last_us,
+     seq, n_conflicts) = state_row
     pending_arr = np.asarray(pending if pending is not None else [], dtype=np.int64)
+    ptool_arr = np.asarray(
+        pending_tool if pending_tool is not None else [], dtype=np.int64
+    )
     # Malformed negative turn indexes are dropped for EVERY statistic
     # (frontier, counts, ts extent) — turns are 0-indexed per the input
     # hint; the stream wiring and the batch twin filter identically.
@@ -136,16 +161,40 @@ def _fold_batch(
     # in-batch duplicate with conflicting tool nullity resolves the
     # same way as the batch twin's any-row-has-tool rule. (Across
     # batches first-accepted wins: duplicate deliveries are assumed to
-    # be byte-identical replays — conflicting payloads for the same
-    # turn in different batches are out of contract.)
+    # be byte-identical replays — a conflicting replay of a pending
+    # turn is COUNTED in n_conflicts; one behind the frontier is not
+    # distinguishable from a benign replay and stays undetected.)
     dd = pdf.sort_values("tool", na_position="last").drop_duplicates(
         subset=["turn_idx"]
     )
     idx = dd["turn_idx"].to_numpy(dtype=np.int64)
+    delivered_tool = dd["tool"].notna().to_numpy()
+    # conflict check: replays of turns still in pending, delivered with
+    # the opposite tool nullity vs the first-accepted row
+    if pending_arr.size and idx.size:
+        pos = np.searchsorted(pending_arr, idx)
+        safe = np.minimum(pos, pending_arr.size - 1)
+        in_pending = pending_arr[safe] == idx
+        if in_pending.any():
+            stored = ptool_arr[safe[in_pending]]
+            n_conflicts = int(n_conflicts) + int(
+                (stored != delivered_tool[in_pending].astype(np.int64)).sum()
+            )
     new_upto, new_pending, fresh = _advance_frontier(upto, pending_arr, idx)
     accepted = dd[dd["turn_idx"].isin(fresh)] if fresh.size else dd.iloc[0:0]
     n_new = int(len(accepted))
     n_new_tools = int(accepted["tool"].notna().sum())
+    # has-tool bits for the surviving pending set: stored bits for old
+    # pending turns, delivered bits for freshly-accepted ones (both
+    # maps are bounded by the out-of-orderness window)
+    bit_map = dict(zip(pending_arr.tolist(), ptool_arr.tolist()))
+    bit_map.update(
+        zip(
+            accepted["turn_idx"].to_numpy(dtype=np.int64).tolist(),
+            accepted["tool"].notna().astype(np.int64).tolist(),
+        )
+    )
+    new_ptool = [int(bit_map[int(i)]) for i in new_pending]
     # normalize to epoch-micros regardless of the frame's native unit
     # (Arrow hands us datetime64[ns] or [us], tz-naive or UTC); dropna
     # first — NaT would otherwise become the int64 sentinel and corrupt
@@ -163,70 +212,76 @@ def _fold_batch(
     new_state = (
         int(new_upto),
         [int(x) for x in new_pending],
+        new_ptool,
         int(n_turns + n_new),
         int(n_tools + n_new_tools),
         first_us,
         last_us,
         int(seq + 1),
+        int(n_conflicts),
     )
     return new_state, n_new, n_new_tools
 
 
-_EMPTY_STATE = (-1, [], 0, 0, None, None, 0)
+_EMPTY_STATE = (-1, [], [], 0, 0, None, None, 0, 0)
 
 
-def _progress_fn(key, pdfs: Iterator[pd.DataFrame], state, timeout_ms=None):
-    """The ``applyInPandasWithState`` handler. Module-level so the
-    timeout branch is unit-testable with a stub GroupState."""
-    conv_id = key[0]
-    if state.hasTimedOut:
-        upto, pending, n_turns, n_tools, first_us, last_us, seq = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [
-                {
-                    "conv_id": conv_id,
-                    "contiguous_upto": upto,
-                    "n_pending": len(pending or []),
-                    "n_turns": n_turns,
-                    "n_tool_calls": n_tools,
-                    "duration_us": (
-                        last_us - first_us if first_us is not None else 0
-                    ),
-                    "update_seq": seq + 1,
-                    "final": True,
-                }
-            ]
-        )
-        return
-    cur = tuple(state.get) if state.exists else _EMPTY_STATE
-    for pdf in pdfs:
-        if len(pdf):
-            cur, _, _ = _fold_batch(cur, pdf)
-    state.update(cur)
-    if timeout_ms:
-        state.setTimeoutDuration(timeout_ms)
-    upto, pending, n_turns, n_tools, first_us, last_us, seq = cur
-    yield pd.DataFrame(
+def _emit_row(conv_id, st, final: bool, seq_bump: int = 0) -> pd.DataFrame:
+    (upto, pending, _ptool, n_turns, n_tools, first_us, last_us, seq,
+     n_conflicts) = st
+    return pd.DataFrame(
         [
             {
                 "conv_id": conv_id,
                 "contiguous_upto": upto,
-                "n_pending": len(pending),
+                "n_pending": len(pending or []),
                 "n_turns": n_turns,
                 "n_tool_calls": n_tools,
                 "duration_us": (
                     last_us - first_us if first_us is not None else 0
                 ),
-                "update_seq": seq,
-                "final": False,
+                "update_seq": seq + seq_bump,
+                "final": final,
+                "n_conflicts": n_conflicts,
             }
         ]
     )
 
 
+def _progress_fn(
+    key, pdfs: Iterator[pd.DataFrame], state, timeout_ms=None,
+    max_pending=None,
+):
+    """The ``applyInPandasWithState`` handler. Module-level so the
+    timeout branch is unit-testable with a stub GroupState."""
+    conv_id = key[0]
+    if state.hasTimedOut:
+        st = tuple(state.get)
+        state.remove()
+        yield _emit_row(conv_id, st, final=True, seq_bump=1)
+        return
+    cur = tuple(state.get) if state.exists else _EMPTY_STATE
+    for pdf in pdfs:
+        if len(pdf):
+            cur, _, _ = _fold_batch(cur, pdf)
+    # Lost-turn escape hatch: a permanently missing early turn pins the
+    # frontier, so pending would otherwise grow with conversation
+    # length. Past the cap the key is finalized — terminal row, state
+    # dropped — instead of holding unbounded state forever.
+    if max_pending is not None and len(cur[1]) > max_pending:
+        state.remove()
+        yield _emit_row(conv_id, cur, final=True)
+        return
+    state.update(cur)
+    if timeout_ms:
+        state.setTimeoutDuration(timeout_ms)
+    yield _emit_row(conv_id, cur, final=False)
+
+
 def streaming_conversation_progress(
-    stream: DataFrame, timeout_ms: int | None = None
+    stream: DataFrame,
+    timeout_ms: int | None = None,
+    max_pending: int | None = None,
 ) -> DataFrame:
     """Wire the handler onto a transcript stream.
 
@@ -234,6 +289,14 @@ def streaming_conversation_progress(
     conversation emits its terminal row and frees its state; ``None``
     keeps state until the query ends (fine for bounded replays/tests,
     wrong for an unbounded production stream — set it there).
+
+    ``max_pending`` — cap on the out-of-order pending set per key. A
+    key exceeding it (the permanently-lost-turn pathology: the
+    frontier never advances, pending grows O(conversation length)) is
+    finalized immediately with a terminal ``final=true`` diagnostic
+    row and its state dropped. ``None`` (default) keeps the
+    round-2-verified behavior; production streams that cannot
+    guarantee eventual delivery should set it.
 
     Trigger compatibility (driven end-to-end, Spark 4.1): the timeout
     works under a continuous trigger (``processingTime=...``) — idle
@@ -251,7 +314,9 @@ def streaming_conversation_progress(
     timeout = "ProcessingTimeTimeout" if timeout_ms else "NoTimeout"
 
     def fn(key, pdfs, state):
-        return _progress_fn(key, pdfs, state, timeout_ms=timeout_ms)
+        return _progress_fn(
+            key, pdfs, state, timeout_ms=timeout_ms, max_pending=max_pending
+        )
 
     return (
         stream.select("conv_id", "turn_idx", "tool", "ts")

@@ -63,12 +63,60 @@ def test_fold_batch_counts_and_extent():
         ]
     )
     st, n_new, n_tools = _fold_batch(_EMPTY_STATE, pdf)
-    assert (st[0], st[1], st[2], st[3]) == (1, [], 2, 1)
-    assert st[5] - st[4] == 2_000_000  # 2 s in micros
+    # state: (upto, pending, pending_tool, n_turns, n_tools, first_us,
+    # last_us, seq, n_conflicts)
+    assert (st[0], st[1], st[2], st[3], st[4]) == (1, [], [], 2, 1)
+    assert st[6] - st[5] == 2_000_000  # 2 s in micros
     assert (n_new, n_tools) == (2, 1)
     # replaying the same batch is a no-op apart from update_seq
     st2, n_new2, _ = _fold_batch(st, pdf)
-    assert st2[:6] == st[:6] and n_new2 == 0 and st2[6] == st[6] + 1
+    assert st2[:7] == st[:7] and n_new2 == 0 and st2[7] == st[7] + 1
+    assert st2[8] == 0  # byte-identical replay: no conflicts
+
+
+def test_fold_batch_counts_pending_tool_conflicts():
+    # turn 2 arrives out of order carrying a tool; turn 0 missing
+    st, _, _ = _fold_batch(
+        _EMPTY_STATE, _pdf([("c", 2, "grep", "2026-01-01 00:00:00")])
+    )
+    assert st[1] == [2] and st[2] == [1] and st[8] == 0
+    # conflicting replay of the still-pending turn (tool now NULL)
+    st2, n_new, _ = _fold_batch(
+        st, _pdf([("c", 2, None, "2026-01-01 00:00:00")])
+    )
+    assert n_new == 0 and st2[8] == 1
+    # first-accepted wins: the stored bit is unchanged
+    assert st2[1] == [2] and st2[2] == [1]
+    # benign replay (same nullity) does not count
+    st3, _, _ = _fold_batch(
+        st2, _pdf([("c", 2, "grep", "2026-01-01 00:00:00")])
+    )
+    assert st3[8] == 1
+
+
+def test_progress_fn_max_pending_finalizes():
+    class _St:
+        hasTimedOut = False
+        exists = False
+        removed = False
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st = _St()
+    # turn 0 lost: 4 out-of-order turns exceed max_pending=3
+    pdf = _pdf(
+        [("c", i, None, "2026-01-01 00:00:00") for i in (5, 6, 7, 8)]
+    )
+    [out] = list(_progress_fn(("c",), iter([pdf]), st, max_pending=3))
+    row = out.iloc[0]
+    assert st.removed and bool(row["final"]) and row["n_pending"] == 4
 
 
 class _StubState:
@@ -101,7 +149,8 @@ class _StubState:
 
 def test_progress_fn_timeout_emits_final_and_drops_state():
     st = _StubState(
-        value=(2, [5], 4, 1, 1_000_000, 9_000_000, 7), timed_out=True
+        value=(2, [5], [0], 4, 1, 1_000_000, 9_000_000, 7, 0),
+        timed_out=True,
     )
     [out] = list(_progress_fn(("conv_x",), iter([]), st))
     assert st.removed
@@ -307,7 +356,7 @@ def test_negative_turn_idx_ignored_both_sides(spark):
             ]
         ),
     )
-    assert (st[0], st[1], st[2], st[3]) == (1, [], 2, 1) and n_new == 2
+    assert (st[0], st[1], st[3], st[4]) == (1, [], 2, 1) and n_new == 2
 
 
 def test_fold_batch_null_ts_does_not_corrupt_extent():
@@ -318,8 +367,8 @@ def test_fold_batch_null_ts_does_not_corrupt_extent():
         ]
     )
     st, _, _ = _fold_batch(_EMPTY_STATE, pdf)
-    assert st[4] == st[5]  # extent spans only the one real timestamp
-    assert st[4] > 0
+    assert st[5] == st[6]  # extent spans only the one real timestamp
+    assert st[5] > 0
 
 
 def test_all_malformed_conv_absent_and_conflicting_dups_deterministic(spark):
@@ -359,7 +408,7 @@ def test_all_malformed_conv_absent_and_conflicting_dups_deterministic(spark):
             ]
         ),
     )
-    assert (st[2], st[3]) == (1, 1)
+    assert (st[3], st[4]) == (1, 1)
 
 
 def test_all_null_ts_duration_zero_both_sides(spark):
@@ -371,7 +420,7 @@ def test_all_null_ts_duration_zero_both_sides(spark):
     row = conversation_progress(tr).collect()[0]
     assert row.duration_us == 0
     st, _, _ = _fold_batch(_EMPTY_STATE, _pdf([("c", 0, None, None)]))
-    assert st[4] is None and st[5] is None  # emitted as duration 0
+    assert st[5] is None and st[6] is None  # emitted as duration 0
 
 
 def test_stream_resumes_from_checkpoint_across_restart(spark, tmp_path):

@@ -127,3 +127,18 @@ def test_latest_departure_vs_brute(spark, seed):
     got = {r.id: r.departure for r in
            latest_departure(e, t, 100, rounds=64, to_fixpoint=True).collect()}
     assert got == exp
+
+
+def test_fixpoint_stats_no_overflow_at_epoch_micro_scale(spark):
+    """Epoch-microsecond arrivals (~1.7e15) summed over >5,400 vertices
+    overflow a bigint SUM under Spark 4.1's default ANSI mode; the
+    fixpoint detector must survive it (exact decimal(38,0) sum)."""
+    base = 1_700_000_000_000_000  # 2023-11 in epoch micros
+    n = 6_000
+    # star: source 0 reaches every vertex in one round, all arrivals
+    # land at epoch-micro magnitudes
+    edges = [(0, i, base + i) for i in range(1, n)]
+    e = spark.createDataFrame(edges, "src long, dst long, ts long")
+    s = spark.createDataFrame([(0,)], "id long")
+    got = earliest_arrival(e, s, start_ts=0, to_fixpoint=True)
+    assert got.count() == n
