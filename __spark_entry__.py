@@ -556,11 +556,20 @@ def _q_edge_cut_events(spark: SparkSession, sf: str) -> DataFrame:
 REFINE_QUERY_ROUNDS = 4
 
 
+VCYCLE_LEVELS = 2
+
+
 def _q_partition_vcycle_events(spark: SparkSession, sf: str) -> DataFrame:
     from centrality_gpu_spark.operators.partition import partition_multilevel
 
+    # pinned 2-level V-cycle: exact_levels disables the data-dependent
+    # stall/target stops so the structure is static and the whole run
+    # has a DuckDB unroll (vcycle_oracle_sql) — the auto-depth mode
+    # stays the production default, quality-pinned in
+    # tests/test_partition.py
     return partition_multilevel(
-        events_graph(spark, sf), PARTITION_K, match_rounds=8, refine_rounds=4
+        events_graph(spark, sf), PARTITION_K, match_rounds=8,
+        refine_rounds=REFINE_QUERY_ROUNDS, exact_levels=VCYCLE_LEVELS,
     )
 
 
@@ -1428,85 +1437,21 @@ def _q_semantic_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate samples the FIRST ~50
-    # keys, so the graph-centrality flagship (the reference's actual
-    # subject, modified_apsp.cpp:232-373 / kernels_free.cu:377-426) is
-    # listed first; the corpus/embedding tail was driver-verified in
-    # round 2 (CORRECTNESS_r02.json, 50/50 green) and rotates to the
-    # back.  Every key is still oracle-checked every round by
-    # tools/check_oracles.py (full sweep committed as ORACLES_r{N}.txt).
+    # keys. Round-4 rotation (VERDICT r3 item #1): the 43 registry rows
+    # that have NEVER had a driver-green row (cumulative over
+    # CORRECTNESS_r01..r03) lead the window, followed by 7 flagship
+    # canaries from the r02/r03-green set — 50 keys exactly. The
+    # cumulative driver-green ledger lives in BASELINE.md; every key is
+    # still oracle-checked every round by tools/check_oracles.py (full
+    # sweep committed as ORACLES_r{N}.txt).
     return {
-        # --- Brandes betweenness family (unrolled-APSP / closed-form /
-        # reference-sample-golden oracles, every physical strategy) ---
-        "betweenness_events": _q_betweenness_events,
-        "betweenness_custorder": _q_betweenness_custorder,
-        "betweenness_bsp_custorder": _q_betweenness_bsp_custorder,
-        "betweenness_weighted_events": _q_betweenness_weighted_events,
-        "betweenness_decomposed_events": _q_betweenness_decomposed_events,
-        "betweenness_sampled_events": _q_betweenness_sampled_events,
-        "edge_betweenness_events": _q_edge_betweenness_events,
-        # the reference's own sample_input/test{1..4}.txt fixtures as
-        # literal VALUES CTEs (measure_energy.py:89's four graphs):
-        "betweenness_sample1": _q_betweenness_sample1,
-        "betweenness_sample2": _q_betweenness_sample2,
-        # --- closeness / harmonic / eccentricity (same MS-BFS machinery) ---
-        "closeness_events": _q_closeness_events,
-        "closeness_custorder": _q_closeness_custorder,
-        "closeness_weighted_events": _q_closeness_weighted_events,
-        "harmonic_events": _q_harmonic_events,
-        "harmonic_weighted_events": _q_harmonic_weighted_events,
-        "eccentricity_events": _q_eccentricity_events,
-        "eccentricity_weighted_events": _q_eccentricity_weighted_events,
-        "graph_extent_events": _q_graph_extent_events,
-        "sssp_events": _q_sssp_events,
-        "shortest_path_events": _q_shortest_path_events,
-        # --- north-rule transcripts pipeline: input_hint table →
-        # stats/transitions/invariant → edge build → PageRank, each
-        # hash-checked against a full-chain DuckDB twin ---
-        "conversation_stats_transcripts": _q_conversation_stats_transcripts,
-        "tool_transitions_transcripts": _q_tool_transitions_transcripts,
-        "reply_invariant_transcripts": _q_reply_invariant_transcripts,
-        "transcript_edges": _q_transcript_edges,
-        "pagerank_transcripts": _q_pagerank_transcripts,
-        "pagerank_weighted_transcripts": _q_pagerank_weighted_transcripts,
-        "betweenness_transcripts": _q_betweenness_transcripts,
-        # --- triangles / clustering ---
-        "triangle_count_copurchase": _q_triangle_count_copurchase,
-        "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
-        "transitivity_copurchase": _q_transitivity_copurchase,
-        "clustering_copurchase": _q_clustering_copurchase,
-        # --- label propagation / components ---
-        "lpa_events": _q_lpa_events,
-        "lpa_weighted_events": _q_lpa_weighted_events,
-        "components_events": _q_components_events,
-        # --- PageRank family / spectral ---
-        "pagerank_events": _q_pagerank_events,
-        "pagerank_residuals_events": _q_pagerank_residuals_events,
-        "pagerank_weighted_events": _q_pagerank_weighted_events,
-        "ppr_events": _q_ppr_events,
-        "katz_events": _q_katz_events,
-        "hits_events": _q_hits_events,
-        "salsa_events": _q_salsa_events,
-        # --- structural decompositions (closed-form star-forest oracles) ---
-        "bcc_histogram_custorder": _q_bcc_histogram_custorder,
-        "articulation_custorder": _q_articulation_custorder,
-        "bridges_events": _q_bridges_events,
-        "two_edge_components_events": _q_two_edge_components_events,
-        "pendant_peel_custorder": _q_pendant_peel_custorder,
-        "core_numbers_custorder": _q_core_numbers_custorder,
-        # --- temporal / partitioning / directed ---
-        "temporal_arrival_events": _q_temporal_arrival_events,
-        "partition_refined_events": _q_partition_refined_events,
-        "edge_cut_refined_events": _q_edge_cut_refined_events,
-        "scc_lineitem": _q_scc_lineitem,
-        # ---------------- end of the driver's ~50-key window ----------------
-        # strategy variants of in-window queries (same operators, second
-        # physical path / sampled mode / extra goldens):
+        # --- never-driver-checked until now (43 rows) ---
         "conversation_progress_transcripts": _q_conversation_progress_transcripts,
+        # the reference's own sample_input/test{3,4}.txt fixtures
+        # (measure_energy.py:89's remaining two graphs):
         "betweenness_sample3": _q_betweenness_sample3,
         "betweenness_sample4": _q_betweenness_sample4,
         "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
-        "pagerank_copurchase": _q_pagerank_copurchase,
-        "eigenvector_copurchase": _q_eigenvector_copurchase,
         "closeness_bsp_custorder": _q_closeness_bsp_custorder,
         "closeness_sampled_events": _q_closeness_sampled_events,
         "eccentricity_bsp_events": _q_eccentricity_bsp_events,
@@ -1517,12 +1462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_events": _q_coarsen_events,
         "partition_events": _q_partition_events,
         "edge_cut_events": _q_edge_cut_events,
-        "edges_events": _q_edges_events,
-        "edges_copurchase": _q_edges_copurchase,
-        "degrees_events": _q_degrees_events,
-        "degree_hist_copurchase": _q_degree_hist_copurchase,
-        "component_summary_events": _q_component_summary_events,
-        "component_summary_custorder": _q_component_summary_custorder,
+        "partition_vcycle_events": _q_partition_vcycle_events,
+        "louvain_custorder": _q_louvain_custorder,
+        "modularity_custorder": _q_modularity_custorder,
         "adamic_adar_events": _q_adamic_adar_events,
         "jaccard_events": _q_jaccard_events,
         "resource_allocation_events": _q_resource_allocation_events,
@@ -1532,8 +1474,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club_events": _q_rich_club_events,
         "graph_summary_copurchase": _q_graph_summary_copurchase,
         "edge_support_copurchase": _q_edge_support_copurchase,
-        "modularity_custorder": _q_modularity_custorder,
-        "louvain_custorder": _q_louvain_custorder,
         "triangle_count_sampled_copurchase": _q_triangle_count_sampled_copurchase,
         "ego_network_events": _q_ego_network_events,
         "ego_edges_events": _q_ego_edges_events,
@@ -1554,6 +1494,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_events": _q_coloring_events,
         "anf_reach_events": _q_anf_reach_events,
         "eff_diameter_events": _q_eff_diameter_events,
+        # --- flagship canaries (driver-green in r02/r03; keep the hard
+        # signal touching the engine's core every round) ---
+        "betweenness_events": _q_betweenness_events,
+        "sssp_events": _q_sssp_events,
+        "components_events": _q_components_events,
+        "pagerank_events": _q_pagerank_events,
+        "triangle_count_copurchase": _q_triangle_count_copurchase,
+        "transcript_edges": _q_transcript_edges,
+        "pagerank_transcripts": _q_pagerank_transcripts,
+        # ---------------- end of the driver's ~50-key window ----------------
+        # --- Brandes betweenness family (unrolled-APSP / closed-form /
+        # reference-sample-golden oracles, every physical strategy) ---
+        "betweenness_custorder": _q_betweenness_custorder,
+        "betweenness_bsp_custorder": _q_betweenness_bsp_custorder,
+        "betweenness_weighted_events": _q_betweenness_weighted_events,
+        "betweenness_decomposed_events": _q_betweenness_decomposed_events,
+        "betweenness_sampled_events": _q_betweenness_sampled_events,
+        "edge_betweenness_events": _q_edge_betweenness_events,
+        "betweenness_sample1": _q_betweenness_sample1,
+        "betweenness_sample2": _q_betweenness_sample2,
+        # --- closeness / harmonic / eccentricity (same MS-BFS machinery) ---
+        "closeness_events": _q_closeness_events,
+        "closeness_custorder": _q_closeness_custorder,
+        "closeness_weighted_events": _q_closeness_weighted_events,
+        "harmonic_events": _q_harmonic_events,
+        "harmonic_weighted_events": _q_harmonic_weighted_events,
+        "eccentricity_events": _q_eccentricity_events,
+        "eccentricity_weighted_events": _q_eccentricity_weighted_events,
+        "graph_extent_events": _q_graph_extent_events,
+        "shortest_path_events": _q_shortest_path_events,
+        # --- north-rule transcripts pipeline ---
+        "conversation_stats_transcripts": _q_conversation_stats_transcripts,
+        "tool_transitions_transcripts": _q_tool_transitions_transcripts,
+        "reply_invariant_transcripts": _q_reply_invariant_transcripts,
+        "pagerank_weighted_transcripts": _q_pagerank_weighted_transcripts,
+        "betweenness_transcripts": _q_betweenness_transcripts,
+        # --- triangles / clustering ---
+        "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
+        "transitivity_copurchase": _q_transitivity_copurchase,
+        "clustering_copurchase": _q_clustering_copurchase,
+        # --- label propagation / components ---
+        "lpa_events": _q_lpa_events,
+        "lpa_weighted_events": _q_lpa_weighted_events,
+        # --- PageRank family / spectral ---
+        "pagerank_residuals_events": _q_pagerank_residuals_events,
+        "pagerank_weighted_events": _q_pagerank_weighted_events,
+        "ppr_events": _q_ppr_events,
+        "katz_events": _q_katz_events,
+        "hits_events": _q_hits_events,
+        "salsa_events": _q_salsa_events,
+        "pagerank_copurchase": _q_pagerank_copurchase,
+        "eigenvector_copurchase": _q_eigenvector_copurchase,
+        # --- structural decompositions (closed-form star-forest oracles) ---
+        "bcc_histogram_custorder": _q_bcc_histogram_custorder,
+        "articulation_custorder": _q_articulation_custorder,
+        "bridges_events": _q_bridges_events,
+        "two_edge_components_events": _q_two_edge_components_events,
+        "pendant_peel_custorder": _q_pendant_peel_custorder,
+        "core_numbers_custorder": _q_core_numbers_custorder,
+        # --- temporal / partitioning / directed ---
+        "temporal_arrival_events": _q_temporal_arrival_events,
+        "partition_refined_events": _q_partition_refined_events,
+        "edge_cut_refined_events": _q_edge_cut_refined_events,
+        "scc_lineitem": _q_scc_lineitem,
+        # --- edge builders / degree profiles / summaries ---
+        "edges_events": _q_edges_events,
+        "edges_copurchase": _q_edges_copurchase,
+        "degrees_events": _q_degrees_events,
+        "degree_hist_copurchase": _q_degree_hist_copurchase,
+        "component_summary_events": _q_component_summary_events,
+        "component_summary_custorder": _q_component_summary_custorder,
         # --- training-data pipeline ops (documents/embeddings);
         # driver-verified in round 2 (CORRECTNESS_r02.json 50/50) ---
         "token_stats": _q_token_stats,
@@ -1603,11 +1614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_near_dups": _q_semantic_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
-        # rows-only (no oracle): the METIS-style V-cycle — deterministic,
-        # but its DuckDB unroll (levels × (matching + weighted refine))
-        # is impractical; quality and Spark↔DuckDB init parity are
-        # pytest-pinned in tests/test_partition.py instead
-        "partition_vcycle_events": _q_partition_vcycle_events,
     }
 
 
@@ -1829,6 +1835,15 @@ FROM orders ORDER BY id
         "edge_cut_refined_events": refined_edge_cut_oracle_sql(
             EVENTS_EDGES_CTE, PARTITION_K,
             refine_rounds=REFINE_QUERY_ROUNDS, **PARTITION_ORACLE_KW
+        ),
+        # full V-cycle at the pinned 2-level configuration — closes the
+        # registry's former rows-only row (VERDICT r3 item #3)
+        "partition_vcycle_events": __import__(
+            "centrality_gpu_spark.operators.partition",
+            fromlist=["vcycle_oracle_sql"],
+        ).vcycle_oracle_sql(
+            EVENTS_EDGES_CTE, PARTITION_K, levels=VCYCLE_LEVELS,
+            match_rounds=8, refine_rounds=REFINE_QUERY_ROUNDS,
         ),
         "shortest_path_events": shortest_path_oracle_sql(
             EVENTS_EDGES_CTE, PATH_SOURCE, PATH_TARGET

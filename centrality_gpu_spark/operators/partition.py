@@ -182,13 +182,15 @@ def grow_parts(
     coarsening bounds at O(k) vertices.
     """
     ckpt = checkpoint or CheckpointManager(spark or sizes.sparkSession)
+    sess = spark or sizes.sparkSession
     e = coarse_edges
     deg = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
-    seed_w = Window.orderBy(F.desc("deg"), F.asc("id"))
-    seeds = (
-        deg.withColumn("part", (F.row_number().over(seed_w) - 1).cast("int"))
-        .where(F.col("part") < k)
-        .select("id", "part")
+    # top-k seed pick as a TakeOrdered (orderBy+limit) + k-row driver
+    # frame — k rows total, vs the old global row_number window that
+    # funnelled every coarse vertex through one task
+    top = deg.orderBy(F.desc("deg"), F.asc("id")).limit(k).collect()
+    seeds = sess.createDataFrame(
+        [(int(r.id), i) for i, r in enumerate(top)], "id long, part int"
     )
     assigned = ckpt.truncate(seeds.join(sizes, "id"))  # (id, part, size)
     for rnd in range(rounds):
@@ -411,10 +413,17 @@ def lpa_pack(
     lab = labels.join(sizes, "id")
     csz = lab.groupBy("label").agg(F.sum("size").alias("csz"))
     small = csz.where(F.col("csz") <= F.lit(cap))
-    wv = Window.orderBy(F.desc("csz"), F.asc("label"))
-    packed = small.select(
-        "label",
-        ((F.row_number().over(wv) - 1) % k).cast("int").alias("part"),
+    # global (csz desc, label asc) rank via the distributed prefix-sum
+    # helper — same rank the old single-partition row_number window
+    # produced, without moving every community through one task
+    from centrality_gpu_spark.ids import dense_rank_ids
+
+    ranked = dense_rank_ids(
+        small.select("label", (-F.col("csz")).alias("negcsz")),
+        ("negcsz", "label"),
+    )
+    packed = ranked.select(
+        "label", (F.col("id") % k).cast("int").alias("part")
     )
     whole = lab.join(packed, "label").select("id", "part")
     wb = Window.partitionBy("label").orderBy(F.desc("size"), F.asc("id"))
@@ -442,6 +451,7 @@ def partition_multilevel(
     slack_pct: int = REFINE_SLACK_PCT,
     peel_rounds: int = PEEL_ROUNDS,
     max_levels: int = AUTO_MAX_LEVELS,
+    exact_levels: int | None = None,
 ) -> DataFrame:
     """(id, part) — the full METIS-style V-cycle: pendant collapse →
     matching coarsening (auto depth: stops at O(k) vertices, on an
@@ -450,11 +460,13 @@ def partition_multilevel(
     way back up** (each level-L vertex weighs the fine vertices it
     represents, so balance is enforced in fine units throughout).
 
-    This is the quality path; ``partition_graph`` +
-    ``refine_partition`` is the oracle-checked single-refine pipeline
-    (V-cycle output is deterministic too, but its DuckDB unroll —
-    levels × (matching + refine) — is impractical, so it is covered by
-    pytest quality/invariant tests instead of the driver gate).
+    ``exact_levels`` pins the coarsening depth: exactly that many
+    matching+contraction levels run, with the stall and target-size
+    gates disabled (only a fully-emptied edge set still stops early).
+    Auto depth (``exact_levels=None``) is the production default; the
+    pinned mode exists so the whole V-cycle has a static structure
+    that :func:`vcycle_oracle_sql` can unroll into one DuckDB query —
+    closing the registry's last rows-only row.
 
     Scale shape: per level one matching run + one mapping join; refine
     rounds at level L cost O(E_L) — the level sizes decay
@@ -478,7 +490,8 @@ def partition_multilevel(
     lvls: list[list] = [[core_edges, comp, None]]
     prev_e = core_edges.count()
     cur = Graph.from_symmetric_edges(core_edges) if prev_e else None
-    for _ in range(max_levels):
+    n_levels = max_levels if exact_levels is None else exact_levels
+    for _ in range(n_levels):
         if prev_e == 0:
             break
         m = maximal_matching(
@@ -502,7 +515,7 @@ def partition_multilevel(
         cur = Graph.from_symmetric_edges(coarse)
         e_now = coarse.count()
         lvls.append([coarse, comp, None])
-        if (
+        if exact_levels is None and (
             e_now == 0
             or e_now > 0.85 * prev_e
             or cur.vertices().count() <= target
@@ -1175,3 +1188,184 @@ SELECT CAST(COUNT(*) AS BIGINT) AS k_parts,
        MIN(n) AS min_part_size,
        MAX(n) AS max_part_size
 FROM sizes"""
+
+
+def _wrefine_ctes(
+    prefix: str,
+    edges_name: str,
+    sizes_name: str,
+    parts_in: str,
+    k: int,
+    rounds: int,
+    cap_select: str,
+) -> str:
+    """Weighted variant of ``_refine_ctes``: loads and the admission
+    rule run in fine-vertex units (``SUM(size)`` against the fine-level
+    cap) instead of row counts — the exact DuckDB twin of
+    ``refine_partition(..., sizes=, cap=)`` as the V-cycle calls it at
+    every level. CTE names are ``{prefix}``-scoped so one query can
+    chain a refine per level."""
+    out = [
+        f"{prefix}rp0 AS MATERIALIZED (SELECT id, part FROM {parts_in})"
+    ]
+    for r in range(rounds):
+        gate = "target < cur" if r % 2 == 0 else "target > cur"
+        out.append(f"""{prefix}ld{r} AS MATERIALIZED (
+  SELECT p.part, SUM(s.size) AS load
+  FROM {prefix}rp{r} p JOIN {sizes_name} s ON s.id = p.id
+  GROUP BY p.part
+),
+{prefix}cd{r} AS MATERIALIZED (
+  SELECT id, c, MAX(w) AS w FROM (
+    SELECT e.src AS id, p.part AS c, SUM(e.weight) AS w
+    FROM {edges_name} e JOIN {prefix}rp{r} p ON p.id = e.dst
+    GROUP BY e.src, p.part
+    UNION ALL SELECT id, part AS c, 0.0 AS w FROM {prefix}rp{r}
+  ) GROUP BY id, c
+),
+{prefix}bs{r} AS MATERIALIZED (
+  SELECT id, cur, c AS target, w AS wbest,
+         MAX(CASE WHEN c = cur THEN w END) OVER (PARTITION BY id) AS wcur,
+         ROW_NUMBER() OVER (PARTITION BY id
+           ORDER BY w DESC, (c = cur) DESC, c ASC) AS rk
+  FROM (
+    SELECT cd.id, cd.c, cd.w, p.part AS cur
+    FROM {prefix}cd{r} cd JOIN {prefix}rp{r} p ON p.id = cd.id
+    LEFT JOIN {prefix}ld{r} l ON l.part = cd.c
+    WHERE cd.c = p.part OR COALESCE(l.load, 0) < ({cap_select})
+  )
+),
+{prefix}mv{r} AS MATERIALIZED (
+  SELECT b.id, b.target,
+         COALESCE(l.load, 0) + SUM(s.size) OVER (
+           PARTITION BY b.target ORDER BY b.wbest DESC, b.id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) <= ({cap_select}) AS admit
+  FROM (SELECT * FROM {prefix}bs{r}
+        WHERE rk = 1 AND target <> cur AND wbest > wcur AND {gate}) b
+  JOIN {sizes_name} s ON s.id = b.id
+  LEFT JOIN {prefix}ld{r} l ON l.part = b.target
+),
+{prefix}rp{r + 1} AS MATERIALIZED (
+  SELECT p.id, CASE WHEN m.admit THEN m.target ELSE p.part END AS part
+  FROM {prefix}rp{r} p LEFT JOIN {prefix}mv{r} m ON m.id = p.id
+)""")
+    return ",\n".join(out)
+
+
+def vcycle_oracle_sql(
+    edges_cte: str,
+    k: int,
+    levels: int = 2,
+    match_rounds: int = 8,
+    refine_rounds: int = 4,
+    slack_pct: int = REFINE_SLACK_PCT,
+    peel_rounds: int = PEEL_ROUNDS,
+    lpa_iters: int = LPA_INIT_ITERS,
+) -> str:
+    """DuckDB twin of ``partition_multilevel(..., exact_levels=levels)``
+    — the whole V-cycle unrolled into one query: pendant collapse,
+    ``levels`` matching+contraction descents, weighted-LPA packing at
+    the coarsest level, then a weighted refine at every level on the
+    way back up with the projection joins in between, and the final
+    pendant projection. Output (id, part) ordered by id.
+
+    Assumes the coarsening never fully empties (true whenever the core
+    graph has edges) — the ``exact_levels`` Spark mode only stops
+    early on an empty edge set."""
+    from centrality_gpu_spark.operators.labelprop import lpa_ctes
+    from centrality_gpu_spark.operators.matching import matching_ctes
+
+    parts = [
+        edges_cte,
+        _peel_ctes(peel_rounds),
+        f"lv0e AS (SELECT src, dst, weight FROM p{peel_rounds}e)",
+        "cmf0 AS MATERIALIZED (SELECT id, anchor AS rep FROM pmap)",
+    ]
+    for lv in range(levels):
+        parts.append(
+            matching_ctes(
+                f"lv{lv}e", match_rounds, prefix=f"l{lv}", by_weight=True
+            )
+        )
+        parts.append(f"""lv{lv}map AS MATERIALIZED (
+  SELECT v.id, COALESCE(m.src, v.id) AS rep
+  FROM (SELECT DISTINCT src AS id FROM lv{lv}e) v
+  LEFT JOIN l{lv}m{match_rounds} m ON m.dst = v.id
+),
+lv{lv + 1}e AS MATERIALIZED (
+  SELECT a.rep AS src, b.rep AS dst, SUM(e.weight) AS weight
+  FROM lv{lv}e e
+  JOIN lv{lv}map a ON a.id = e.src
+  JOIN lv{lv}map b ON b.id = e.dst
+  WHERE a.rep <> b.rep
+  GROUP BY 1, 2
+),
+cmf{lv + 1} AS MATERIALIZED (
+  SELECT c.id, COALESCE(m.rep, c.rep) AS rep
+  FROM cmf{lv} c LEFT JOIN lv{lv}map m ON m.id = c.rep
+)""")
+    for lv in range(levels + 1):
+        parts.append(
+            f"sz{lv} AS MATERIALIZED (SELECT rep AS id, COUNT(*) AS size "
+            f"FROM cmf{lv} GROUP BY rep)"
+        )
+    parts.append(
+        f"vcap AS (SELECT (COUNT(*) * {100 + slack_pct} + {100 * k} - 1) "
+        f"// {100 * k} AS cap FROM cmf0)"
+    )
+    parts.append(
+        lpa_ctes(f"lv{levels}e", lpa_iters, weighted=True, prefix="q")
+    )
+    h = _MD5_INT_SQL.format(col="z.id")
+    parts.append(f"""qsz AS (
+  SELECT l.label, SUM(z.size) AS csz
+  FROM ql{lpa_iters} l JOIN sz{levels} z ON z.id = l.id
+  GROUP BY l.label
+),
+qpk AS (
+  SELECT label,
+         CAST((ROW_NUMBER() OVER (ORDER BY csz DESC, label ASC) - 1) % {k}
+              AS INTEGER) AS part
+  FROM qsz WHERE csz <= (SELECT cap FROM vcap)
+),
+qsp AS (
+  SELECT l.id,
+         CAST((ROW_NUMBER() OVER (PARTITION BY l.label
+               ORDER BY z.size DESC, l.id ASC) - 1) % {k}
+              AS INTEGER) AS part
+  FROM ql{lpa_iters} l
+  JOIN sz{levels} z ON z.id = l.id
+  JOIN qsz s ON s.label = l.label
+  WHERE s.csz > (SELECT cap FROM vcap)
+),
+asg{levels} AS MATERIALIZED (
+  SELECT l.id, p.part
+  FROM ql{lpa_iters} l JOIN qpk p ON p.label = l.label
+  UNION ALL
+  SELECT id, part FROM qsp
+  UNION ALL
+  SELECT z.id, CAST({h} % {k} AS INTEGER) AS part
+  FROM sz{levels} z WHERE z.id NOT IN (SELECT id FROM ql{lpa_iters})
+)""")
+    prev = f"asg{levels}"
+    for lv in range(levels, -1, -1):
+        parts.append(
+            _wrefine_ctes(
+                f"w{lv}", f"lv{lv}e", f"sz{lv}", prev, k, refine_rounds,
+                "SELECT cap FROM vcap",
+            )
+        )
+        if lv > 0:
+            parts.append(f"""asg{lv - 1} AS MATERIALIZED (
+  SELECT v.id, p.part
+  FROM sz{lv - 1} v
+  LEFT JOIN lv{lv - 1}map m ON m.id = v.id
+  JOIN w{lv}rp{refine_rounds} p ON p.id = COALESCE(m.rep, v.id)
+)""")
+            prev = f"asg{lv - 1}"
+    return (
+        f"WITH {','.join(parts)}\n"
+        f"SELECT p.id, a.part FROM pmap p "
+        f"JOIN w0rp{refine_rounds} a ON a.id = p.anchor ORDER BY p.id"
+    )

@@ -122,10 +122,13 @@ def bm25_topk(
         F.count("*").alias("n_hits"),
         score.alias("score"),
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # global top-k as TakeOrdered (orderBy+limit): each partition ships
+    # only its best k rows to the driver-side merge, vs the old
+    # unpartitioned row_number window that moved every scored doc
+    # through one task
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
         .select("doc_id", "n_hits", F.round("score", 6).alias("score"))
     )
 

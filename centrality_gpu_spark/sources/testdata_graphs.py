@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from centrality_gpu_spark.graph import Graph
 
@@ -36,6 +37,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _type_ids(ev: DataFrame) -> DataFrame:
+    """(event_type, tvid) — OFFSET + 1-based alphabetical rank, same ids
+    as the SQL twin's ``1000000 + DENSE_RANK() OVER (ORDER BY
+    event_type)``. The type vocabulary is bounded by construction (like
+    the transcripts' tool vocabulary), so the rank is a driver-side
+    enumerate over a TakeOrdered collect — no unpartitioned window, no
+    full-table funnel through one task."""
+    dt = ev.select("event_type").distinct().orderBy("event_type")
+    rows = dt.collect()
+    schema = StructType([dt.schema[0], StructField("tvid", LongType())])
+    return ev.sparkSession.createDataFrame(
+        [(r.event_type, TOOL_VERTEX_OFFSET + i + 1) for i, r in enumerate(rows)],
+        schema,
+    )
+
+
 # ---------------------------------------------------------------- events
 
 def events_graph(spark: SparkSession, sf_dir: str) -> Graph:
@@ -43,15 +60,7 @@ def events_graph(spark: SparkSession, sf_dir: str) -> Graph:
     ev = load(spark, sf_dir, "events")
     # aggregate first: shrinks |events| rows to |user×type| before the join
     inv = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("w"))
-    tid = (
-        ev.select("event_type")
-        .distinct()
-        .withColumn(
-            "tvid",
-            F.lit(TOOL_VERTEX_OFFSET)
-            + F.dense_rank().over(Window.orderBy("event_type")),
-        )
-    )
+    tid = _type_ids(ev)
     base = inv.join(F.broadcast(tid), "event_type").select(
         F.col("user_id").cast("long").alias("src"),
         F.col("tvid").cast("long").alias("dst"),
@@ -65,15 +74,7 @@ def events_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrization — the conv→tool edge of the transcript model. Input
     for direction-sensitive operators (HITS)."""
     ev = load(spark, sf_dir, "events")
-    tid = (
-        ev.select("event_type")
-        .distinct()
-        .withColumn(
-            "tvid",
-            F.lit(TOOL_VERTEX_OFFSET)
-            + F.dense_rank().over(Window.orderBy("event_type")),
-        )
-    )
+    tid = _type_ids(ev)
     return (
         ev.select("user_id", "event_type")
         .distinct()
