@@ -37,6 +37,11 @@ def build_graph(spark, args):
         if args.table_format == "parquet":
             df = spark.read.parquet(args.input)
         else:
+            # the iceberg case is normally auto-configured by the
+            # preflight in main() (catalog registered at session build
+            # when a runtime jar exists); this fallback catches a
+            # format that is still unavailable — e.g. a session built
+            # elsewhere, or a non-iceberg custom format
             try:
                 df = spark.read.format(args.table_format).load(args.input)
             except Exception as e:  # e.g. "Failed to find data source: iceberg"
@@ -45,7 +50,7 @@ def build_graph(spark, args):
                     "this Spark session. For Iceberg, submit with the runtime "
                     "package and a catalog, e.g.:\n"
                     "  spark-submit --packages org.apache.iceberg:"
-                    "iceberg-spark-runtime-3.5_2.12:<version> \\\n"
+                    "iceberg-spark-runtime-4.0_2.13:<version> \\\n"
                     "    --conf spark.sql.catalog.lake=org.apache.iceberg."
                     "spark.SparkCatalog \\\n"
                     "    --conf spark.sql.catalog.lake.type=hadoop \\\n"
@@ -72,6 +77,12 @@ def main(argv=None) -> None:
                    choices=["edges", "edgelist", "transcripts"])
     p.add_argument("--table-format", default="parquet",
                    help="spark read format for transcripts (parquet/iceberg)")
+    p.add_argument("--iceberg-warehouse", default=None,
+                   help="hadoop-catalog warehouse path (table-format="
+                   "iceberg; requires an iceberg-spark-runtime jar, "
+                   "see session.iceberg_conf)")
+    p.add_argument("--iceberg-catalog", default="lake",
+                   help="catalog name to register (table-format=iceberg)")
     p.add_argument("--edge-types", default="tool,coinvocation")
     p.add_argument("--max-tool-degree", type=int, default=1000)
     p.add_argument("--id-mode", default="dense", choices=["dense", "hash"])
@@ -98,7 +109,25 @@ def main(argv=None) -> None:
     from centrality_gpu_spark.session import get_spark
     from centrality_gpu_spark.plans.checkpoint import CheckpointManager
 
-    spark = get_spark(app_name=f"cgs_{args.algorithm}")
+    extra_conf = None
+    if args.input_format == "transcripts" and args.table_format == "iceberg":
+        # preflight: register the catalog at session build when the
+        # runtime jar exists, or fail here with the recipe — never as a
+        # ClassNotFoundException inside the first job
+        from centrality_gpu_spark.session import (
+            IcebergUnavailableError,
+            iceberg_conf,
+        )
+
+        try:
+            extra_conf = iceberg_conf(
+                args.iceberg_warehouse or os.path.dirname(args.input) or ".",
+                catalog=args.iceberg_catalog,
+            )
+        except IcebergUnavailableError as e:
+            raise SystemExit(str(e)) from e
+
+    spark = get_spark(app_name=f"cgs_{args.algorithm}", extra_conf=extra_conf)
     ckpt = CheckpointManager(spark, root=args.checkpoint_dir, every=args.checkpoint_every)
 
     if args.algorithm == "curate":

@@ -99,6 +99,78 @@ def _fold_py(s: list[str], l: str, r: str) -> list[str]:
     return out
 
 
+_PAIR_SEP = "\x00"
+
+
+def _multi_merge_fold(pairs: list[tuple[str, str]]):
+    """One-pass fold applying a BATCH of pairwise-non-interfering merges
+    (see ``_select_batch``): the (last, next) key is probed in a map
+    literal, so the expression size is O(1) in the batch size (a
+    when-chain per pair would blow up codegen at B=64+). Non-cascading
+    by construction — no pair's joined symbol is another pair's left
+    (rejected at selection), and l+r != l."""
+    entries = []
+    for l, r in pairs:
+        entries += [F.lit(l + _PAIR_SEP + r), F.lit(l + r)]
+    m = F.create_map(*entries)
+
+    def step(acc, x):
+        hit = F.try_element_at(
+            m, F.concat(F.element_at(acc, -1), F.lit(_PAIR_SEP), x)
+        )
+        can = (F.size(acc) > 0) & hit.isNotNull()
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(hit)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"), step
+    )
+
+
+def _multi_fold_py(s: list[str], pairs: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python twin of ``_multi_merge_fold``."""
+    mm = {l + _PAIR_SEP + r: l + r for l, r in pairs}
+    out: list[str] = []
+    for x in s:
+        hit = mm.get(out[-1] + _PAIR_SEP + x) if out else None
+        if hit is not None:
+            out[-1] = hit
+        else:
+            out.append(x)
+    return out
+
+
+def _select_batch(
+    ranked: list[tuple[str, str, int]], limit: int, min_pair_count: int
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of ``ranked`` ((l, r, n) in (n desc, l, r) order)
+    of pairwise NON-INTERFERING pairs, at most ``limit``.
+
+    Two pairs interfere when their symbol sets — including the joined
+    symbol l+r — intersect. Under that disjointness (a) applying one
+    batch member cannot create or destroy occurrences of another, so
+    every accepted pair's count stays exact at its application time,
+    and (b) the one-pass multi-fold equals applying the accepted merges
+    sequentially in any order. The only divergence from classic BPE is
+    the interleaving: classic BPE would re-rank after each merge and
+    might promote a pair *produced* by an earlier one before the rest
+    of the batch. ``limit=1`` degenerates to the exact classic
+    sequence."""
+    taken: list[tuple[str, str, int]] = []
+    blocked: set[str] = set()
+    for l, r, n in ranked:
+        if len(taken) >= limit or n < min_pair_count:
+            break
+        syms = {l, r, l + r}
+        if syms & blocked:
+            continue
+        taken.append((l, r, n))
+        blocked |= syms
+    return taken
+
+
 def _bpe_fit_inmemory(
     items: list[tuple[str, int]], n_merges: int, min_pair_count: int
 ) -> tuple[list[tuple[str, str, int]], list[tuple[str, int, list[str]]]]:
@@ -167,6 +239,7 @@ def bpe_train(
     min_pair_count: int = 2,
     fit_mode: str = "auto",
     max_vocab_rows: int = 2_000_000,
+    merge_batch: int = 64,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges over the corpus.
 
@@ -181,10 +254,17 @@ def bpe_train(
     ``fit_mode='driver'`` (the default when the histogram fits
     ``max_vocab_rows``) collects it once and runs the classic
     incremental heap fit — 32k merges in seconds instead of 32k
-    sequential Spark jobs. ``fit_mode='distributed'`` keeps every round
-    on the cluster (one pair-count job per merge) for vocabularies past
-    the guard; both paths emit the identical merge sequence (pinned by
-    the exact-equality pytest).
+    sequential Spark jobs. ``fit_mode='distributed'`` keeps the rounds
+    on the cluster for vocabularies past the guard, merging up to
+    ``merge_batch`` pairwise-non-interfering pairs per round (classic
+    vocab-parallel batched BPE): O(n_merges / merge_batch) jobs
+    instead of one job per merge. Batch members' counts are exact at
+    application time (the disjointness rule in ``_select_batch``
+    guarantees non-interference); only the merge *interleaving* may
+    differ from the classic sequence, so the parity test for the
+    batched mode is segmentation equality against the pure-Python
+    batched twin rather than merge-sequence equality.
+    ``merge_batch=1`` reproduces the classic sequence exactly.
     """
     hist = word_histogram(documents)
     if fit_mode == "auto":
@@ -210,7 +290,7 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pairs = vocab.select(
             "cnt",
             F.explode(
@@ -226,19 +306,28 @@ def bpe_train(
                 ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
             ).alias("p"),
         )
+        # over-fetch candidates: conflicts thin the greedy prefix, and a
+        # thinner batch only costs an extra round, never correctness
+        want = min(merge_batch, n_merges - len(merges))
         top = (
             pairs.groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(max(8 * want, 64))
             .collect()
         )
-        if not top or top[0].n < min_pair_count:
+        ranked = [(t.l, t.r, int(t.n)) for t in top]
+        batch = _select_batch(ranked, want, min_pair_count)
+        if not batch:
             break
-        l, r, n = top[0].l, top[0].r, int(top[0].n)
-        merges.append((l, r, n))
+        merges.extend(batch)
+        if len(batch) == 1:
+            l, r, _ = batch[0]
+            fold = _merge_fold(l, r)
+        else:
+            fold = _multi_merge_fold([(l, r) for l, r, _ in batch])
         vocab = vocab.select(
-            "word", "cnt", _merge_fold(l, r).alias("syms")
+            "word", "cnt", fold.alias("syms")
         ).localCheckpoint()
     return merges, vocab
 

@@ -55,3 +55,83 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ------------------------------------------------- optional Iceberg path
+#
+# BASELINE.json's input_hint names Iceberg as the transcript surface.
+# The sandbox ships no iceberg-spark-runtime jar, so — exactly like the
+# Pillow/PyAV codec paths in functions/media_codecs.py — the support is
+# an optional dependency: when a runtime jar is locatable the catalog
+# is registered for real and `spark.read.format("iceberg")` works; when
+# it is not, the preflight raises one clear, tested error instead of a
+# mid-job ClassNotFoundException.
+
+ICEBERG_JAR_ENV = "CGS_ICEBERG_JAR"
+
+
+class IcebergUnavailableError(RuntimeError):
+    """No iceberg-spark-runtime jar is locatable in this environment."""
+
+
+def find_iceberg_jar() -> str | None:
+    """Locate an ``iceberg-spark-runtime*.jar``: the ``CGS_ICEBERG_JAR``
+    env override first (must exist), then ``$SPARK_HOME/jars`` and the
+    pyspark wheel's ``jars/`` directory. Returns ``None`` when absent."""
+    import glob
+
+    override = os.environ.get(ICEBERG_JAR_ENV)
+    if override:
+        return override if os.path.exists(override) else None
+    roots = []
+    if os.environ.get("SPARK_HOME"):
+        roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    try:
+        import pyspark
+
+        roots.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:  # pragma: no cover - pyspark is a hard dep
+        pass
+    for root in roots:
+        hits = sorted(glob.glob(os.path.join(root, "iceberg-spark-runtime*.jar")))
+        if hits:
+            return hits[-1]
+    return None
+
+
+def iceberg_conf(
+    warehouse: str, catalog: str = "lake", jar: str | None = None
+) -> dict[str, str]:
+    """``extra_conf`` entries for :func:`get_spark` registering a
+    hadoop-type Iceberg catalog named ``catalog`` over ``warehouse``.
+
+    Raises :class:`IcebergUnavailableError` (with the spark-submit
+    recipe) when no runtime jar can be found — the preflight contract:
+    the failure happens at session build, not as a
+    ClassNotFoundException inside the first job.
+    """
+    jar = jar or find_iceberg_jar()
+    if jar is None:
+        raise IcebergUnavailableError(
+            "no iceberg-spark-runtime jar found (checked "
+            f"${ICEBERG_JAR_ENV}, $SPARK_HOME/jars, pyspark/jars). "
+            "Install one and set "
+            f"{ICEBERG_JAR_ENV}=/path/to/iceberg-spark-runtime-*.jar, "
+            "or submit with:\n"
+            "  spark-submit --packages org.apache.iceberg:"
+            "iceberg-spark-runtime-4.0_2.13:<version> \\\n"
+            f"    --conf spark.sql.catalog.{catalog}=org.apache.iceberg."
+            "spark.SparkCatalog \\\n"
+            f"    --conf spark.sql.catalog.{catalog}.type=hadoop \\\n"
+            f"    --conf spark.sql.catalog.{catalog}.warehouse={warehouse}"
+        )
+    return {
+        "spark.jars": jar,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions."
+            "IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }

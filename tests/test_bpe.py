@@ -116,13 +116,86 @@ def test_tokenize_and_oov_fallback(spark):
 
 
 def test_driver_and_distributed_fits_agree(spark):
-    """Both fit modes must emit the identical merge sequence and final
-    segmentation (the driver heap fit is an optimization, not a new
-    semantics)."""
+    """merge_batch=1 distributed mode must emit the identical merge
+    sequence and final segmentation as the driver heap fit (the driver
+    fit is an optimization, not a new semantics)."""
     docs = _docs(spark)
     m_drv, seg_drv = bpe_train(docs, n_merges=12, fit_mode="driver")
-    m_dst, seg_dst = bpe_train(docs, n_merges=12, fit_mode="distributed")
+    m_dst, seg_dst = bpe_train(
+        docs, n_merges=12, fit_mode="distributed", merge_batch=1
+    )
     assert m_drv == m_dst
     got_drv = {r.word: list(r.syms) for r in seg_drv.collect()}
     got_dst = {r.word: list(r.syms) for r in seg_dst.collect()}
     assert got_drv == got_dst
+
+
+def test_select_batch_rejects_interfering_pairs():
+    from centrality_gpu_spark.operators.bpe import _select_batch
+
+    ranked = [
+        ("a", "b", 10),   # taken
+        ("b", "c", 9),    # shares b -> rejected
+        ("ab", "z", 8),   # 'ab' == joined of (a,b) -> rejected
+        ("x", "y", 7),    # disjoint -> taken
+        ("q", "xy", 6),   # 'xy' == joined of (x,y) -> rejected
+        ("m", "n", 1),    # below min_pair_count -> stops
+    ]
+    got = _select_batch(ranked, limit=10, min_pair_count=2)
+    assert got == [("a", "b", 10), ("x", "y", 7)]
+    # limit=1 degenerates to the classic argmax
+    assert _select_batch(ranked, 1, 2) == [("a", "b", 10)]
+
+
+def _batched_fit_py(items, n_merges, min_pair_count, batch):
+    """Pure-Python twin of the batched distributed fit: full pair
+    recount per round, (n desc, l, r) ranking, the same greedy
+    non-interference selection, one multi-fold rewrite per round."""
+    from centrality_gpu_spark.operators.bpe import (
+        _multi_fold_py,
+        _select_batch,
+    )
+
+    sym_list = [list(w) + [END_OF_WORD] for w, _ in items]
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for (w, c), s in zip(items, sym_list):
+            for p in zip(s, s[1:]):
+                counts[p] = counts.get(p, 0) + c
+        ranked = sorted(
+            ((l, r, n) for (l, r), n in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        sel = _select_batch(
+            ranked, min(batch, n_merges - len(merges)), min_pair_count
+        )
+        if not sel:
+            break
+        merges.extend(sel)
+        prs = [(l, r) for l, r, _ in sel]
+        sym_list = [_multi_fold_py(s, prs) for s in sym_list]
+    return merges, {
+        w: s for (w, _), s in zip(items, sym_list)
+    }
+
+
+def test_batched_distributed_matches_python_twin(spark):
+    """The batched fallback (VERDICT r3 item #6): merges and final
+    segmentation must equal the pure-Python batched reference — and the
+    round count is ceil-ish in n_merges/batch, not one job per merge."""
+    docs = _docs(spark)
+    from centrality_gpu_spark.operators.bpe import word_histogram
+
+    items = [
+        (r.word, int(r.cnt))
+        for r in word_histogram(docs).orderBy("word").collect()
+    ]
+    for batch in (4, 8):
+        m_ref, seg_ref = _batched_fit_py(items, 12, 2, batch)
+        m_got, seg_got = bpe_train(
+            docs, n_merges=12, fit_mode="distributed", merge_batch=batch
+        )
+        assert m_got == m_ref
+        got = {r.word: list(r.syms) for r in seg_got.collect()}
+        assert got == seg_ref
