@@ -226,7 +226,26 @@ def bcc_size_histogram(graph: Graph) -> DataFrame:
 
 # ----------------------------------- decomposed (reach-weighted) Brandes
 
-def _component_decomposed_bc(src, dst, use_ears: bool = True):
+# Measured decision region for the ear-compressed kernel (BENCH.md
+# round-3 q16c A/B on this box: ear kernel 1.21x FASTER than plain
+# Brandes at n≈3.3k vertices, 0.86x — i.e. slower — at n≈16.5k): the
+# compression pays while the per-BCC working set is modest and there
+# are degree-2 interiors to derive; past that the extra ear bookkeeping
+# loses to the plain kernel's cache behavior.
+EAR_MAX_BCC_VERTICES = 8_000
+EAR_MIN_DEG2_FRACTION = 0.25
+
+
+def _ear_dispatch(nl: int, degs) -> bool:
+    """True when a BCC with ``nl`` vertices and degree array ``degs``
+    sits in the ear kernel's measured win region."""
+    return (
+        nl <= EAR_MAX_BCC_VERTICES
+        and float((degs == 2).mean()) >= EAR_MIN_DEG2_FRACTION
+    )
+
+
+def _component_decomposed_bc(src, dst, use_ears: bool | str = "auto"):
     """Whole decomposition for ONE connected component, in numpy:
     Tarjan → block-cut tree → reach values → per-BCC reach-weighted
     Brandes + art-point pair terms. Returns dict vertex→bc.
@@ -238,7 +257,10 @@ def _component_decomposed_bc(src, dst, use_ears: bool = True):
     ``use_ears``: run each BCC through the ear-compressed kernel
     (operators/ears.py — interiors of degree-2 runs derive their rows
     instead of running BFS), completing the reference's E1 pipeline
-    (``to_eargraph_construct.cpp:44-202``).
+    (``to_eargraph_construct.cpp:44-202``). ``"auto"`` (default)
+    decides per BCC from the measured win region (``_ear_dispatch``);
+    True/False force one kernel. Both kernels agree to 1e-9, so the
+    dispatch never changes results — only wall time.
     """
     ids = np.unique(np.concatenate([src, dst]))
     n = len(ids)
@@ -355,7 +377,12 @@ def _component_decomposed_bc(src, dst, use_ears: bool = True):
         reach = np.zeros(nl)
         for v, r in reach_per_bcc[k].items():
             reach[local[v]] = r
-        if use_ears:
+        ears_here = (
+            _ear_dispatch(nl, np.diff(iptr))
+            if use_ears == "auto"
+            else bool(use_ears)
+        )
+        if ears_here:
             from centrality_gpu_spark.operators.ears import brandes_ear_kernel
 
             part = brandes_ear_kernel(iptr, ed, nl, reach)
@@ -366,12 +393,16 @@ def _component_decomposed_bc(src, dst, use_ears: bool = True):
     return bc
 
 
-def betweenness_decomposed(graph: Graph, use_ears: bool = True) -> DataFrame:
+def betweenness_decomposed(
+    graph: Graph, use_ears: bool | str = "auto"
+) -> DataFrame:
     """(id, bc) — whole-graph exact BC via per-component BCC
     decomposition + per-BCC ear compression (the reference's full E1
     pipeline shape). Equals ``betweenness_broadcast``/``_bsp`` output
     to 1e-6; cheaper when the graph has many small biconnected pieces
-    (bridges, trees) and degree-2 chains (mesh/road-like)."""
+    (bridges, trees) and degree-2 chains (mesh/road-like).
+    ``use_ears="auto"`` dispatches per BCC on the measured win region
+    (see ``_ear_dispatch``); results are kernel-independent."""
 
     def per_component(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bc = _component_decomposed_bc(

@@ -165,3 +165,63 @@ def test_betweenness_decomposed_with_ears(spark, sample_name):
     got = {r.id: r.bc for r in betweenness_decomposed(g, use_ears=True).collect()}
     for v in exp:
         assert got[v] == pytest.approx(exp[v], abs=1e-6), v
+
+
+def test_ear_dispatch_rule():
+    """The measured decision region (BENCH.md q16c A/B): modest BCCs
+    with enough degree-2 interiors ride the ear kernel; large or
+    chain-free BCCs take plain Brandes."""
+    import numpy as np
+
+    from centrality_gpu_spark.operators.bcc import (
+        EAR_MAX_BCC_VERTICES,
+        _ear_dispatch,
+    )
+
+    ring = np.full(100, 2)          # all-degree-2 ring, small
+    assert _ear_dispatch(100, ring)
+    assert not _ear_dispatch(EAR_MAX_BCC_VERTICES + 1,
+                             np.full(EAR_MAX_BCC_VERTICES + 1, 2))
+    dense = np.full(100, 9)          # no degree-2 interiors to compress
+    assert not _ear_dispatch(100, dense)
+    mixed = np.array([2] * 30 + [5] * 70)  # 30% deg-2: in-region
+    assert _ear_dispatch(100, mixed)
+    thin = np.array([2] * 10 + [5] * 90)   # 10% deg-2: out
+    assert not _ear_dispatch(100, thin)
+
+
+@pytest.mark.parametrize("mode", ["auto", True, False])
+def test_decomposed_bc_kernel_independent(spark, mode):
+    """use_ears=auto/True/False must agree to 1e-9 — the dispatch can
+    only change wall time, never values (both sides of the threshold
+    exercised: the chain-of-cliques graph has deg-2-rich and dense
+    BCCs)."""
+    from centrality_gpu_spark.operators.bcc import betweenness_decomposed
+
+    # two 5-cliques joined by a 6-vertex path: one dense BCC, one
+    # chain-heavy BCC region, bridges, articulation points
+    edges = []
+    for base in (0, 20):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    path = [4, 10, 11, 12, 13, 14, 20]
+    edges += list(zip(path, path[1:]))
+    from centrality_gpu_spark.graph import Graph
+
+    df = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in edges], "src long, dst long, weight double"
+    )
+    g = Graph.from_undirected_edges(df, weight_col="weight")
+    got = {
+        r.id: r.bc
+        for r in betweenness_decomposed(g, use_ears=mode).collect()
+    }
+    exp = {
+        k: 2.0 * v
+        for k, v in nx.betweenness_centrality(
+            nx.Graph(edges), normalized=False
+        ).items()
+    }
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9), v
