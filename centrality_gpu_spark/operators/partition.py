@@ -75,6 +75,63 @@ def _hash_part(col, k: int):
 
 PEEL_ROUNDS = 4
 
+# Sampled expander pre-gate (auto mode only): decide "no cluster
+# structure → hash" on an md5-sampled induced subgraph BEFORE paying a
+# full-graph matching level. Only consulted above the edge threshold —
+# small graphs (every oracle/test fixture) keep the exact gate.
+EXPANDER_PREGATE_MIN_EDGES = 500_000
+EXPANDER_SAMPLE_MOD = 8          # keep vertices with md5 % 8 == 0 (~12.5%)
+EXPANDER_PREGATE_MIN_SAMPLE = 10_000  # sampled edges below this → inconclusive
+
+
+def _expander_pregate(
+    cur: Graph,
+    match_rounds: int,
+    stall_frac: float = 0.85,
+    sample_mod: int = EXPANDER_SAMPLE_MOD,
+    min_sample_edges: int = EXPANDER_PREGATE_MIN_SAMPLE,
+) -> bool:
+    """True when a deterministic vertex-induced sample of ``cur``
+    exhibits the expander signature (heavy-edge matching + contraction
+    merges <15% of the sampled edges).
+
+    The full-graph stall gate learns this only AFTER an O(E) matching
+    level plus an O(E) contraction shuffle — ~the whole cost of q16b.
+    A ``sample_mod``-th of the vertices induces ~1/sample_mod² of an
+    expander's edges, so the same signal costs ~1.6% of the work.
+    Cluster structure survives vertex-induced sampling (communities
+    stay internally dense at any uniform vertex rate), so a clustered
+    graph keeps failing this test and proceeds to real coarsening.
+    Returns False (inconclusive) when the sample is too thin to judge
+    — the exact gate then decides as before. md5 sampling keeps the
+    decision deterministic across runs and engines."""
+    e = cur.edges_by_src().select("src", "dst", "weight")
+
+    def _keep(c):
+        return (
+            F.pmod(
+                _md5_int(F.concat(F.lit("xgate:"), c.cast("string"))),
+                F.lit(sample_mod),
+            )
+            == 0
+        )
+
+    se = e.where(_keep(F.col("src")) & _keep(F.col("dst"))).localCheckpoint()
+    n = se.count()
+    if n < min_sample_edges:
+        return False
+    from centrality_gpu_spark.operators.matching import (
+        contract_matching,
+        maximal_matching,
+    )
+
+    sg = Graph.from_symmetric_edges(se)
+    m = maximal_matching(
+        sg, max_rounds=match_rounds, allow_partial=True, by_weight=True
+    )
+    coarse, _ = contract_matching(sg, m.localCheckpoint())
+    return coarse.count() > stall_frac * n
+
 
 def collapse_pendants(
     graph: Graph,
@@ -306,6 +363,16 @@ def partition_graph(
     prev_e = core_edges.count()
     first_e = prev_e
     cur = Graph.from_symmetric_edges(core_edges) if prev_e else None
+    if (
+        auto
+        and init == "lpa"
+        and prev_e >= EXPANDER_PREGATE_MIN_EDGES
+        and _expander_pregate(cur, match_rounds or 2)
+    ):
+        # expander detected on the sample: skip the coarsening levels
+        # entirely (the full-graph stall gate would reach the same
+        # "hash" verdict after an O(E) matching + contraction)
+        n_levels = 0
     for _ in range(n_levels):
         if prev_e == 0:
             break  # fully collapsed — the SQL twin's levels are no-ops

@@ -371,3 +371,55 @@ def test_partition_edges_colocates_intra_part_edges(spark):
     assert all(len(s) == 1 for s in by_part.values())
     # star forest partitions with zero cut: every edge intra-part
     assert all(r.src_part == r.dst_part for r in rows)
+
+
+def test_expander_pregate_sampled_decision(spark):
+    """The sampled pre-gate (auto mode, large graphs) must flag a
+    random expander and pass a clustered graph through to real
+    coarsening — on a deterministic md5 vertex sample, not the full
+    edge set."""
+    import hashlib
+
+    from centrality_gpu_spark.graph import Graph
+    from centrality_gpu_spark.operators.partition import _expander_pregate
+
+    def h(i, j):
+        return int(hashlib.md5(f"e:{i}:{j}".encode()).hexdigest()[:8], 16)
+
+    # expander-ish: 2,000 vertices, ~24k deterministic pseudo-random
+    # edges (no locality, multiplicity 1 → contraction merges little)
+    n = 2000
+    exp_edges = set()
+    i = 0
+    while len(exp_edges) < 24000:
+        a, b = h(i, 1) % n, h(i, 2) % n
+        if a != b:
+            exp_edges.add((min(a, b), max(a, b)))
+        i += 1
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in exp_edges], "src long, dst long, weight double"
+    )
+    g_exp = Graph.from_undirected_edges(df, weight_col="weight")
+    assert _expander_pregate(
+        g_exp, match_rounds=2, sample_mod=2, min_sample_edges=1000
+    )
+
+    # clustered: 20 cliques of 40 (internally dense at ANY uniform
+    # vertex sampling rate) — heavy-edge matching merges plenty
+    cl_edges = []
+    for c in range(20):
+        base = c * 40
+        for i in range(40):
+            for j in range(i + 1, 40):
+                cl_edges.append((base + i, base + j))
+    df2 = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in cl_edges], "src long, dst long, weight double"
+    )
+    g_cl = Graph.from_undirected_edges(df2, weight_col="weight")
+    assert not _expander_pregate(
+        g_cl, match_rounds=2, sample_mod=2, min_sample_edges=1000
+    )
+    # thin sample → inconclusive (never forces hash on small graphs)
+    assert not _expander_pregate(
+        g_cl, match_rounds=2, sample_mod=2, min_sample_edges=10**9
+    )
