@@ -557,6 +557,26 @@ def partition_multilevel(
     lvls: list[list] = [[core_edges, comp, None]]
     prev_e = core_edges.count()
     cur = Graph.from_symmetric_edges(core_edges) if prev_e else None
+    if (
+        exact_levels is None
+        and prev_e >= EXPANDER_PREGATE_MIN_EDGES
+        and _expander_pregate(cur, match_rounds)
+    ):
+        # same sampled verdict as partition_graph's auto gate: an
+        # expander gains nothing from coarsening, LPA packing, OR
+        # refinement rounds — hash the pendant-collapsed anchors and
+        # project (pendant edges still land uncut, the only structure
+        # such a graph has)
+        return (
+            pmap.select("id", F.col("anchor").alias("rep"))
+            .join(
+                comp.select("rep").distinct().select(
+                    "rep", _hash_part(F.col("rep"), k).alias("part")
+                ),
+                "rep",
+            )
+            .select("id", "part")
+        )
     n_levels = max_levels if exact_levels is None else exact_levels
     for _ in range(n_levels):
         if prev_e == 0:
