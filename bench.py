@@ -234,11 +234,12 @@ def main() -> None:
     gco.unpersist()
 
     # q16b: the structure-free case — the copurchase co-occurrence graph
-    # is an expander (level-1 contraction merges <5% of its edges; its
-    # 254-vertex coarsest graph is 60% dense), so the auto stall gate
-    # stops after one level and hash-assigns: measuring that the engine
-    # REFUSES to burn compute where no partition helps is the honest
-    # scale behavior (r2 spent 59 s here for a 0.926 cut ≈ random)
+    # is an expander (contraction merges <5% of its edges), so the auto
+    # gate hash-assigns: measuring that the engine REFUSES to burn
+    # compute where no partition helps is the honest scale behavior
+    # (r2 spent 59 s here for a 0.926 cut ≈ random). Since r4 the
+    # verdict comes from an md5-sampled induced subgraph (~1/64 of the
+    # edges) instead of a full-graph matching level.
     def partition_expander_job():
         # localCheckpoint: edge_cut_summary joins parts twice; without
         # it the peel+matching pipeline would execute once per side
