@@ -32,8 +32,17 @@ def dense_rank_ids(names: DataFrame, order_cols: tuple[str, ...]) -> DataFrame:
     instead of an O(n) single-task sort.
 
     ``order_cols`` must be a unique key of ``names`` (ties would make
-    the rank nondeterministic — same contract the window had).
+    the rank nondeterministic — same contract the window had). The
+    input must not already carry an ``id`` or ``pid`` column — ``id``
+    is the output rank and ``pid`` the internal partition stamp.
     """
+    reserved = {"id", "pid"} & set(names.columns)
+    if reserved:
+        raise ValueError(
+            f"dense_rank_ids: input columns {sorted(reserved)} are "
+            "reserved (id = output rank, pid = internal partition "
+            "stamp); rename them first"
+        )
     cols = list(order_cols)
     n_part = int(
         names.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")

@@ -265,6 +265,14 @@ def bpe_train(
     batched mode is segmentation equality against the pure-Python
     batched twin rather than merge-sequence equality.
     ``merge_batch=1`` reproduces the classic sequence exactly.
+
+    **Auto-mode seam**: a corpus whose vocabulary grows past
+    ``max_vocab_rows`` crosses from the driver fit (classic sequence)
+    to the batched distributed fit, and the learned merge ORDER may
+    change at that seam (vocab-parallel BPE's standard trade; both
+    sides stay fully deterministic). Pin ``fit_mode`` + ``merge_batch``
+    (e.g. ``fit_mode='distributed', merge_batch=1``) when bit-stable
+    tokenization across corpus growth matters more than fit latency.
     """
     hist = word_histogram(documents)
     if fit_mode == "auto":

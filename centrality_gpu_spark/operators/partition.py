@@ -78,15 +78,22 @@ PEEL_ROUNDS = 4
 # Sampled expander pre-gate (auto mode only): decide "no cluster
 # structure → hash" on an md5-sampled induced subgraph BEFORE paying a
 # full-graph matching level. Only consulted above the edge threshold —
-# small graphs (every oracle/test fixture) keep the exact gate.
-EXPANDER_PREGATE_MIN_EDGES = 500_000
+# small graphs (every oracle/test fixture) keep the exact gate. The
+# threshold is derived so a consulted gate is always CONCLUSIVE: a
+# vertex sample at rate 1/mod keeps ~E/mod² edges, so requiring
+# E ≥ mod²·min_sample means the sample meets the min-edge floor (on an
+# expander; denser-than-uniform graphs only exceed it) instead of
+# paying a sample job just to fall through.
 EXPANDER_SAMPLE_MOD = 8          # keep vertices with md5 % 8 == 0 (~12.5%)
 EXPANDER_PREGATE_MIN_SAMPLE = 10_000  # sampled edges below this → inconclusive
+EXPANDER_PREGATE_MIN_EDGES = (
+    EXPANDER_SAMPLE_MOD * EXPANDER_SAMPLE_MOD * EXPANDER_PREGATE_MIN_SAMPLE
+)  # = 640k
 
 
 def _expander_pregate(
     cur: Graph,
-    match_rounds: int,
+    match_rounds: int | None,
     stall_frac: float = 0.85,
     sample_mod: int = EXPANDER_SAMPLE_MOD,
     min_sample_edges: int = EXPANDER_PREGATE_MIN_SAMPLE,
@@ -121,13 +128,22 @@ def _expander_pregate(
     if n < min_sample_edges:
         return False
     from centrality_gpu_spark.operators.matching import (
+        MATCHING_MAX_ROUNDS,
         contract_matching,
         maximal_matching,
     )
 
     sg = Graph.from_symmetric_edges(se)
+    # mirror the REAL loop's matching budget exactly (match_rounds=None
+    # → run to maximality, same as partition_graph's level loop): a
+    # gate that matches less aggressively than the path it predicts
+    # would be systematically stall-biased and could falsely
+    # hash-assign clustered graphs
     m = maximal_matching(
-        sg, max_rounds=match_rounds, allow_partial=True, by_weight=True
+        sg,
+        max_rounds=match_rounds or MATCHING_MAX_ROUNDS,
+        allow_partial=match_rounds is not None,
+        by_weight=True,
     )
     coarse, _ = contract_matching(sg, m.localCheckpoint())
     return coarse.count() > stall_frac * n
@@ -367,7 +383,7 @@ def partition_graph(
         auto
         and init == "lpa"
         and prev_e >= EXPANDER_PREGATE_MIN_EDGES
-        and _expander_pregate(cur, match_rounds or 2)
+        and _expander_pregate(cur, match_rounds)
     ):
         # expander detected on the sample: skip the coarsening levels
         # entirely (the full-graph stall gate would reach the same
@@ -567,16 +583,12 @@ def partition_multilevel(
         # refinement rounds — hash the pendant-collapsed anchors and
         # project (pendant edges still land uncut, the only structure
         # such a graph has)
-        return (
-            pmap.select("id", F.col("anchor").alias("rep"))
-            .join(
-                comp.select("rep").distinct().select(
-                    "rep", _hash_part(F.col("rep"), k).alias("part")
-                ),
-                "rep",
-            )
-            .select("id", "part")
-        )
+        return comp.join(
+            comp.select("rep").distinct().select(
+                "rep", _hash_part(F.col("rep"), k).alias("part")
+            ),
+            "rep",
+        ).select("id", "part")
     n_levels = max_levels if exact_levels is None else exact_levels
     for _ in range(n_levels):
         if prev_e == 0:

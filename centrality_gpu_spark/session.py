@@ -92,10 +92,19 @@ def find_iceberg_jar() -> str | None:
         roots.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
     except ImportError:  # pragma: no cover - pyspark is a hard dep
         pass
+    import re
+
     for root in roots:
-        hits = sorted(glob.glob(os.path.join(root, "iceberg-spark-runtime*.jar")))
+        hits = glob.glob(os.path.join(root, "iceberg-spark-runtime*.jar"))
         if hits:
-            return hits[-1]
+            # numeric version order, not lexicographic: "1.10.0" must
+            # beat "1.9.0" (string sort would pick 1.9.0)
+            return max(
+                hits,
+                key=lambda p: [
+                    int(x) for x in re.findall(r"\d+", os.path.basename(p))
+                ],
+            )
     return None
 
 

@@ -69,3 +69,14 @@ def test_cli_preflight_exits_with_recipe(monkeypatch, tmp_path):
             "--output", str(tmp_path / "out"),
         ])
     assert not built
+
+
+def test_jar_pick_is_numeric_version_order(monkeypatch, tmp_path):
+    monkeypatch.delenv(ICEBERG_JAR_ENV, raising=False)
+    jars = tmp_path / "jars"
+    jars.mkdir()
+    (jars / "iceberg-spark-runtime-4.0_2.13-1.9.0.jar").write_bytes(b"PK")
+    (jars / "iceberg-spark-runtime-4.0_2.13-1.10.0.jar").write_bytes(b"PK")
+    monkeypatch.setenv("SPARK_HOME", str(tmp_path))
+    # lexicographic sort would pick 1.9.0 ("1.9" > "1.10" as strings)
+    assert find_iceberg_jar().endswith("1.10.0.jar")
