@@ -38,7 +38,13 @@ def oriented_edges(graph: Graph) -> DataFrame:
 
 def triangles(graph: Graph) -> DataFrame:
     """All triangles as (a, b, c) in orientation order (each exactly once)."""
-    oe = oriented_edges(graph)
+    # lazy localCheckpoint: the oriented table feeds BOTH wedge sides
+    # and the closing-edge probe — without it Catalyst re-derives the
+    # degree join (and re-reads the source) once per reference, which
+    # the plan audit showed as 24 identical scans on an unpersisted
+    # graph. Lazy (eager=False) keeps the operator side-effect-free
+    # until the caller's first action.
+    oe = oriented_edges(graph).localCheckpoint(eager=False)
     e1 = oe.alias("e1")
     e2 = oe.alias("e2")
     e3 = oe.alias("e3")
