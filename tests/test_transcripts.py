@@ -271,3 +271,16 @@ def test_reply_edge_type(spark):
     assert edges[(g_id, e_id)] == 3.0 and edges[(e_id, g_id)] == 3.0
     # only the two tool vertices carry reply edges
     assert set(edges) == {(g_id, e_id), (e_id, g_id)}
+
+
+def test_dense_rank_ids_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    from centrality_gpu_spark.ids import dense_rank_ids
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with _pytest.raises(ValueError, match="reserved"):
+        dense_rank_ids(df, ("name",))
+    df2 = spark.createDataFrame([(1, "a")], "pid long, name string")
+    with _pytest.raises(ValueError, match="reserved"):
+        dense_rank_ids(df2, ("name",))
