@@ -14,7 +14,13 @@ same rows (tests/test_streaming.py). ``streaming.progress`` covers the
 third stateful idiom — ``applyInPandasWithState`` per-key state in
 Spark's state store (``streaming_conversation_progress``: assembled
 turn prefixes under out-of-order delivery, idle-timeout finalization,
-≡ its batch twin in any delivery order).
+≡ its batch twin in any delivery order). ``streaming.transitions``
+rides the same state-store idiom with DELTA (retraction) emission:
+``streaming_tool_transitions`` emits ±1 handoff-pair deltas as tool
+turns arrive in any order — an out-of-order insert retracts the pair
+it splits — so a downstream ``SUM(delta)`` converges to exactly the
+batch ``tool_transitions`` counts (differential-dataflow style,
+tested on permuted + replayed delivery).
 
 The reference engine is strictly batch (SURVEY.md §2.8); this module is
 the Spark-native extension its transcript source implies at
@@ -31,6 +37,9 @@ from centrality_gpu_spark.streaming.progress import (  # noqa: F401
 )
 from centrality_gpu_spark.streaming.sessions import (  # noqa: F401
     streaming_session_stats,
+)
+from centrality_gpu_spark.streaming.transitions import (  # noqa: F401
+    streaming_tool_transitions,
 )
 from centrality_gpu_spark.streaming.transcripts import (  # noqa: F401
     compact_edge_deltas,
