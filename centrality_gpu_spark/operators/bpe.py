@@ -314,18 +314,33 @@ def bpe_train(
                 ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
             ).alias("p"),
         )
-        # over-fetch candidates: conflicts thin the greedy prefix, and a
-        # thinner batch only costs an extra round, never correctness
+        # over-fetch candidates, then DEEPEN on exhaustion: the greedy
+        # selection must see the same ranking the pure-Python twin scans
+        # in full, so if interference consumes the fetched prefix before
+        # the batch is filled — while deeper candidates could still be
+        # eligible — re-fetch with a larger limit instead of silently
+        # taking a thinner batch than the twin would.
         want = min(merge_batch, n_merges - len(merges))
-        top = (
+        ranked_df = (
             pairs.groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(max(8 * want, 64))
-            .collect()
         )
-        ranked = [(t.l, t.r, int(t.n)) for t in top]
-        batch = _select_batch(ranked, want, min_pair_count)
+        fetch = max(8 * want, 64)
+        while True:
+            top = ranked_df.limit(fetch).collect()
+            ranked = [(t.l, t.r, int(t.n)) for t in top]
+            batch = _select_batch(ranked, want, min_pair_count)
+            # conclusive when: batch filled, ranking exhausted (fewer
+            # rows than asked for), or the fetched tail already fell
+            # below min_pair_count (everything unseen ranks lower still)
+            if (
+                len(batch) >= want
+                or len(top) < fetch
+                or ranked[-1][2] < min_pair_count
+            ):
+                break
+            fetch *= 4
         if not batch:
             break
         merges.extend(batch)

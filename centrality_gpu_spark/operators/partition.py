@@ -42,8 +42,12 @@ measuring how much shuffle a layout would save (``edge_cut_summary``).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from centrality_gpu_spark.graph import Graph
 from centrality_gpu_spark.plans.checkpoint import (
@@ -319,6 +323,7 @@ def partition_graph(
     slack_pct: int = REFINE_SLACK_PCT,
     peel_rounds: int = PEEL_ROUNDS,
     lpa_iters: int = LPA_INIT_ITERS,
+    pregate: bool = True,
 ) -> DataFrame:
     """(id, part) — a deterministic k-way assignment of every vertex,
     part ∈ [0, k). ``levels`` coarsening rounds roughly halve V each
@@ -359,6 +364,12 @@ def partition_graph(
     ≥15% of the edges — an expander-shaped graph (e.g. a dense random
     co-occurrence graph) has no cluster structure for contraction to
     find, and further levels would burn shuffles for nothing.
+
+    ``pregate=False`` disables the *sampled* expander pre-gate (auto
+    mode, ≥640k edges), forcing the exact full-graph stall gate — the
+    opt-out for borderline graphs that sample as expander-like but are
+    still refinable. A pre-gate short-circuit is logged (WARNING) so
+    quality regressions are attributable.
     """
     from centrality_gpu_spark.operators.matching import (
         MATCHING_MAX_ROUNDS,
@@ -381,13 +392,24 @@ def partition_graph(
     cur = Graph.from_symmetric_edges(core_edges) if prev_e else None
     if (
         auto
+        and pregate
         and init == "lpa"
         and prev_e >= EXPANDER_PREGATE_MIN_EDGES
         and _expander_pregate(cur, match_rounds)
     ):
         # expander detected on the sample: skip the coarsening levels
         # entirely (the full-graph stall gate would reach the same
-        # "hash" verdict after an O(E) matching + contraction)
+        # "hash" verdict after an O(E) matching + contraction).
+        # pregate=False forces the exact full-graph gate for borderline
+        # graphs; the log line makes a short-circuit attributable when
+        # cut quality regresses.
+        _LOG.warning(
+            "partition_graph: sampled expander pre-gate short-circuited "
+            "coarsening (%d edges >= %d); pass pregate=False to force "
+            "the exact full-graph stall gate",
+            prev_e,
+            EXPANDER_PREGATE_MIN_EDGES,
+        )
         n_levels = 0
     for _ in range(n_levels):
         if prev_e == 0:
@@ -535,6 +557,7 @@ def partition_multilevel(
     peel_rounds: int = PEEL_ROUNDS,
     max_levels: int = AUTO_MAX_LEVELS,
     exact_levels: int | None = None,
+    pregate: bool = True,
 ) -> DataFrame:
     """(id, part) — the full METIS-style V-cycle: pendant collapse →
     matching coarsening (auto depth: stops at O(k) vertices, on an
@@ -556,6 +579,9 @@ def partition_multilevel(
     geometrically when the graph has cluster structure, and the stall
     gate aborts the whole descent when it doesn't (an expander gains
     nothing from any partitioner).
+
+    ``pregate=False`` disables the sampled expander pre-gate (same
+    opt-out + WARNING log as :func:`partition_graph`).
     """
     target = max(k * COARSE_PER_PART, 256)
     from centrality_gpu_spark.operators.matching import (
@@ -575,9 +601,17 @@ def partition_multilevel(
     cur = Graph.from_symmetric_edges(core_edges) if prev_e else None
     if (
         exact_levels is None
+        and pregate
         and prev_e >= EXPANDER_PREGATE_MIN_EDGES
         and _expander_pregate(cur, match_rounds)
     ):
+        _LOG.warning(
+            "partition_multilevel: sampled expander pre-gate "
+            "short-circuited the V-cycle (%d edges >= %d); pass "
+            "pregate=False (or pin exact_levels) to force the exact path",
+            prev_e,
+            EXPANDER_PREGATE_MIN_EDGES,
+        )
         # same sampled verdict as partition_graph's auto gate: an
         # expander gains nothing from coarsening, LPA packing, OR
         # refinement rounds — hash the pendant-collapsed anchors and

@@ -26,7 +26,34 @@ def get_spark(
     ``cores=None`` → ``local[*]``. ``shuffle_partitions`` defaults to
     the core count (local mode): the guide's "200 is wrong for both
     tiny and huge" rule. On a cluster, pass ~2-3× total executor cores.
+
+    ``extra_conf`` entries that cannot be applied to an *existing*
+    session (``spark.jars``, ``spark.sql.catalog.*``, extensions —
+    anything ``getOrCreate`` silently ignores) raise ``RuntimeError``
+    when a live SparkSession is already active, instead of letting the
+    iceberg read fail mid-job and defeating the preflight contract.
     """
+    if extra_conf:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            # getOrCreate applies *modifiable* (runtime) confs to the
+            # existing session; static ones (spark.jars, extensions,
+            # driver memory) are silently dropped — exactly the entries
+            # iceberg_conf's preflight depends on.
+            stale = sorted(
+                k
+                for k, v in extra_conf.items()
+                if not active.conf.isModifiable(k)
+                and active.conf.get(k, None) != v
+            )
+            if stale:
+                raise RuntimeError(
+                    "get_spark(extra_conf=...) found an already-active "
+                    "SparkSession; getOrCreate would silently ignore "
+                    f"these static entries: {stale}. Stop the active "
+                    "session first (spark.stop()) or build the session "
+                    "with this conf before any other Spark use."
+                )
     cores_str = "*" if cores is None else str(cores)
     if shuffle_partitions is not None:
         n_shuffle = shuffle_partitions

@@ -270,7 +270,10 @@ def _progress_fn(
     # dropped — instead of holding unbounded state forever.
     if max_pending is not None and len(cur[1]) > max_pending:
         state.remove()
-        yield _emit_row(conv_id, cur, final=True)
+        # seq_bump=1 mirrors the timeout path: the terminal row must
+        # advance update_seq past the last non-final row's, so "latest
+        # by seq" consumers order the final marker correctly
+        yield _emit_row(conv_id, cur, final=True, seq_bump=1)
         return
     state.update(cur)
     if timeout_ms:
@@ -307,9 +310,14 @@ def streaming_conversation_progress(
     availableNow replays should leave ``timeout_ms=None``.
 
     Lifecycle note: ``final=true`` is terminal for that state. If the
-    same conv_id produces rows AFTER its timeout, a fresh state starts
-    and ``update_seq`` restarts from 1 — a consumer keying "latest row
-    per conv" must scope it to rows since the last ``final`` marker.
+    same conv_id produces rows AFTER its timeout — or after a
+    ``max_pending`` finalization (same lost-row contract: the cap drops
+    state, it cannot stop the source from sending more rows) — a fresh
+    state starts from empty with reset counters and ``update_seq``
+    restarting from 1, and a second ``final=true`` row may eventually
+    follow. A consumer keying "latest row per conv" (or counting
+    conversations) must scope to rows since the last ``final`` marker
+    rather than treating conv_id as unique-per-final.
     """
     timeout = "ProcessingTimeTimeout" if timeout_ms else "NoTimeout"
 

@@ -71,6 +71,22 @@ def test_cli_preflight_exits_with_recipe(monkeypatch, tmp_path):
     assert not built
 
 
+def test_get_spark_rejects_static_conf_on_active_session(spark):
+    """getOrCreate silently drops static confs (spark.jars, catalogs)
+    on an existing session — the preflight must fail loudly instead of
+    letting the iceberg read die mid-job (ADVICE r04)."""
+    from centrality_gpu_spark.session import get_spark
+
+    with pytest.raises(RuntimeError, match="already-active"):
+        get_spark(extra_conf={"spark.jars": "/nonexistent/iceberg.jar"})
+    # modifiable confs ARE applied by getOrCreate — those must not trip
+    # the guard (value pinned to the current one: no session mutation)
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
+    assert (
+        get_spark(extra_conf={"spark.sql.shuffle.partitions": cur}) is spark
+    )
+
+
 def test_jar_pick_is_numeric_version_order(monkeypatch, tmp_path):
     monkeypatch.delenv(ICEBERG_JAR_ENV, raising=False)
     jars = tmp_path / "jars"

@@ -117,6 +117,9 @@ def test_progress_fn_max_pending_finalizes():
     [out] = list(_progress_fn(("c",), iter([pdf]), st, max_pending=3))
     row = out.iloc[0]
     assert st.removed and bool(row["final"]) and row["n_pending"] == 4
+    # the terminal row bumps update_seq past the folded state's seq,
+    # same as the timeout path (ADVICE r04): one fold -> seq 1, +1 = 2
+    assert row["update_seq"] == 2
 
 
 class _StubState:
