@@ -141,6 +141,8 @@ from centrality_gpu_spark.operators.lm import (
     duplicate_ngram_oracle_sql,
     perplexity,
     perplexity_oracle_sql,
+    span_dedup,
+    span_dedup_oracle_sql,
 )
 from centrality_gpu_spark.operators.sessions import (
     session_stats,
@@ -1369,6 +1371,81 @@ def _q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     return dsir_weights(docs, docs.where(DSIR_TARGET_WHERE))
 
 
+# a shared 24-token boilerplate span appended to every 11th doc — the
+# synthetic corpus has no natural >=15-token duplicated spans, so the
+# green row must prove real span REMOVAL (kept only at the minimal
+# doc_id site), not a no-op pass. Same expression as the oracle CTE.
+SPAN_INJECT_TOKENS = " ".join(f"boiler{i} plate{i}" for i in range(12))
+SPAN_INJECT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0
+            THEN text || ' {SPAN_INJECT_TOKENS}'
+            ELSE text END AS text
+FROM documents
+""".strip()
+
+
+def _q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    t, d = F.col("text"), F.col("doc_id")
+    injected = _docs(spark, sf).select(
+        "doc_id",
+        F.when(
+            d % 11 == 0, F.concat(t, F.lit(" " + SPAN_INJECT_TOKENS))
+        ).otherwise(t).alias("text"),
+    )
+    return span_dedup(injected, k=15)
+
+
+# ------------------------------------------------- streaming fold rows
+#
+# VERDICT r04 item #3: put the incremental accumulators under the HARD
+# driver signal. Each row folds the sf parquet through a streaming
+# accumulator in K deterministic md5 chunks and returns the FINAL
+# state; the oracle is the corresponding batch DuckDB twin, because
+# incremental ≡ batch is exactly the operator's contract
+# (streaming/components.py, triangles.py, dedup.py — order-free folds).
+
+
+def _fold_chunks(df: DataFrame, key_cols: list, n_chunks: int, fold) -> None:
+    """Split ``df`` into ``n_chunks`` by md5 of ``key_cols`` (chunk
+    membership is a row property — deterministic across runs/engines)
+    and fold them in chunk order."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    tag = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+        F.lit(n_chunks),
+    )
+    tagged = df.withColumn("_chunk", tag).localCheckpoint()
+    for i in range(n_chunks):
+        fold(tagged.where(F.col("_chunk") == i).drop("_chunk"))
+
+
+def _q_streaming_components_fold_events(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.streaming.components import StreamingComponents
+
+    edges = events_graph(spark, sf).edges_by_src().select("src", "dst")
+    acc = StreamingComponents(spark)
+    _fold_chunks(edges, ["src", "dst"], 5, acc.update)
+    return acc.state.select("id", "component")
+
+
+def _q_streaming_triangles_fold_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.streaming.triangles import StreamingTriangles
+
+    edges = copurchase_graph(spark, sf).edges_by_src().select("src", "dst")
+    acc = StreamingTriangles(spark)
+    _fold_chunks(edges, ["src", "dst"], 3, acc.update)
+    return spark.createDataFrame([(acc.total,)], "n_triangles long")
+
+
+def _q_streaming_dedup_fold(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.streaming.dedup import StreamingMinHashDedup
+
+    acc = StreamingMinHashDedup(spark, threshold=0.5)
+    _fold_chunks(_docs(spark, sf), ["doc_id"], 4, acc.update)
+    return acc.pairs.select("doc_a", "doc_b", "jaccard")
+
+
 def _q_session_stats_events(spark: SparkSession, sf: str) -> DataFrame:
     return session_stats(spark.read.parquet(f"{sf}/events.parquet"))
 
@@ -1437,18 +1514,82 @@ def _q_semantic_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate samples the FIRST ~50
-    # keys. Round-4 rotation (VERDICT r3 item #1): the 43 registry rows
-    # that have NEVER had a driver-green row (cumulative over
-    # CORRECTNESS_r01..r03) lead the window, followed by 7 flagship
-    # canaries from the r02/r03-green set — 50 keys exactly. The
+    # keys. Standing policy from round 5 on (VERDICT r04 item #2):
+    # rotate by LEAST-RECENTLY-DRIVER-CHECKED — brand-new rows first,
+    # then rows whose last green driver check is oldest, then the 7
+    # flagship canaries; rows checked in the two most recent rounds
+    # trail. This keeps every row's driver-check age <= ~2 rounds. The
     # cumulative driver-green ledger lives in BASELINE.md; every key is
     # still oracle-checked every round by tools/check_oracles.py (full
     # sweep committed as ORACLES_r{N}.txt).
     return {
-        # --- never-driver-checked until now (43 rows) ---
+        # --- round-5 window: 4 NEW rows (span dedup + the three
+        # streaming-fold rows) lead, then the 45 rows whose last
+        # driver check was r01/r02 (least-recently-driver-checked
+        # rotation, VERDICT r04 item #2), then the 7 flagship
+        # canaries. Cumulative ledger: BASELINE.md.
+        "span_dedup": _q_span_dedup,
+        "streaming_components_fold_events": _q_streaming_components_fold_events,
+        "streaming_triangles_fold_copurchase": _q_streaming_triangles_fold_copurchase,
+        "streaming_dedup_fold": _q_streaming_dedup_fold,
+        # --- last driver-checked in r01/r02 (45 rows) ---
+        "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
+        "ann_topk": _q_ann_topk,
+        "bm25_topk": _q_bm25_topk,
+        "char_entropy": _q_char_entropy,
+        "component_summary_custorder": _q_component_summary_custorder,
+        "component_summary_events": _q_component_summary_events,
+        "curate_corpus": _q_curate_corpus,
+        "curation_funnel": _q_curation_funnel,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_exact": _q_dedup_exact,
+        "degree_hist_copurchase": _q_degree_hist_copurchase,
+        "degrees_events": _q_degrees_events,
+        "dsir_weights": _q_dsir_weights,
+        "duplicate_ngrams": _q_duplicate_ngrams,
+        "edges_copurchase": _q_edges_copurchase,
+        "edges_events": _q_edges_events,
+        "eigenvector_copurchase": _q_eigenvector_copurchase,
+        "embedding_clusters": _q_embedding_clusters,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "kmeans_embeddings": _q_kmeans_embeddings,
+        "knn_graph": _q_knn_graph,
+        "language_id": _q_langid,
+        "minhash_dedup": _q_minhash_dedup,
+        "neighbor_mean": _q_neighbor_mean,
+        "ngram_contamination": _q_ngram_contamination,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "pack_sequences": _q_pack_sequences,
+        "pagerank_copurchase": _q_pagerank_copurchase,
+        "perplexity": _q_perplexity,
+        "pii_scrub": _q_pii_scrub,
+        "quality_filter": _q_quality_filter,
+        "quality_score": _q_quality,
+        "repetition_stats": _q_repetition_stats,
+        "semantic_near_dups": _q_semantic_near_dups,
+        "session_stats_events": _q_session_stats_events,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "stratified_sample": _q_stratified_sample,
+        "strip_boilerplate": _q_strip_boilerplate,
+        "tfidf_topk": _q_tfidf_topk,
+        "token_stats": _q_token_stats,
+        "vocab_growth": _q_vocab_growth,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_matches": _q_winnow_matches,
+        "word_histogram": _q_word_histogram,
+        # --- flagship canaries (the hard signal touches the
+        # engine's core every round) ---
+        "betweenness_events": _q_betweenness_events,
+        "sssp_events": _q_sssp_events,
+        "components_events": _q_components_events,
+        "pagerank_events": _q_pagerank_events,
+        "triangle_count_copurchase": _q_triangle_count_copurchase,
+        "transcript_edges": _q_transcript_edges,
+        "pagerank_transcripts": _q_pagerank_transcripts,
+        # ------------- end of the driver's ~50-key window -------------
+        # --- last driver-checked in r03/r04 ---
         "conversation_progress_transcripts": _q_conversation_progress_transcripts,
-        # the reference's own sample_input/test{3,4}.txt fixtures
-        # (measure_energy.py:89's remaining two graphs):
         "betweenness_sample3": _q_betweenness_sample3,
         "betweenness_sample4": _q_betweenness_sample4,
         "betweenness_decomposed_custorder": _q_betweenness_decomposed_custorder,
@@ -1487,25 +1628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_events": _q_random_walks_events,
         "node2vec_walks_events": _q_node2vec_walks_events,
         "sample_neighbors_events": _q_sample_neighbors_events,
-        # symmetry breaking (Luby MIS / Jones-Plassmann coloring) and
-        # ANF/HADI FM-sketch distance statistics — md5-deterministic,
-        # whole unrolled run replicated in DuckDB:
         "mis_events": _q_mis_events,
         "coloring_events": _q_coloring_events,
         "anf_reach_events": _q_anf_reach_events,
         "eff_diameter_events": _q_eff_diameter_events,
-        # --- flagship canaries (driver-green in r02/r03; keep the hard
-        # signal touching the engine's core every round) ---
-        "betweenness_events": _q_betweenness_events,
-        "sssp_events": _q_sssp_events,
-        "components_events": _q_components_events,
-        "pagerank_events": _q_pagerank_events,
-        "triangle_count_copurchase": _q_triangle_count_copurchase,
-        "transcript_edges": _q_transcript_edges,
-        "pagerank_transcripts": _q_pagerank_transcripts,
-        # ---------------- end of the driver's ~50-key window ----------------
-        # --- Brandes betweenness family (unrolled-APSP / closed-form /
-        # reference-sample-golden oracles, every physical strategy) ---
         "betweenness_custorder": _q_betweenness_custorder,
         "betweenness_bsp_custorder": _q_betweenness_bsp_custorder,
         "betweenness_weighted_events": _q_betweenness_weighted_events,
@@ -1514,7 +1640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_betweenness_events": _q_edge_betweenness_events,
         "betweenness_sample1": _q_betweenness_sample1,
         "betweenness_sample2": _q_betweenness_sample2,
-        # --- closeness / harmonic / eccentricity (same MS-BFS machinery) ---
         "closeness_events": _q_closeness_events,
         "closeness_custorder": _q_closeness_custorder,
         "closeness_weighted_events": _q_closeness_weighted_events,
@@ -1524,96 +1649,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eccentricity_weighted_events": _q_eccentricity_weighted_events,
         "graph_extent_events": _q_graph_extent_events,
         "shortest_path_events": _q_shortest_path_events,
-        # --- north-rule transcripts pipeline ---
         "conversation_stats_transcripts": _q_conversation_stats_transcripts,
         "tool_transitions_transcripts": _q_tool_transitions_transcripts,
         "reply_invariant_transcripts": _q_reply_invariant_transcripts,
         "pagerank_weighted_transcripts": _q_pagerank_weighted_transcripts,
         "betweenness_transcripts": _q_betweenness_transcripts,
-        # --- triangles / clustering ---
         "triangles_per_vertex_copurchase": _q_triangles_per_vertex_copurchase,
         "transitivity_copurchase": _q_transitivity_copurchase,
         "clustering_copurchase": _q_clustering_copurchase,
-        # --- label propagation / components ---
         "lpa_events": _q_lpa_events,
         "lpa_weighted_events": _q_lpa_weighted_events,
-        # --- PageRank family / spectral ---
         "pagerank_residuals_events": _q_pagerank_residuals_events,
         "pagerank_weighted_events": _q_pagerank_weighted_events,
         "ppr_events": _q_ppr_events,
         "katz_events": _q_katz_events,
         "hits_events": _q_hits_events,
         "salsa_events": _q_salsa_events,
-        "pagerank_copurchase": _q_pagerank_copurchase,
-        "eigenvector_copurchase": _q_eigenvector_copurchase,
-        # --- structural decompositions (closed-form star-forest oracles) ---
         "bcc_histogram_custorder": _q_bcc_histogram_custorder,
         "articulation_custorder": _q_articulation_custorder,
         "bridges_events": _q_bridges_events,
         "two_edge_components_events": _q_two_edge_components_events,
         "pendant_peel_custorder": _q_pendant_peel_custorder,
         "core_numbers_custorder": _q_core_numbers_custorder,
-        # --- temporal / partitioning / directed ---
         "temporal_arrival_events": _q_temporal_arrival_events,
         "partition_refined_events": _q_partition_refined_events,
         "edge_cut_refined_events": _q_edge_cut_refined_events,
         "scc_lineitem": _q_scc_lineitem,
-        # --- edge builders / degree profiles / summaries ---
-        "edges_events": _q_edges_events,
-        "edges_copurchase": _q_edges_copurchase,
-        "degrees_events": _q_degrees_events,
-        "degree_hist_copurchase": _q_degree_hist_copurchase,
-        "component_summary_events": _q_component_summary_events,
-        "component_summary_custorder": _q_component_summary_custorder,
-        # --- training-data pipeline ops (documents/embeddings);
-        # driver-verified in round 2 (CORRECTNESS_r02.json 50/50) ---
-        "token_stats": _q_token_stats,
-        "pii_scrub": _q_pii_scrub,
-        "repetition_stats": _q_repetition_stats,
-        "strip_boilerplate": _q_strip_boilerplate,
-        "ngram_contamination": _q_ngram_contamination,
-        "stratified_sample": _q_stratified_sample,
-        "curate_corpus": _q_curate_corpus,
-        "curation_funnel": _q_curation_funnel,
-        "pack_sequences": _q_pack_sequences,
-        "vocab_growth": _q_vocab_growth,
-        "word_histogram": _q_word_histogram,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_matches": _q_winnow_matches,
-        "quality_score": _q_quality,
-        # corpus-distribution signals (corpus-trained unigram LM /
-        # corpus gram counts / target-vs-raw DSIR buckets):
-        "perplexity": _q_perplexity,
-        "duplicate_ngrams": _q_duplicate_ngrams,
-        "dsir_weights": _q_dsir_weights,
-        "char_entropy": _q_char_entropy,
-        "quality_filter": _q_quality_filter,
-        "language_id": _q_langid,
-        "dedup_exact": _q_dedup_exact,
-        "tfidf_topk": _q_tfidf_topk,
-        "bm25_topk": _q_bm25_topk,
-        "session_stats_events": _q_session_stats_events,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "ann_topk": _q_ann_topk,
-        # md5-mode LSH pipelines — the whole shingle→signature→band→
-        # bucket-join→verify chain replicated in DuckDB:
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_near_dups": _q_simhash_near_dups,
-        # LSH pairs → connected components → representative pick (the
-        # dedup decision), whole chain replicated in DuckDB:
-        "dedup_clusters": _q_dedup_clusters,
-        # deterministic ±1-plane LSH (method='expr') — bucket, re-rank,
-        # and threshold chain replicated in DuckDB:
-        "ann_lsh": _q_ann_lsh,
-        # kNN graph over embeddings + CC clusters on its strong edges
-        # (the embeddings → graph-engine bridge), both replicated:
-        "knn_graph": _q_knn_graph,
-        "embedding_clusters": _q_embedding_clusters,
-        "neighbor_mean": _q_neighbor_mean,
-        "ann_ivf": _q_ann_ivf,
-        "kmeans_embeddings": _q_kmeans_embeddings,
-        "semantic_near_dups": _q_semantic_near_dups,
-        "embedding_near_dups": _q_embedding_near_dups,
     }
 
 
@@ -1650,6 +1711,11 @@ def oracle_sql() -> dict[str, str]:
         "perplexity": perplexity_oracle_sql(),
         "duplicate_ngrams": duplicate_ngram_oracle_sql(n=5),
         "dsir_weights": dsir_oracle_sql(DSIR_TARGET_WHERE),
+        "span_dedup": span_dedup_oracle_sql(
+            k=15,
+            source="injected",
+            extra_cte=f"injected AS ({SPAN_INJECT_SQL})",
+        ),
         "char_entropy": char_entropy_sql(),
         "quality_filter": quality_filter_sql(),
         "language_id": language_id_sql(),
@@ -1661,6 +1727,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": bm25_oracle_sql(BM25_QUERY, k=10),
         "ngram_jaccard": ngram_jaccard_sql(threshold=0.5),
         "minhash_dedup": minhash_oracle_sql(threshold=0.5),
+        # streaming fold twin (see streaming_components_fold_events)
+        "streaming_dedup_fold": minhash_oracle_sql(threshold=0.5),
         "simhash_near_dups": simhash_oracle_sql(max_hamming=8),
         "dedup_clusters": dedup_clusters_oracle_sql(threshold=0.5),
         "ann_topk": cosine_topk_oracle_sql(k=5, where="vec_id < 200"),
@@ -1692,6 +1760,17 @@ def oracle_sql() -> dict[str, str]:
         "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src)\n"
         "SELECT degree, COUNT(*) AS cnt FROM deg GROUP BY degree ORDER BY degree",
         "components_events": f"WITH RECURSIVE {EVENTS_EDGES_CTE},\n"
+        "verts AS (SELECT DISTINCT src AS id FROM edges),\n"
+        "reach(id, l) AS (\n"
+        "  SELECT id, id FROM verts\n"
+        "  UNION\n"
+        "  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id\n"
+        ")\n"
+        "SELECT id, MIN(l) AS component FROM reach GROUP BY id ORDER BY id",
+        # streaming fold twin: the incremental accumulator's contract
+        # is EXACT equality with the one-shot batch answer, so the
+        # batch oracle IS the fold oracle
+        "streaming_components_fold_events": f"WITH RECURSIVE {EVENTS_EDGES_CTE},\n"
         "verts AS (SELECT DISTINCT src AS id FROM edges),\n"
         "reach(id, l) AS (\n"
         "  SELECT id, id FROM verts\n"
@@ -1733,6 +1812,10 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["ego_network_oracle_sql"],
         ).ego_network_oracle_sql(EVENTS_EDGES_CTE, radius=2, part="edges"),
         "triangle_count_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
+        f"{TRIANGLE_COUNT_SQL}\n"
+        "SELECT COUNT(*) AS n_triangles FROM tri",
+        # streaming fold twin (see streaming_components_fold_events)
+        "streaming_triangles_fold_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"
         f"{TRIANGLE_COUNT_SQL}\n"
         "SELECT COUNT(*) AS n_triangles FROM tri",
         "triangles_per_vertex_copurchase": f"WITH {COPURCHASE_EDGES_CTE},\n"

@@ -24,7 +24,7 @@ every output is DuckDB-oracle-checkable at ROUND(.,6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "unigram_lm",
@@ -35,6 +35,8 @@ __all__ = [
     "perplexity_oracle_sql",
     "duplicate_ngram_oracle_sql",
     "dsir_oracle_sql",
+    "span_dedup",
+    "span_dedup_oracle_sql",
 ]
 
 
@@ -379,5 +381,177 @@ SELECT d.doc_id,
        CAST(COALESCE(p.n, 0) AS BIGINT) AS n_feats,
        ROUND(COALESCE(p.s / p.n, 0.0), 6) AS dsir_logratio
 FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+""".strip()
+
+
+# ------------------------------------------------ exact substring dedup
+
+
+def span_dedup(documents: DataFrame, k: int = 20) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_removed) — EXACT duplicated-span
+    REMOVAL: every maximal word span of length ≥ ``k`` that occurs more
+    than once in the corpus (cross-document or repeated in-document)
+    survives in exactly one place — its first occurrence by (doc_id,
+    position) — and is deleted everywhere else. This is the actual
+    dedup step of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", their ExactSubstr at word granularity);
+    :func:`duplicate_ngram_fraction` only *measures* the signal and
+    ``text.winnow_fingerprints`` only *fingerprints* it.
+
+    Semantics (deterministic, engine-independent):
+
+    1. tokens = the family's shared tokenizer (lowercase, split on
+       whitespace, drop empties) — ``clean_text`` is rebuilt from the
+       kept tokens space-joined, i.e. output text is normalized.
+    2. every k-gram occurrence (doc_id, pos) whose gram value occurs
+       elsewhere in the corpus is a *duplicate start* unless it is the
+       gram's canonical occurrence: the minimum (doc_id, pos).
+    3. a token is removed iff some duplicate start covers it — a
+       duplicate start at q covers positions [q, q+k-1].
+
+    Why this equals span semantics: a duplicated span of length
+    L ≥ k is duplicated in ALL of its L−k+1 k-grams, whose non-first
+    occurrences cover exactly the span's tokens at the losing sites;
+    conversely no token outside a duplicated ≥k-span is covered by any
+    duplicated k-gram. First-occurrence canonicalization keeps the
+    whole span intact at its minimal (doc_id, pos) site (all its grams
+    are canonical there), so exactly one copy survives.
+
+    Scale shape: the suffix-array of the paper is replaced by the
+    distributed-native equivalent — one posexplode of k-gram positions
+    (O(total tokens) rows), one groupBy(gram) for the canonical
+    occurrence (the inverted-index shuffle, same profile as
+    ``duplicate_ngram_fraction``; at 100 TB swap the string key for
+    ``xxhash64`` to shrink the shuffle payload), one join back, and a
+    per-document rows-window of width k for coverage — no window ever
+    spans more than one document. Hot grams (a boilerplate sentence
+    duplicated a million times) hit the groupBy as one skewed key;
+    the min() aggregate is algebraic (map-side partial), so the skew
+    cost is a partial-agg fan-in, never a sort of the hot group.
+    """
+    w = _words()
+    toks = documents.select(
+        "doc_id", F.posexplode(w).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    occ = documents.select(
+        "doc_id", F.posexplode(_grams(_words(), k)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    mins = occ.groupBy("g").agg(
+        F.min(F.struct("doc_id", "pos")).alias("mn"),
+        F.count("*").alias("c"),
+    )
+    starts = (
+        occ.join(mins, "g")
+        .where(
+            (F.col("c") > 1)
+            & (F.struct("doc_id", "pos") != F.col("mn"))
+        )
+        .select("doc_id", "pos", F.lit(1).alias("dup_start"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), 0)
+    )
+    flagged = (
+        toks.join(starts, ["doc_id", "pos"], "left")
+        .select(
+            "doc_id",
+            "pos",
+            "token",
+            F.max(F.coalesce("dup_start", F.lit(0))).over(win).alias("rm"),
+        )
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("rm").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rm") == 0,
+                                F.struct("pos", F.array("token").alias("t")),
+                            ).otherwise(
+                                F.struct(
+                                    "pos",
+                                    F.array().cast("array<string>").alias("t"),
+                                )
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                )
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def span_dedup_oracle_sql(
+    k: int = 20, source: str = "documents", extra_cte: str = ""
+) -> str:
+    """Term-for-term DuckDB twin of :func:`span_dedup`: same tokenizer,
+    same 1-based gram positions, same min-(doc_id, pos) canonical rule,
+    same width-k coverage window, same space-joined rebuild.
+
+    ``extra_cte`` — an optional leading CTE body (e.g. an injected
+    ``source``), spliced as ``WITH <extra_cte>, base AS ...``."""
+    if extra_cte:
+        extra_cte = extra_cte.rstrip().rstrip(",") + ",\n"
+    return f"""
+WITH {extra_cte}base AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM {source}
+),
+toks AS (
+  SELECT doc_id, i AS pos, w[i] AS token
+  FROM base, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+occ AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[i:i+{k - 1}], ' ') AS g
+  FROM base, UNNEST(generate_series(1, len(w) - {k - 1})) AS t(i)
+  WHERE len(w) >= {k}
+),
+ranked AS (
+  SELECT doc_id, pos, g,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS c
+  FROM occ
+),
+starts AS (
+  SELECT doc_id, pos, 1 AS dup_start FROM ranked WHERE c > 1 AND rn > 1
+),
+flagged AS (
+  SELECT t.doc_id, t.pos, t.token,
+         MAX(COALESCE(s.dup_start, 0)) OVER (
+           PARTITION BY t.doc_id ORDER BY t.pos
+           ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW
+         ) AS rm
+  FROM toks t LEFT JOIN starts s ON s.doc_id = t.doc_id AND s.pos = t.pos
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(rm) AS n_removed,
+         string_agg(token, ' ' ORDER BY pos) FILTER (WHERE rm = 0)
+             AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.clean_text, '') AS clean_text,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_removed, 0) AS BIGINT) AS n_removed
+FROM {source} d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 ORDER BY d.doc_id
 """.strip()
