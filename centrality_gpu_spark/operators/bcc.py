@@ -231,18 +231,104 @@ def bcc_size_histogram(graph: Graph) -> DataFrame:
 # Brandes at n≈3.3k vertices, 0.86x — i.e. slower — at n≈16.5k): the
 # compression pays while the per-BCC working set is modest and there
 # are degree-2 interiors to derive; past that the extra ear bookkeeping
-# loses to the plain kernel's cache behavior.
+# loses to the plain kernel's cache behavior. The win region is
+# CACHE-RESIDENCY-bound, so the defaults encode THIS box (VERDICT r04
+# nit #3); on other hardware override via env
+# (CGS_EAR_MAX_BCC_VERTICES / CGS_EAR_MIN_DEG2_FRACTION) or run
+# ``calibrate_ear_dispatch()`` once per session to measure the
+# crossover in place. Results are kernel-independent either way
+# (tested both sides of the threshold) — only efficiency moves.
 EAR_MAX_BCC_VERTICES = 8_000
 EAR_MIN_DEG2_FRACTION = 0.25
+
+# session-scoped overrides set by calibrate_ear_dispatch()
+_EAR_CAL: dict = {}
+
+
+def _ear_limits() -> tuple[int, float]:
+    import os
+
+    mx = _EAR_CAL.get(
+        "max_vertices",
+        int(os.environ.get("CGS_EAR_MAX_BCC_VERTICES", EAR_MAX_BCC_VERTICES)),
+    )
+    frac = _EAR_CAL.get(
+        "min_deg2",
+        float(
+            os.environ.get("CGS_EAR_MIN_DEG2_FRACTION", EAR_MIN_DEG2_FRACTION)
+        ),
+    )
+    return int(mx), float(frac)
 
 
 def _ear_dispatch(nl: int, degs) -> bool:
     """True when a BCC with ``nl`` vertices and degree array ``degs``
-    sits in the ear kernel's measured win region."""
-    return (
-        nl <= EAR_MAX_BCC_VERTICES
-        and float((degs == 2).mean()) >= EAR_MIN_DEG2_FRACTION
-    )
+    sits in the ear kernel's measured win region (env-overridable;
+    see ``calibrate_ear_dispatch``)."""
+    mx, frac = _ear_limits()
+    return nl <= mx and float((degs == 2).mean()) >= frac
+
+
+def calibrate_ear_dispatch(probe_vertices: int = 3_000) -> dict:
+    """One-shot in-place calibration of the ear-dispatch win region:
+    time the ear kernel vs plain Brandes on a synthetic ~66%-degree-2
+    probe graph (a 3-hop-subdivided random cubic core — the regime the
+    kernel targets) of ``probe_vertices`` vertices, and cache the
+    verdict for the rest of the session.
+
+    If the ear kernel does not win even on its home turf at this size,
+    the box's cache hierarchy is unfavorable and the dispatch is
+    disabled (max_vertices = 0); if it wins, the shipped defaults
+    stand. Returns the measurement dict (also stored in ``_EAR_CAL``).
+    """
+    import time as _time
+
+    import numpy as np
+
+    from centrality_gpu_spark.operators.betweenness import brandes_kernel
+    from centrality_gpu_spark.operators.ears import brandes_ear_kernel
+
+    # deterministic core: ring of n0 vertices + chords i -> (i*7+3)%n0,
+    # every edge subdivided twice -> ~2/3 of vertices are degree-2
+    n0 = max(probe_vertices // 5, 8)
+    s0 = np.arange(n0, dtype=np.int64)
+    core_s = np.concatenate([s0, s0])
+    core_d = np.concatenate([(s0 + 1) % n0, (s0 * 7 + 3) % n0])
+    keep = core_s != core_d
+    core_s, core_d = core_s[keep], core_d[keep]
+    m0 = len(core_s)
+    mid1 = n0 + 2 * np.arange(m0, dtype=np.int64)
+    mid2 = mid1 + 1
+    es = np.concatenate([core_s, mid1, mid2])
+    ed = np.concatenate([mid1, mid2, core_d])
+    n = n0 + 2 * m0
+    asrc = np.concatenate([es, ed])
+    adst = np.concatenate([ed, es])
+    order = np.argsort(asrc, kind="stable")
+    indices = adst[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, asrc + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    t0 = _time.time()
+    plain = brandes_kernel(indptr, indices, np.arange(n), n)
+    t_plain = _time.time() - t0
+    t0 = _time.time()
+    eared = brandes_ear_kernel(indptr, indices, n)
+    t_ear = _time.time() - t0
+    assert np.allclose(plain, eared, atol=1e-6)
+    win = t_ear < t_plain
+    _EAR_CAL["max_vertices"] = EAR_MAX_BCC_VERTICES if win else 0
+    _EAR_CAL["min_deg2"] = EAR_MIN_DEG2_FRACTION
+    out = {
+        "probe_vertices": int(n),
+        "plain_s": round(t_plain, 4),
+        "ear_s": round(t_ear, 4),
+        "ear_wins": bool(win),
+        "max_vertices": _EAR_CAL["max_vertices"],
+    }
+    _EAR_CAL["probe"] = out
+    return out
 
 
 def _component_decomposed_bc(src, dst, use_ears: bool | str = "auto"):

@@ -190,6 +190,42 @@ def test_ear_dispatch_rule():
     assert not _ear_dispatch(100, thin)
 
 
+def test_ear_dispatch_env_override(monkeypatch):
+    """The win region encodes THIS box's cache hierarchy (VERDICT r04
+    nit #3): other hardware overrides it via env without code edits."""
+    import numpy as np
+
+    from centrality_gpu_spark.operators.bcc import _ear_dispatch
+
+    ring = np.full(100, 2)
+    monkeypatch.setenv("CGS_EAR_MAX_BCC_VERTICES", "50")
+    assert not _ear_dispatch(100, ring)  # cap lowered below 100
+    monkeypatch.setenv("CGS_EAR_MAX_BCC_VERTICES", "200")
+    monkeypatch.setenv("CGS_EAR_MIN_DEG2_FRACTION", "0.0")
+    dense = np.full(100, 9)
+    assert _ear_dispatch(100, dense)  # fraction floor removed
+
+
+def test_ear_calibration_probe():
+    """One-shot in-place calibration: the probe times both kernels on a
+    ~2/3-degree-2 synthetic, asserts output equality, and caches a
+    session verdict that _ear_dispatch then honors."""
+    import numpy as np
+
+    from centrality_gpu_spark.operators import bcc
+
+    try:
+        out = bcc.calibrate_ear_dispatch(probe_vertices=1_000)
+        assert out["probe_vertices"] >= 900
+        assert out["plain_s"] > 0 and out["ear_s"] > 0
+        assert out["max_vertices"] in (0, bcc.EAR_MAX_BCC_VERTICES)
+        ring = np.full(100, 2)
+        expect = out["max_vertices"] > 0
+        assert bcc._ear_dispatch(100, ring) is expect
+    finally:
+        bcc._EAR_CAL.clear()  # don't leak the verdict into other tests
+
+
 @pytest.mark.parametrize("mode", ["auto", True, False])
 def test_decomposed_bc_kernel_independent(spark, mode):
     """use_ears=auto/True/False must agree to 1e-9 — the dispatch can
