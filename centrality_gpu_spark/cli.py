@@ -36,6 +36,14 @@ def build_graph(spark, args):
     if args.input_format == "transcripts":
         if args.table_format == "parquet":
             df = spark.read.parquet(args.input)
+        elif args.table_format == "table":
+            # catalog-table identifier (db.table or catalog.db.table) —
+            # the surface an Iceberg table presents once its catalog is
+            # registered (session.iceberg_conf); with the built-in
+            # session catalog this is a managed/external table. Reading
+            # through the catalog keeps partition pruning and column
+            # pruning owned by the table format, not the path layout.
+            df = spark.read.table(args.input)
         else:
             # the iceberg case is normally auto-configured by the
             # preflight in main() (catalog registered at session build
@@ -76,7 +84,10 @@ def main(argv=None) -> None:
     p.add_argument("--input-format", default="edges",
                    choices=["edges", "edgelist", "transcripts"])
     p.add_argument("--table-format", default="parquet",
-                   help="spark read format for transcripts (parquet/iceberg)")
+                   help="transcripts read surface: 'parquet' (path), "
+                   "'table' (catalog identifier via spark.read.table — "
+                   "the registered-Iceberg-catalog surface), or a spark "
+                   "data-source name like 'iceberg'")
     p.add_argument("--iceberg-warehouse", default=None,
                    help="hadoop-catalog warehouse path (table-format="
                    "iceberg; requires an iceberg-spark-runtime jar, "
