@@ -70,11 +70,19 @@ def brandes_kernel(
     dependency accumulation, all per-level numpy (np.add.at ≅ the
     kernels' atomicAdd).
     """
+    from centrality_gpu_spark.operators.csrkernels import csr_components
+
     if reach is None:
         reach = np.zeros(n)
     bc = np.zeros(n)
+    # one O(V+E) sweep amortized over the source batch: restricts each
+    # source's bottom-up candidates to its component (multi-component
+    # graphs otherwise pay O(E_total) per fat level per source)
+    comp = csr_components(indptr, indices, n)
     for s in sources:
-        dist, sigma, levels = bfs_forward(indptr, indices, int(s), n)
+        dist, sigma, levels = bfs_forward(
+            indptr, indices, int(s), n, comp=comp
+        )
         delta = np.zeros(n)
         for lvl in range(len(levels) - 1, 0, -1):
             vrep, nbr = _flat_neighbors(indptr, indices, levels[lvl - 1])
@@ -142,11 +150,17 @@ def brandes_edge_kernel(
     (``kernels_free.cu:377-426`` accumulates the identical product, it
     just adds it to the vertex cell instead of the edge slot).
     """
-    from centrality_gpu_spark.operators.csrkernels import _flat_neighbors_eidx
+    from centrality_gpu_spark.operators.csrkernels import (
+        _flat_neighbors_eidx,
+        csr_components,
+    )
 
     ebc = np.zeros(len(indices))
+    comp = csr_components(indptr, indices, n)
     for s in sources:
-        dist, sigma, levels = bfs_forward(indptr, indices, int(s), n)
+        dist, sigma, levels = bfs_forward(
+            indptr, indices, int(s), n, comp=comp
+        )
         delta = np.zeros(n)
         for lvl in range(len(levels) - 1, 0, -1):
             vrep, nbr, eidx = _flat_neighbors_eidx(

@@ -128,24 +128,33 @@ def multi_source_bfs_broadcast(graph: Graph, sources: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from centrality_gpu_spark.operators.csrkernels import bfs_forward, graph_to_csr
+    from centrality_gpu_spark.operators.csrkernels import (
+        bfs_forward,
+        csr_components,
+        graph_to_csr,
+    )
 
     spark = graph.spark
     ids, indptr, indices = graph_to_csr(graph)
     n = len(ids)
-    bcast = spark.sparkContext.broadcast((ids, indptr, indices))
+    # component labels ride the broadcast: one O(V+E) sweep on the
+    # driver keeps every task's bottom-up levels component-local
+    comp = csr_components(indptr, indices, n)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, comp))
     num_tasks = int(spark.conf.get("spark.sql.shuffle.partitions"))
     src_df = sources.select(F.col("source").cast("long")).repartition(num_tasks)
 
     def run_batch(batches):
-        ids_, indptr_, indices_ = bcast.value
+        ids_, indptr_, indices_, comp_ = bcast.value
         n_ = len(ids_)
         for pdf in batches:
             for s in pdf["source"].to_numpy():
                 pos = int(np.searchsorted(ids_, s))
                 if pos >= n_ or ids_[pos] != s:
                     raise ValueError(f"unknown BFS source vertex id {s}")
-                dist, sigma, _levels = bfs_forward(indptr_, indices_, pos, n_)
+                dist, sigma, _levels = bfs_forward(
+                    indptr_, indices_, pos, n_, comp=comp_
+                )
                 reached = dist >= 0
                 yield pd.DataFrame(
                     {

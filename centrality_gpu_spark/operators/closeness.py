@@ -68,10 +68,16 @@ def closeness_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame
     """(id, closeness) — broadcast-CSR fast path: bit-parallel MS-BFS
     (64 sources per uint64-lane pass, ``msbfs_distance_stats``) — the
     per-source loop of the reference regime collapsed 64-fold."""
+    from centrality_gpu_spark.operators.csrkernels import csr_components
+
     spark = graph.spark
     ids, indptr, indices = graph_to_csr(graph)
     n = len(ids)
-    bcast = spark.sparkContext.broadcast((ids, indptr, indices))
+    # component labels ride the broadcast: each task's 64-lane passes
+    # then sweep the SOURCE'S component's sub-CSR, not the whole graph
+    # (msbfs_distance_stats_grouped — the multi-component scale fix)
+    comp = csr_components(indptr, indices, n)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, comp))
     if num_tasks is None:
         num_tasks = min(int(spark.conf.get("spark.sql.shuffle.partitions")), max(1, n))
     src_df = spark.createDataFrame([(int(i),) for i in range(n)], "sid long").repartition(
@@ -79,24 +85,24 @@ def closeness_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame
     )
 
     def run_batch(batches):
-        from centrality_gpu_spark.operators.csrkernels import msbfs_distance_stats
+        from centrality_gpu_spark.operators.csrkernels import (
+            msbfs_distance_stats_grouped,
+        )
 
-        ids_, indptr_, indices_ = bcast.value
+        ids_, indptr_, indices_, comp_ = bcast.value
         n_ = len(ids_)
         for pdf in batches:
             sids = pdf["sid"].to_numpy()
-            for c in range(0, len(sids), 64):
-                chunk = sids[c : c + 64]
-                far, reach, _h, _e = msbfs_distance_stats(
-                    indptr_, indices_, chunk, n_
-                )
-                yield pd.DataFrame(
-                    {
-                        "source": ids_[chunk],
-                        "farness": far.astype(np.int64),
-                        "reachable": reach.astype(np.int64),
-                    }
-                )
+            far, reach, _h, _e = msbfs_distance_stats_grouped(
+                indptr_, indices_, sids, n_, comp_
+            )
+            yield pd.DataFrame(
+                {
+                    "source": ids_[sids],
+                    "farness": far.astype(np.int64),
+                    "reachable": reach.astype(np.int64),
+                }
+            )
 
     far = src_df.mapInPandas(run_batch, "source long, farness long, reachable long")
     return _closeness_from_farness(far, n)
@@ -293,6 +299,12 @@ def closeness_sampled(
     O(s·E) work total — THE scale path when all-source closeness is
     unaffordable. The landmark set is md5-ordered (same scheme as
     ``betweenness_sampled``) so the DuckDB oracle replays it exactly.
+
+    Multi-component note: the per-TARGET lane kernel here is not
+    component-grouped (unlike the all-source paths, which ride
+    ``msbfs_distance_stats_grouped``) — with s ≪ V landmarks the waste
+    is bounded by ceil(s/64) full-CSR passes, already the operator's
+    declared cost, so grouping would only re-partition the same O(s·E).
     """
     from centrality_gpu_spark.operators.csrkernels import msbfs_target_sums
 
@@ -388,10 +400,13 @@ def harmonic_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:
     Σ1/d instead of Σd — harmonic handles disconnected graphs without
     the wf correction factor.
     """
+    from centrality_gpu_spark.operators.csrkernels import csr_components
+
     spark = graph.spark
     ids, indptr, indices = graph_to_csr(graph)
     n = len(ids)
-    bcast = spark.sparkContext.broadcast((ids, indptr, indices))
+    comp = csr_components(indptr, indices, n)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, comp))
     if num_tasks is None:
         num_tasks = min(int(spark.conf.get("spark.sql.shuffle.partitions")), max(1, n))
     src_df = spark.createDataFrame([(int(i),) for i in range(n)], "sid long").repartition(
@@ -399,18 +414,18 @@ def harmonic_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:
     )
 
     def run_batch(batches):
-        from centrality_gpu_spark.operators.csrkernels import msbfs_distance_stats
+        from centrality_gpu_spark.operators.csrkernels import (
+            msbfs_distance_stats_grouped,
+        )
 
-        ids_, indptr_, indices_ = bcast.value
+        ids_, indptr_, indices_, comp_ = bcast.value
         n_ = len(ids_)
         for pdf in batches:
             sids = pdf["sid"].to_numpy()
-            for c in range(0, len(sids), 64):
-                chunk = sids[c : c + 64]
-                _f, _r, harm, _e = msbfs_distance_stats(
-                    indptr_, indices_, chunk, n_
-                )
-                yield pd.DataFrame({"id": ids_[chunk], "harmonic": harm})
+            _f, _r, harm, _e = msbfs_distance_stats_grouped(
+                indptr_, indices_, sids, n_, comp_
+            )
+            yield pd.DataFrame({"id": ids_[sids], "harmonic": harm})
 
     return src_df.mapInPandas(run_batch, "id long, harmonic double")
 

@@ -79,6 +79,27 @@ def graph_to_csr(graph, max_edges: int | None = DEFAULT_BROADCAST_MAX_EDGES):
     return ids, indptr, t.astype(np.int64)
 
 
+def csr_components(indptr: np.ndarray, indices: np.ndarray, n: int):
+    """Connected-component labels of a symmetric CSR: labels[v] = the
+    smallest vertex id in v's component. One O(V+E) BFS sweep (the
+    python loop touches each vertex once as a root *candidate* — no
+    per-component rescans, so star forests with thousands of
+    components stay linear)."""
+    labels = np.full(n, -1, dtype=np.int64)
+    for s in range(n):
+        if labels[s] != -1:
+            continue
+        labels[s] = s
+        frontier = np.array([s], dtype=np.int64)
+        while frontier.size:
+            _, nbr = _flat_neighbors(indptr, indices, frontier)
+            nbr = np.unique(nbr)
+            nbr = nbr[labels[nbr] == -1]
+            labels[nbr] = s
+            frontier = nbr
+    return labels
+
+
 def bfs_forward(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -86,6 +107,7 @@ def bfs_forward(
     n: int,
     alpha: float = BEAMER_ALPHA,
     directions: list | None = None,
+    comp: np.ndarray | None = None,
 ):
     """Direction-optimizing single-source BFS with σ path counting.
 
@@ -104,6 +126,19 @@ def bfs_forward(
     decision the diameter median proxies, made per level instead of per
     graph. ``directions`` (optional list) records 'td'/'bu' per level
     for tests/metrics.
+
+    ``comp`` (optional per-vertex component labels, ``csr_components``)
+    restricts the bottom-up candidate set — and the α cost model's
+    undiscovered-edge budget — to the SOURCE'S component. Without it, a
+    multi-component graph (disjoint shards, star forests, 10× replica
+    scale-ups) makes bottom-up scan every *unreachable* vertex's full
+    degree at every fat level: vertices that can never find a parent
+    have no early-exit, so the α calibration collapses and a per-source
+    BFS pays O(E_total) per level instead of O(E_component). Measured
+    on 10 disjoint sf0.1 copurchase copies: betweenness-64src 88.5 s →
+    component-restricted ≈ its 1× traversal cost + the shared CSR
+    build. Results are bit-identical either way (a bottom-up parent is
+    always in the source's component).
     """
     dist = np.full(n, -1, dtype=np.int64)
     sigma = np.zeros(n)
@@ -111,7 +146,12 @@ def bfs_forward(
     sigma[s] = 1.0
     levels = [np.array([s], dtype=indices.dtype)]
     deg = np.diff(indptr)
-    deg_undisc = int(deg.sum()) - int(deg[s])
+    if comp is None:
+        cmask = None
+        deg_undisc = int(deg.sum()) - int(deg[s])
+    else:
+        cmask = comp == comp[s]
+        deg_undisc = int(deg[cmask].sum()) - int(deg[s])
     d = 0
     while levels[-1].size:
         frontier = levels[-1]
@@ -121,7 +161,9 @@ def bfs_forward(
             directions.append("bu" if use_bu else "td")
         if use_bu:
             # bottom-up: undiscovered vertices scan for level-d parents
-            undisc = np.nonzero(dist == -1)[0].astype(indices.dtype)
+            # (component-restricted when labels are supplied)
+            und_mask = dist == -1 if cmask is None else (dist == -1) & cmask
+            undisc = np.nonzero(und_mask)[0].astype(indices.dtype)
             vrep, nbr = _flat_neighbors(indptr, indices, undisc)
             m = dist[nbr] == d
             v = vrep[m]
@@ -305,6 +347,70 @@ def msbfs_distance_stats(
         ecc = np.where(lanes > 0, float(d), ecc)
         frontier = new
     return farness, reachable, harmonic, ecc
+
+
+def _csr_subgraph(indptr: np.ndarray, indices: np.ndarray, verts: np.ndarray):
+    """Renumbered sub-CSR induced on a COMPONENT's sorted vertex set
+    (every neighbor of ``verts`` is itself in ``verts``, so the
+    searchsorted renumbering is exact). O(V_c + E_c)."""
+    counts = indptr[verts + 1] - indptr[verts]
+    sub_indptr = np.zeros(len(verts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=sub_indptr[1:])
+    _, nbr = _flat_neighbors(indptr, indices, verts)
+    return sub_indptr, np.searchsorted(verts, nbr)
+
+
+def msbfs_distance_stats_grouped(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    sids: np.ndarray,
+    n: int,
+    comp: np.ndarray | None = None,
+):
+    """``msbfs_distance_stats`` over an arbitrary source set,
+    COMPONENT-partitioned (labels from ``csr_components``): sources are
+    grouped by component, each component's sub-CSR is extracted ONCE
+    per call, and the 64-lane passes run on the component-local arrays
+    — so a pull sweep costs O(E_component), not O(E_total). On a
+    multi-component graph (disjoint shards, star forests, k× replica
+    scale-ups) the ungrouped kernel pays the whole graph per pass for
+    lanes that can only ever see their own component: measured on 10
+    disjoint sf0.1 copurchase copies, all-source harmonic went 38.8×
+    its 1× wall ungrouped vs the ≤12× linear bar. Distances are
+    renumber-invariant, so results are bit-identical to the ungrouped
+    kernel. ``comp=None`` (or a single component) falls through to the
+    plain kernel with no extraction.
+
+    Returns (farness, reachable, harmonic, ecc) aligned to ``sids``.
+    """
+    sids = np.asarray(sids, dtype=np.int64)
+    k = len(sids)
+    far = np.zeros(k)
+    reach = np.zeros(k)
+    harm = np.zeros(k)
+    ecc = np.zeros(k)
+
+    def run_plain(iptr, idx, local_sids, nn, out_pos):
+        for c0 in range(0, len(local_sids), 64):
+            sl = slice(c0, c0 + 64)
+            f, r, h, e = msbfs_distance_stats(iptr, idx, local_sids[sl], nn)
+            pos = out_pos[sl]
+            far[pos], reach[pos], harm[pos], ecc[pos] = f, r, h, e
+
+    if comp is None or len(np.unique(comp)) <= 1:
+        run_plain(indptr, indices, sids, n, np.arange(k))
+        return far, reach, harm, ecc
+    csid = comp[sids]
+    order = np.argsort(csid, kind="stable")
+    bounds = np.nonzero(np.diff(csid[order]))[0] + 1
+    for grp in np.split(order, bounds):
+        if grp.size == 0:
+            continue
+        verts = np.nonzero(comp == csid[grp[0]])[0]
+        sub_iptr, sub_idx = _csr_subgraph(indptr, indices, verts)
+        run_plain(sub_iptr, sub_idx, np.searchsorted(verts, sids[grp]),
+                  len(verts), grp)
+    return far, reach, harm, ecc
 
 
 def msbfs_target_sums(

@@ -36,10 +36,13 @@ from centrality_gpu_spark.plans.checkpoint import CheckpointManager, with_iterat
 
 def eccentricity_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFrame:
     """(id, ecc) — broadcast-CSR fast path (ecc over the reachable set)."""
+    from centrality_gpu_spark.operators.csrkernels import csr_components
+
     spark = graph.spark
     ids, indptr, indices = graph_to_csr(graph)
     n = len(ids)
-    bcast = spark.sparkContext.broadcast((ids, indptr, indices))
+    comp = csr_components(indptr, indices, n)
+    bcast = spark.sparkContext.broadcast((ids, indptr, indices, comp))
     if num_tasks is None:
         num_tasks = min(int(spark.conf.get("spark.sql.shuffle.partitions")), max(1, n))
     src_df = spark.createDataFrame(
@@ -47,20 +50,20 @@ def eccentricity_broadcast(graph: Graph, num_tasks: int | None = None) -> DataFr
     ).repartition(num_tasks)
 
     def run_batch(batches):
-        from centrality_gpu_spark.operators.csrkernels import msbfs_distance_stats
+        from centrality_gpu_spark.operators.csrkernels import (
+            msbfs_distance_stats_grouped,
+        )
 
-        ids_, indptr_, indices_ = bcast.value
+        ids_, indptr_, indices_, comp_ = bcast.value
         n_ = len(ids_)
         for pdf in batches:
             sids = pdf["sid"].to_numpy()
-            for c in range(0, len(sids), 64):
-                chunk = sids[c : c + 64]
-                _f, _r, _h, ecc = msbfs_distance_stats(
-                    indptr_, indices_, chunk, n_
-                )
-                yield pd.DataFrame(
-                    {"id": ids_[chunk], "ecc": ecc.astype(np.int64)}
-                )
+            _f, _r, _h, ecc = msbfs_distance_stats_grouped(
+                indptr_, indices_, sids, n_, comp_
+            )
+            yield pd.DataFrame(
+                {"id": ids_[sids], "ecc": ecc.astype(np.int64)}
+            )
 
     return src_df.mapInPandas(run_batch, "id long, ecc long")
 

@@ -528,6 +528,54 @@ def test_msbfs_more_than_64_sources_chunking(spark):
     assert got_e == exp_e
 
 
+def test_multicomponent_kernels_match_single_component_semantics(spark):
+    """The round-5 multi-component scale fix (component-restricted
+    bottom-up + component-grouped MS-BFS) must be bit-identical to the
+    ungrouped kernels on a graph of several disjoint pieces — the
+    10x-disjoint-replica shape that made the ungrouped paths pay
+    O(E_total) per level/pass."""
+    from centrality_gpu_spark.operators.csrkernels import (
+        bfs_forward,
+        csr_components,
+        msbfs_distance_stats_grouped,
+        msbfs_distance_stats,
+    )
+
+    # 3 disjoint pieces: a clique (fat frontier -> bottom-up fires),
+    # a chain (deep), an isolated edge
+    edges = (
+        [(a, b) for a in range(8) for b in range(a + 1, 8)]
+        + [(10 + i, 11 + i) for i in range(20)]
+        + [(50, 51)]
+    )
+    g = Graph.from_undirected_edges(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    ids, indptr, indices = graph_to_csr(g)
+    n = len(ids)
+    comp = csr_components(indptr, indices, n)
+    # labels: min-id per component, exactly 3 of them
+    assert len(np.unique(comp)) == 3
+    for s in range(n):
+        d0, s0, l0 = bfs_forward(indptr, indices, s, n)
+        d1, s1, l1 = bfs_forward(indptr, indices, s, n, comp=comp)
+        assert np.array_equal(d0, d1) and np.array_equal(s0, s1)
+        assert len(l0) == len(l1)
+        for a, b in zip(l0, l1):
+            assert np.array_equal(a, b)
+    srcs = np.arange(n)
+    f0, r0, h0, e0 = msbfs_distance_stats(indptr, indices, srcs, n)[:4]
+    f1, r1, h1, e1 = msbfs_distance_stats_grouped(
+        indptr, indices, srcs, n, comp
+    )
+    assert np.array_equal(f0, f1) and np.array_equal(r0, r1)
+    assert np.array_equal(h0, h1) and np.array_equal(e0, e1)
+    # bottom-up actually fired somewhere with comp (clique mid-level)
+    dirs = []
+    bfs_forward(indptr, indices, 0, n, comp=comp, directions=dirs)
+    assert "bu" in dirs
+
+
 # --------------------------- round 2: landmark-sampled closeness
 
 
