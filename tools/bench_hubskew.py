@@ -33,6 +33,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from centrality_gpu_spark.session import get_spark  # noqa: E402
 
 V = int(os.environ.get("HUB_V", "160000"))
+# hub degree = V / HUB_STRIDE (10 -> the verdict's max-degree ~ V/10;
+# 2 -> a harsher V/2 contrast where one block would hold ~4x the
+# median block's edges unsalted)
+STRIDE = int(os.environ.get("HUB_STRIDE", "10"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 UI = "http://localhost:4040/api/v1"
 
@@ -50,11 +54,18 @@ def _stage_ids(app: str) -> set[int]:
     return {s["stageId"] for s in _get(f"/applications/{app}/stages")}
 
 
-def _skew_of_new_stages(app: str, before: set[int], min_ms: int = 200):
-    """Worst max/median executorRunTime ratio over the job's new stages
-    with >= 8 tasks and a max task >= min_ms (sub-noise stages are not
-    skew evidence either way)."""
+def _skew_of_new_stages(app: str, before: set[int], min_med_ms: int = 25):
+    """Task-time skew over the job's new stages.
+
+    Returns {"worst": ..., "heaviest": ...}: the worst max/median
+    executorRunTime ratio among SUBSTANTIVE stages (>= 8 tasks, median
+    task >= min_med_ms — a 1 ms-median bookkeeping stage whose one real
+    task takes 300 ms is scheduler noise, not data skew), and the
+    heaviest stage (largest total executorRunTime) with its ratio —
+    the stage a skewed key would actually stretch."""
     worst = None
+    heaviest = None
+    heaviest_total = -1
     for s in _get(f"/applications/{app}/stages?status=COMPLETE"):
         sid = s["stageId"]
         if sid in before or s.get("numCompleteTasks", 0) < 8:
@@ -67,20 +78,22 @@ def _skew_of_new_stages(app: str, before: set[int], min_ms: int = 200):
         except Exception:
             continue
         med, mx = q["executorRunTime"]
-        if mx < min_ms:
-            continue
-        ratio = mx / max(med, 1.0)
         rec = {
             "stage": sid,
             "tasks": s["numCompleteTasks"],
             "med_task_ms": round(med, 1),
             "max_task_ms": round(mx, 1),
-            "ratio": round(ratio, 2),
+            "ratio": round(mx / max(med, 1.0), 2),
             "name": s.get("name", "")[:60],
         }
+        total = s.get("executorRunTime", 0)
+        if total > heaviest_total:
+            heaviest_total, heaviest = total, rec
+        if med < min_med_ms:
+            continue
         if worst is None or rec["ratio"] > worst["ratio"]:
             worst = rec
-    return worst
+    return {"worst": worst, "heaviest": heaviest}
 
 
 def hub_graph(spark):
@@ -96,7 +109,7 @@ def hub_graph(spark):
             ((F.col("id") * 40503 + 7) % V).alias("dst"),
         )
     )
-    hub = ids.where(F.col("id") % 10 == 0).select(
+    hub = ids.where(F.col("id") % STRIDE == 0).select(
         F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
     )
     e = base.unionByName(hub).withColumn("weight", F.lit(1.0))
@@ -123,6 +136,7 @@ def main() -> None:
     dmax = deg.agg(F.max("degree")).collect()[0][0]
     out = {
         "V": V,
+        "hub_stride": STRIDE,
         "directed_edges": m,
         "max_degree": int(dmax),
         "hub_fraction": round(dmax / V, 4),
@@ -170,7 +184,11 @@ def main() -> None:
             .agg(F.sum("bc")).collect()[0][0]), 3)})
 
     worst = max(
-        (j["skew"]["ratio"] for j in out["jobs"].values() if j["skew"]),
+        (
+            j["skew"]["worst"]["ratio"]
+            for j in out["jobs"].values()
+            if j["skew"] and j["skew"]["worst"]
+        ),
         default=0.0,
     )
     out["worst_task_ratio"] = worst
