@@ -1,6 +1,6 @@
 """Hub-skew stress datapoint (VERDICT r04 item #7): a synthetic
 sf0.1-scale graph with a genuinely pathological hub (one vertex of
-degree ~V/10) driven through PageRank (CSR mode — the explicit-salting
+degree V/HUB_STRIDE — default V/10) driven through PageRank (CSR mode — the explicit-salting
 path), triangle counting (degree orientation — the wedge-explosion
 control), and BSP betweenness over 64 sources (the frontier-join skew
 path). Per-task skew is read from Spark's own task summaries (the
