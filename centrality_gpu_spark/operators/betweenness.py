@@ -61,6 +61,7 @@ def brandes_kernel(
     sources: np.ndarray,
     n: int,
     reach: np.ndarray | None = None,
+    comp: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-level vectorized Brandes for a batch of sources → partial bc.
 
@@ -77,8 +78,11 @@ def brandes_kernel(
     bc = np.zeros(n)
     # one O(V+E) sweep amortized over the source batch: restricts each
     # source's bottom-up candidates to its component (multi-component
-    # graphs otherwise pay O(E_total) per fat level per source)
-    comp = csr_components(indptr, indices, n)
+    # graphs otherwise pay O(E_total) per fat level per source).
+    # Callers that fan the batch across tasks precompute this once on
+    # the driver and pass it in via ``comp``.
+    if comp is None:
+        comp = csr_components(indptr, indices, n)
     for s in sources:
         dist, sigma, levels = bfs_forward(
             indptr, indices, int(s), n, comp=comp
@@ -283,7 +287,14 @@ def betweenness_broadcast(
         pos = {v: i for i, v in enumerate(ids.tolist())}
         for v, r in reach.items():
             reach_vec[pos[v]] = r
-    bcast = spark.sparkContext.broadcast((ids, indptr, indices, reach_vec))
+    # component labels computed ONCE here rather than per task inside
+    # brandes_kernel (32 tasks would each repeat the O(V+E) sweep)
+    from centrality_gpu_spark.operators.csrkernels import csr_components
+
+    comp = csr_components(indptr, indices, n)
+    bcast = spark.sparkContext.broadcast(
+        (ids, indptr, indices, reach_vec, comp)
+    )
 
     if sources is None:
         dense_sources = list(range(n))
@@ -307,12 +318,14 @@ def betweenness_broadcast(
     ).repartition(num_tasks)
 
     def run_batch(batches):
-        ids_, indptr_, indices_, reach_ = bcast.value
+        ids_, indptr_, indices_, reach_, comp_ = bcast.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             srcs = pdf["sid"].to_numpy()
-            bc = brandes_kernel(indptr_, indices_, srcs, len(ids_), reach_)
+            bc = brandes_kernel(
+                indptr_, indices_, srcs, len(ids_), reach_, comp=comp_
+            )
             nz = np.nonzero(bc)[0]
             yield pd.DataFrame({"id": ids_[nz], "bc_part": bc[nz]})
 
