@@ -1446,6 +1446,14 @@ def _q_streaming_dedup_fold(spark: SparkSession, sf: str) -> DataFrame:
     return acc.pairs.select("doc_a", "doc_b", "jaccard")
 
 
+def _q_streaming_vocab_fold(spark: SparkSession, sf: str) -> DataFrame:
+    from centrality_gpu_spark.streaming.vocab import StreamingWordHistogram
+
+    acc = StreamingWordHistogram(spark)
+    _fold_chunks(_docs(spark, sf), ["doc_id"], 4, acc.update)
+    return acc.histogram.select("word", "cnt")
+
+
 def _q_session_stats_events(spark: SparkSession, sf: str) -> DataFrame:
     return session_stats(spark.read.parquet(f"{sf}/events.parquet"))
 
@@ -1532,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_components_fold_events": _q_streaming_components_fold_events,
         "streaming_triangles_fold_copurchase": _q_streaming_triangles_fold_copurchase,
         "streaming_dedup_fold": _q_streaming_dedup_fold,
+        "streaming_vocab_fold": _q_streaming_vocab_fold,
         # --- last driver-checked in r01/r02 (45 rows) ---
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -1702,6 +1711,13 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["winnow_matches_sql"],
         ).winnow_matches_sql(min_shared=2),
         "word_histogram": (
+            "SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'\\s+'), x -> x <> '')) AS w FROM documents"
+            ") GROUP BY w ORDER BY w"
+        ),
+        # streaming fold twin (see streaming_components_fold_events)
+        "streaming_vocab_fold": (
             "SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
             "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
             "'\\s+'), x -> x <> '')) AS w FROM documents"

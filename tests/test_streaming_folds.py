@@ -40,6 +40,20 @@ def test_triangles_fold_equals_batch(spark):
     assert got == exp and got > 0
 
 
+def test_vocab_fold_equals_batch(spark):
+    from centrality_gpu_spark.operators.bpe import word_histogram
+
+    got = {
+        (r.word, r.cnt)
+        for r in entry._q_streaming_vocab_fold(spark, SF_SMALL).collect()
+    }
+    exp = {
+        (r.word, r.cnt)
+        for r in word_histogram(entry._docs(spark, SF_SMALL)).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
 def test_dedup_fold_equals_batch(spark):
     from centrality_gpu_spark.operators.dedup import minhash_dedup
 
