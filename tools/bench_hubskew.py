@@ -173,8 +173,13 @@ def main() -> None:
 
         return job
 
-    run("pagerank_csr_salted", pr(None))          # default 10k < V/10: salted
-    run("pagerank_csr_unsalted", pr(V))           # threshold above hub degree
+    order = os.environ.get("HUB_ORDER", "salted_first")
+    if order == "salted_first":
+        run("pagerank_csr_salted", pr(None))      # default 10k < V/10: salted
+        run("pagerank_csr_unsalted", pr(V))       # threshold above hub degree
+    else:
+        run("pagerank_csr_unsalted", pr(V))
+        run("pagerank_csr_salted", pr(None))
     run("triangle_count", lambda: {
         "n_triangles": triangle_count(g).collect()[0]["n_triangles"]})
     srcs = [int(x) for x in range(1, 6401, 100)]  # 64 spread sources
